@@ -1,0 +1,143 @@
+"""Image decode dispatch + perceptual hash + PSNR (numpy, Arrow-batch friendly).
+
+These run inside vectorized pandas-UDF stages (SURVEY §2.4 P12 — image
+decode + caption verification mandated by BASELINE.json input_hint).
+Formats:
+
+* 'png'  — real codec (codecs/png.py), lossless: decoded pixels must be
+           exactly equal (allclose) to the reference pixels.
+* 'qdct' — real deterministic lossy codec (codecs/qdct.py): decoded
+           pixels must reach PSNR >= 40 dB vs reference.
+* 'jpeg' — STUB: requires an imaging library the container does not
+           ship; gated behind an import-try of PIL. The Spark-side
+           plumbing (schema, batching, verification) is identical to
+           the real formats and is tested via 'png'/'qdct'.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gepris_spark.codecs import png, qdct
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image as _PILImage  # noqa: N811
+
+    _HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAS_PIL = False
+
+PSNR_LOSSY_THRESHOLD_DB = 40.0
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    """Decode an encoded image to (h, w, 3) uint8 pixels."""
+    if fmt == "png":
+        return png.decode(data)
+    if fmt == "qdct":
+        return qdct.decode(data)
+    if fmt in ("jpeg", "jpg"):
+        if not _HAS_PIL:
+            raise NotImplementedError(
+                "STUB: jpeg decode needs PIL/libjpeg, which this container "
+                "does not ship; use fmt='qdct' for the lossy path"
+            )
+        import io
+
+        return np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"))
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def encode(pixels: np.ndarray, fmt: str, quality: int = 96) -> bytes:
+    if fmt == "png":
+        return png.encode(pixels)
+    if fmt == "qdct":
+        return qdct.encode(pixels, quality=quality)
+    raise NotImplementedError(f"STUB: no encoder for {fmt!r} in this container")
+
+
+def is_lossless(fmt: str) -> bool:
+    return fmt == "png"
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10((255.0**2) / mse)
+
+
+def pixels_match(decoded: np.ndarray, reference: np.ndarray, fmt: str) -> tuple[bool, float]:
+    """input_hint invariant: allclose for lossless, PSNR>=40dB for lossy."""
+    if decoded.shape != reference.shape:
+        return False, 0.0
+    value = psnr(decoded, reference)
+    if is_lossless(fmt):
+        return bool(np.array_equal(decoded, reference)), value
+    return value >= PSNR_LOSSY_THRESHOLD_DB, value
+
+
+def _mean_resize(gray: np.ndarray, size: int = 32) -> np.ndarray:
+    """Deterministic area-mean resize to (size, size)."""
+    h, w = gray.shape
+    ys = (np.arange(size + 1) * h // size).astype(np.int64)
+    xs = (np.arange(size + 1) * w // size).astype(np.int64)
+    # integral image for O(1) box sums
+    integ = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integ[1:, 1:] = np.cumsum(np.cumsum(gray.astype(np.float64), axis=0), axis=1)
+    out = np.empty((size, size), dtype=np.float64)
+    for i in range(size):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        row = integ[y1] - integ[y0]
+        for j in range(size):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = (row[x1] - row[x0]) / ((y1 - y0) * (x1 - x0))
+    return out
+
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n)
+        mat = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+        mat *= np.sqrt(2.0 / n)
+        mat[0] /= np.sqrt(2.0)
+        _DCT32 = mat
+    return _DCT32
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Classic 64-bit perceptual hash: 32x32 grayscale -> 2D DCT ->
+    top-left 8x8 low-frequency block -> median threshold -> bit string.
+
+    Deterministic (float64 everywhere); returns a SIGNED int64 so the
+    value round-trips through Spark LongType.
+    """
+    gray = (
+        0.299 * pixels[:, :, 0].astype(np.float64)
+        + 0.587 * pixels[:, :, 1].astype(np.float64)
+        + 0.114 * pixels[:, :, 2].astype(np.float64)
+    )
+    small = _mean_resize(gray, 32)
+    d = _dct32()
+    freq = d @ small @ d.T
+    block = freq[:8, :8].flatten()
+    med = np.median(block[1:])  # skip DC term, classic pHash convention
+    bits = 0
+    for idx, value in enumerate(block):
+        if idx == 0:
+            continue
+        if value > med:
+            bits |= 1 << (idx - 1)
+    return int(np.int64(np.uint64(bits)))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

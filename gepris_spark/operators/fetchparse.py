@@ -1,0 +1,319 @@
+"""The vectorized fetch+parse stage (SURVEY §2.1 S7/S8, §2.4 P1-P12).
+
+"Fetch" against the synthetic corpus is a JOIN (scheduled batch ⨝
+pages on url+language) — the idiomatic Spark form of a read-through
+page cache (the reference's DBM HTTPCACHE, middlewares.py:118-138).
+A real-HTTP deployment swaps the join for an HTTP call inside the same
+mapInPandas stage; everything downstream is unchanged.
+
+Parse runs as ONE `mapInPandas` stage over Arrow batches (input_hint:
+vectorized pandas/Arrow UDFs, no per-row Python UDF serde):
+
+* P9/P10/P11 validators -> status routing success|moved|error|retry
+  (middlewares.py:15-114),
+* P1 tolerant nameX/valueX span pairing (base.py:42-118),
+* P2 extract_text_and_links with singleton unwrap (base.py:120-160),
+* P3 ul/li tree extraction under content_frame divs (base.py:172-205),
+* P5 h1.facelift name (details.py:142-144),
+* P12 embedded-image decode (data URI), phash, caption from
+  figcaption, and — when a reference-pixels provider is given — the
+  input_hint per-row invariant (allclose for lossless, PSNR>=40dB for
+  lossy) + caption equality.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gepris_spark import schemas
+from gepris_spark.codecs import image as imagecodec
+from gepris_spark.operators.htmldom import Node, parse_html
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _clean(text: str) -> str:
+    """Python-side clean_string (F1 parity: data_transformations.py:123-132)."""
+    printable = "".join(c for c in text if c.isprintable())
+    return " ".join(printable.split()).strip()
+
+
+def _non_empty_text(node: Node | None) -> str | None:
+    """base.py:208-234 with err switches off (engine quarantines instead)."""
+    if node is None:
+        return None
+    texts = [_clean(t) for t in node.all_text()]
+    texts = [t for t in texts if t != ""]
+    if not texts:
+        return None
+    return texts[0] if len(texts) == 1 else texts
+
+
+def _extract_text_and_links(node: Node):
+    """base.py:120-160 — strings and {value,path} refs, singleton unwrap."""
+    values = []
+    for child in node.children:
+        if isinstance(child, str):
+            cleaned = _clean(child)
+            if cleaned != "":
+                values.append(cleaned)
+        elif child.attrs.get("href") is not None:
+            values.append({"value": _non_empty_text(child), "path": child.attrs.get("href")})
+        else:
+            sub = _extract_text_and_links(child)
+            if isinstance(sub, list):
+                values.extend(sub)
+            else:
+                values.append(sub)
+    return values[0] if len(values) == 1 else values
+
+
+def attributes_pairs_list(spans: list[Node]) -> list[list]:
+    """P1 — the 6-branch tolerant key/value zip (base.py:42-118)."""
+    attributes: list[list] = []
+    last_key: Node | None = None
+    for span in spans:
+        span_class = span.attrs.get("class")
+        if span_class is None:
+            if last_key is not None:
+                attributes.append([_non_empty_text(last_key), _extract_text_and_links(span)])
+                last_key = None
+            # else: expected a key, ignore (warn branch)
+        elif span_class.startswith("name"):
+            if last_key is not None:  # two consecutive keys -> first gets null value
+                attributes.append([_non_empty_text(last_key), None])
+            last_key = span
+        elif span_class.startswith("value"):
+            if last_key is None:
+                pass  # value with no key -> dropped (warn branch)
+            elif (last_key.attrs.get("class") or "")[4:] != span_class[5:]:
+                pass  # mismatched X suffix -> dropped (warn branch)
+            else:
+                key_text = _non_empty_text(last_key)
+                if key_text is not None:
+                    attributes.append([key_text, _extract_text_and_links(span)])
+                last_key = None
+        # else: unexpected class -> dropped (warn branch)
+    if last_key is not None:
+        attributes.append([_non_empty_text(last_key), None])
+    return attributes
+
+
+def _handle_tree_nodes(nodes: list[Node]):
+    """P3 recursion (base.py:185-205)."""
+    mapped = []
+    for node in nodes:
+        children = [
+            li
+            for ul in node.child_elements()
+            if ul.tag == "ul"
+            for li in ul.child_elements()
+            if li.tag == "li"
+        ]
+        if not children:
+            mapped.append(_extract_text_and_links(node))
+        else:
+            link = next((c for c in node.child_elements() if c.tag == "a"), None)
+            mapped.append(
+                {
+                    "value": _non_empty_text(link),
+                    "path": link.attrs.get("href") if link else None,
+                    "children": _handle_tree_nodes(children),
+                }
+            )
+    return mapped
+
+
+def extract_trees(content: Node) -> dict:
+    """P3 — trees under ./div.content_frame/div or the frame itself when
+    it carries the id (the synthetic corpus puts the id on the frame)."""
+    trees = {}
+    for frame in content.find_all("div", cls="content_frame"):
+        inner = [d for d in frame.child_elements() if d.tag == "div" and "class" not in d.attrs]
+        targets = inner or ([frame] if frame.attrs.get("id") else [])
+        for div in targets:
+            ul = next((c for c in div.child_elements() if c.tag == "ul"), None)
+            if ul is not None and div.attrs.get("id"):
+                lis = [li for li in ul.child_elements() if li.tag == "li"]
+                trees[div.attrs["id"]] = _handle_tree_nodes(lis)
+    return trees
+
+
+_DATA_URI_RE = re.compile(r"^data:image/(\w+);base64,(.*)$", re.S)
+
+
+def _parse_one(
+    url: str,
+    html: str,
+    expected_language: str | None,
+    context: str | None,
+    item_id,
+    ref_pixels_fn: Callable[[str], np.ndarray] | None,
+    expected_caption_fn: Callable[[str], str] | None,
+) -> dict:
+    out = {
+        "url": url,
+        "item_id": item_id,
+        "context": context,
+        "language": expected_language,
+        "status": "success",
+        "name": None,
+        "attributes": None,
+        "trees_json": None,
+        "caption": None,
+        "image_id": None,
+        "image_bytes": None,
+        "image_w": None,
+        "image_h": None,
+        "image_fmt": None,
+        "phash": None,
+        "psnr_db": None,
+        "pixels_ok": None,
+    }
+    doc = parse_html(html)
+
+    # P10 — page-exists validator (middlewares.py:97-103)
+    title = doc.find("title")
+    title_text = _clean(" ".join(title.all_text())) if title else ""
+    if title_text in ("Page not found", "Seite nicht gefunden") or any(
+        _clean(" ".join(h2.all_text())) in ("Page not found", "Seite nicht gefunden")
+        for h2 in doc.find_all("h2")
+    ):
+        out["status"] = "moved"
+        return out
+
+    # P9 — structure validator (middlewares.py:78-85)
+    if doc.find("h2", cls="h2-context-title") is None or doc.find("abbr") is None:
+        out["status"] = "error"
+        return out
+
+    # P11 — language validator (middlewares.py:106-114)
+    html_node = doc.find("html")
+    page_lang = (html_node.attrs.get("lang") if html_node else None) or ""
+    if expected_language and page_lang and page_lang != expected_language:
+        out["status"] = "retry"
+        return out
+
+    # P5 — name
+    h1 = doc.find("h1", cls="facelift")
+    out["name"] = _non_empty_text(h1) if h1 is not None else None
+
+    content = doc.find("div", cls="content_inside")
+    if content is not None:
+        # P1 — attribute pairs; folded to map<string, array<string>>
+        spans = [
+            s
+            for s in content.find_all("span")
+            if (s.attrs.get("class") or "").startswith(("name", "value"))
+            or s.attrs.get("class") is None
+        ]
+        pairs = attributes_pairs_list(spans)
+        attrs: dict[str, list[str]] = {}
+        for key, value in pairs:
+            if key is None:
+                continue
+            if value is None:
+                vals = []
+            elif isinstance(value, list):
+                vals = [v if isinstance(v, str) else json.dumps(v, ensure_ascii=False) for v in value]
+            elif isinstance(value, dict):
+                vals = [json.dumps(value, ensure_ascii=False)]
+            else:
+                vals = [value]
+            attrs[key] = vals  # last key wins (Compose(dict), items.py:102)
+        out["attributes"] = attrs
+
+        # P3 — trees
+        trees = extract_trees(content)
+        if trees:
+            out["trees_json"] = json.dumps(trees, ensure_ascii=False)
+
+    # P12 — embedded image + caption
+    img = doc.find("img")
+    fig = doc.find("figcaption")
+    if fig is not None:
+        out["caption"] = _clean(" ".join(fig.all_text()))
+    if img is not None:
+        out["image_id"] = img.attrs.get("id")
+        src = img.attrs.get("src") or ""
+        m = _DATA_URI_RE.match(src)
+        if m:
+            fmt, b64 = m.group(1), m.group(2)
+            try:
+                raw = base64.b64decode(b64)
+                pixels = imagecodec.decode(raw, fmt)
+                out["image_bytes"] = raw
+                out["image_fmt"] = fmt
+                out["image_h"], out["image_w"] = pixels.shape[0], pixels.shape[1]
+                out["phash"] = imagecodec.phash64(pixels)
+                if ref_pixels_fn is not None and out["image_id"]:
+                    ref = ref_pixels_fn(out["image_id"])
+                    ok, value = imagecodec.pixels_match(pixels, ref, fmt)
+                    if expected_caption_fn is not None:
+                        ok = ok and (out["caption"] == _clean(expected_caption_fn(out["image_id"])))
+                    out["pixels_ok"] = bool(ok)
+                    out["psnr_db"] = None if value == float("inf") else float(value)
+            except (ValueError, NotImplementedError):
+                out["status"] = "error"
+    return out
+
+
+def fetch_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+    """S7/S8 — the corpus-backed fetch: left join on (url, language).
+
+    Missing pages surface as status='error' rows (connection failure
+    analogue). The pages side is the big table at bench scale — the
+    join shuffles on url, which both sides can pre-bucket by in a
+    persistent deployment.
+    """
+    pages_sel = pages.select(
+        F.col("url").alias("_p_url"),
+        F.col("language").alias("_p_language"),
+        F.col("status").alias("fetch_status"),
+        "html",
+        "fetch_cost_ms",
+    )
+    cond = (scheduled["url"] == F.col("_p_url")) & (
+        scheduled["language"] == F.col("_p_language")
+    )
+    return scheduled.join(pages_sel, cond, "left").drop("_p_url", "_p_language")
+
+
+def parse_stage(
+    fetched: DataFrame,
+    ref_pixels_fn: Callable[[str], np.ndarray] | None = None,
+    expected_caption_fn: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """One mapInPandas over the fetched batch -> PARSED rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _parse_one(
+                    r.url,
+                    r.html if isinstance(r.html, str) else "",
+                    getattr(r, "language", None),
+                    getattr(r, "context", None),
+                    getattr(r, "item_id", None),
+                    ref_pixels_fn,
+                    expected_caption_fn,
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            out = pd.DataFrame(rows, columns=[f.name for f in schemas.PARSED.fields])
+            yield out
+
+    cols = ["url", "language", "html"]
+    for opt in ("context", "item_id"):
+        if opt in fetched.columns:
+            cols.append(opt)
+    return fetched.select(*cols).mapInPandas(run, schemas.PARSED)

@@ -1,0 +1,236 @@
+"""The distributed URL frontier: state table + priority queue.
+
+Reproduces the reference's `available_items` state machine
+(/root/reference/gepris_crawler/database.py) with Iceberg-style MERGE
+over the snapshot store:
+
+* K1 search upsert with null-safe change detection (database.py:77-96)
+* K2 details upsert (database.py:66-76)
+* Q7 vanished-item marking (database.py:149-161)
+* Q4 newly-referenced-person discovery, an anti-join (database.py:118-147)
+* Q5/Q6 moved-reference invalidation (database.py:163-207)
+* A2 priority queue: never-checked first, then stalest-first
+  (database.py:43-64)
+
+Scale design: the frontier is hash-bucketed on (context, id) — the
+MERGE joins are equi-joins on the bucket keys, micro-batch sources are
+broadcast, and the priority select is a per-partition top-k followed by
+a global top-k (TakeOrderedAndProject), so nothing materializes the
+full 10^10-row table on one node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gepris_spark import schemas
+from gepris_spark.store.table import SnapshotStore, merge_upsert
+
+KEYS = ["id", "context"]
+TABLE = "frontier"
+
+
+class Frontier:
+    def __init__(self, spark: SparkSession, store: SnapshotStore):
+        self.spark = spark
+        self.store = store
+
+    # ------------------------------------------------------------- state
+    def read(self) -> DataFrame:
+        return self.store.read(self.spark, TABLE, schemas.FRONTIER)
+
+    def _commit(self, df: DataFrame) -> int:
+        return self.store.commit_snapshot(df, TABLE)
+
+    # ---------------------------------------------------------------- K1
+    def upsert_search_batch(self, batch: DataFrame, run_id: int) -> int:
+        """Search-results upsert with change detection (database.py:77-96).
+
+        `batch`: columns (id, context, item) — item is the JSON of the
+        search-result row. Semantics (Postgres ON CONFLICT mirrored):
+
+        * NOT MATCHED -> insert with last_available_seen/change=run,
+          detail_check_needed=True.
+        * MATCHED -> last_available_seen=run, item overwritten;
+          last_available_change=run only when item IS DISTINCT FROM old;
+          detail_check_needed=True only when the item changed AND the
+          row had been seen by a search run before.
+        """
+        run = F.lit(run_id).cast("long")
+        source = batch.select(
+            F.col("id").cast("long"),
+            "context",
+            F.col("item").alias("last_available_item"),
+        )
+
+        def updates(t, s):
+            changed = ~(F.col("t.last_available_item") <=> F.col("s.last_available_item"))
+            return {
+                "last_available_seen": run,
+                "last_available_change": F.when(
+                    changed, run
+                ).otherwise(F.col("t.last_available_change")),
+                "last_available_item": F.col("s.last_available_item"),
+                "detail_check_needed": F.when(
+                    changed & F.col("t.last_available_seen").isNotNull(), F.lit(True)
+                ).otherwise(F.col("t.detail_check_needed")),
+            }
+
+        def inserts(s):
+            return {
+                "id": F.col("s.id"),
+                "context": F.col("s.context"),
+                "last_available_seen": run,
+                "last_available_change": run,
+                "last_available_item": F.col("s.last_available_item"),
+                "detail_check_needed": F.lit(True),
+            }
+
+        merged = merge_upsert(self.read(), source, KEYS, updates, inserts)
+        return self._commit(merged)
+
+    # ---------------------------------------------------------------- K2
+    def upsert_details_batch(self, ids: DataFrame, run_id: int) -> int:
+        """Details-run upsert (database.py:66-76): mark checked."""
+        run = F.lit(run_id).cast("long")
+        source = ids.select(F.col("item_id").cast("long").alias("id"), "context").dropDuplicates(KEYS)
+
+        def updates(t, s):
+            return {"last_detail_check": run, "detail_check_needed": F.lit(False)}
+
+        def inserts(s):
+            return {
+                "id": F.col("s.id"),
+                "context": F.col("s.context"),
+                "last_detail_check": run,
+                "detail_check_needed": F.lit(False),
+            }
+
+        merged = merge_upsert(self.read(), source, KEYS, updates, inserts)
+        return self._commit(merged)
+
+    # ---------------------------------------------------------------- Q7
+    def mark_vanished(self, context: str, run_id: int) -> int:
+        """Vanished-item marking after a search sweep (database.py:149-161)."""
+        run = F.lit(run_id).cast("long")
+        frontier = self.read()
+        cond = (
+            (F.col("context") == context)
+            & (F.col("last_available_seen") != run)
+            & F.col("last_available_seen").isNotNull()
+            & F.col("last_available_item").isNotNull()
+        )
+        updated = frontier.select(
+            "id",
+            "context",
+            "last_available_seen",
+            F.when(cond, run).otherwise(F.col("last_available_change")).alias(
+                "last_available_change"
+            ),
+            F.when(cond, F.lit(None).cast("string"))
+            .otherwise(F.col("last_available_item"))
+            .alias("last_available_item"),
+            "last_detail_check",
+            F.when(cond, F.lit(True)).otherwise(F.col("detail_check_needed")).alias(
+                "detail_check_needed"
+            ),
+        )
+        return self._commit(updated)
+
+    # ---------------------------------------------------------------- Q4
+    def discover_new_persons(self, referenced_person_ids: DataFrame, run_id: int) -> int:
+        """Insert newly-referenced persons (database.py:118-147).
+
+        `referenced_person_ids`: single column `id` of person ids
+        referenced by this run's projekt items (produced by the
+        reference-explosion view, plans/views.py). Anti-join against
+        known persons, insert with detail_check_needed=True.
+        """
+        frontier = self.read()
+        known = frontier.where(F.col("context") == "person").select("id")
+        new = (
+            referenced_person_ids.select(F.col("id").cast("long"))
+            .distinct()
+            .join(known, "id", "left_anti")
+            .select(
+                "id",
+                F.lit("person").alias("context"),
+                F.lit(None).cast("long").alias("last_available_seen"),
+                F.lit(None).cast("long").alias("last_available_change"),
+                F.lit(None).cast("string").alias("last_available_item"),
+                F.lit(None).cast("long").alias("last_detail_check"),
+                F.lit(True).alias("detail_check_needed"),
+            )
+        )
+        return self._commit(frontier.unionByName(new))
+
+    # ------------------------------------------------------------- Q5/Q6
+    def mark_check_needed_for_ids(self, ids: DataFrame) -> int:
+        """Flag rows whose id is in `ids` (single column `id`).
+
+        Mirrors the reference exactly: the UPDATE matches on id only,
+        with NO context filter (database.py:183-186,203-206) — a projekt
+        and a person sharing an id are both flagged.
+        """
+        frontier = self.read()
+        flagged = (
+            frontier.join(F.broadcast(ids.select("id").distinct()).withColumn("_hit", F.lit(True)), "id", "left")
+            .select(
+                *[F.col(c) for c in schemas.FRONTIER.fieldNames() if c != "detail_check_needed"],
+                F.when(F.col("_hit"), F.lit(True))
+                .otherwise(F.col("detail_check_needed"))
+                .alias("detail_check_needed"),
+            )
+            .select(*schemas.FRONTIER.fieldNames())
+        )
+        return self._commit(flagged)
+
+    # ---------------------------------------------------------------- A2
+    def get_ids(
+        self,
+        runs: DataFrame,
+        context: str,
+        only_needed: bool = False,
+        limit: int = 0,
+    ) -> DataFrame:
+        """Priority queue (database.py:43-64): UNION ALL of
+
+        1. never-checked ids (last_detail_check IS NULL), then
+        2. checked ids ordered by their checking run's start time ASC
+           (stalest first), optionally filtered to detail_check_needed.
+
+        The reference leaves tier 1 unordered (Postgres heap order; its
+        test inserts in id order and asserts id order) — we pin tier 1
+        to id ASC and tie-break tier 2 by id for determinism.
+
+        Returns (item_id, context, priority_tier, order_ts). With a
+        limit, Spark plans TakeOrderedAndProject (per-partition top-k +
+        global top-k) — no full sort, no single-node materialization.
+        """
+        frontier = self.read().where(F.col("context") == context)
+        tier1 = frontier.where(F.col("last_detail_check").isNull()).select(
+            F.col("id").alias("item_id"),
+            F.lit(0).alias("priority_tier"),
+            F.lit(None).cast("timestamp").alias("order_ts"),
+        )
+        tier2_base = frontier.where(F.col("last_detail_check").isNotNull())
+        if only_needed:
+            tier2_base = tier2_base.where(F.col("detail_check_needed"))
+        tier2 = tier2_base.join(
+            F.broadcast(runs.select(F.col("id").alias("_run_id"), "run_started_at")),
+            F.col("last_detail_check") == F.col("_run_id"),
+            "inner",
+        ).select(
+            F.col("id").alias("item_id"),
+            F.lit(1).alias("priority_tier"),
+            F.col("run_started_at").alias("order_ts"),
+        )
+        out = (
+            tier1.unionByName(tier2)
+            .select("item_id", F.lit(context).alias("context"), "priority_tier", "order_ts")
+            .orderBy("priority_tier", F.col("order_ts").asc_nulls_first(), "item_id")
+        )
+        if limit > 0:
+            out = out.limit(limit)
+        return out

@@ -1,0 +1,128 @@
+"""Per-host politeness scheduling (SURVEY §2.7 A4, north rule).
+
+The reference enforces politeness at runtime (AutoThrottle AIMD delay
+2s->30s, target 1 req/server, settings.py:119-126; robots.txt obeyed,
+settings.py:66). Wall-clock throttling is not reproducible, so this
+engine makes the schedule *logical and deterministic*: each request in
+a micro-batch is assigned a `scheduled_ms` send time by a per-host
+token bucket, and the crawl's visit order is BY DEFINITION the sort by
+(scheduled_ms, priority, canonical url). The single-threaded replay
+oracle (gepris_spark/replay.py) computes the identical schedule, which
+is what makes "ordering exact-match rate" a checkable contract instead
+of a wall-clock race.
+
+Skew: gepris.dfg.de dominates the corpus (~70-100% of urls). For the
+fetch stage the schedule is salted — partition key is
+(host, seq mod n_salts) — so one hot host spreads over n_salts
+executor partitions while the per-host delay contract stays intact
+(the schedule was already assigned; fetching is embarrassingly
+parallel in scheduled time).
+
+Robots: a broadcast robots-rules table (host, disallow prefixes,
+crawl_delay_ms). Disallowed urls are dropped before scheduling, and a
+host's crawl delay overrides the default politeness delay — matching
+ROBOTSTXT_OBEY + AutoThrottle precedence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DELAY_MS = 2000  # AutoThrottle start delay (settings.py:121)
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), True),
+        T.StructField("crawl_delay_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def empty_robots(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], ROBOTS_SCHEMA)
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
+    """Drop robots-disallowed urls; attach effective per-host delay.
+
+    The robots table is tiny (one row per host) — broadcast join, no
+    shuffle on the candidate side.
+    """
+    joined = candidates.join(F.broadcast(robots), "host", "left")
+    path = F.regexp_replace(F.col(url_col), r"^https?://[^/]*", "")
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+    return (
+        joined.where(~disallowed)
+        .withColumn(
+            "delay_ms",
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_DELAY_MS)).cast("long"),
+        )
+        .drop("disallow_prefixes", "crawl_delay_ms")
+    )
+
+
+def assign_schedule(
+    batch: DataFrame,
+    n_salts: int = 8,
+    priority_cols: list[str] | None = None,
+) -> DataFrame:
+    """Token-bucket schedule assignment.
+
+    Within each host, requests are ordered by the crawl priority
+    (priority_type ASC = GEPRIS item-type rank, recency stalest-first,
+    url tiebreak — the A2/A3 contract) and the k-th request is released
+    at k * delay_ms (logical token bucket with one token per delay).
+
+    Output adds: host_seq (0-based per-host position), scheduled_ms,
+    salt (executor-spreading shard for the fetch stage).
+
+    Scale note: the per-host window is a prefix-sum; with one dominant
+    host it sorts that host's rows in one shuffle partition. That is
+    exactly the skew the salting addresses *downstream* (fetch).
+    Upstream, batches are bounded (per-batch budget A3 caps rows), so
+    the window sort is bounded too; at unbounded batch sizes switch to
+    range-partitioned rank (repartitionByRange on the priority key
+    within host) — same semantics.
+    """
+    priority_cols = priority_cols or ["priority_type", "recency_ts", "url"]
+    order = [
+        F.col(c).asc_nulls_first() if c != "url" else F.col(c).asc() for c in priority_cols
+    ]
+    win = Window.partitionBy("host").orderBy(*order)
+    scheduled = (
+        batch.withColumn("host_seq", F.row_number().over(win).cast("long") - 1)
+        .withColumn("scheduled_ms", F.col("host_seq") * F.col("delay_ms"))
+        .withColumn("salt", F.pmod(F.col("host_seq"), F.lit(n_salts)).cast("int"))
+    )
+    return scheduled
+
+
+def visit_order(scheduled: DataFrame) -> DataFrame:
+    """The crawl's total visit order: logical send time, then priority,
+    then canonical url — the replay contract both engine and oracle
+    compute (SURVEY §7.4 risk 1)."""
+    win_order = [
+        F.col("scheduled_ms").asc(),
+        F.col("priority_type").asc_nulls_last(),
+        F.col("url").asc(),
+    ]
+    from pyspark.sql import Window as W
+
+    return scheduled.withColumn(
+        "seq", F.row_number().over(W.orderBy(*win_order)).cast("long") - 1
+    )
+
+
+def salted_fetch_partitions(scheduled: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Repartition the scheduled batch for the fetch stage: hot hosts
+    spread over n_salts partitions, rows within a partition sorted by
+    scheduled time."""
+    return scheduled.repartition(F.col("host"), F.col("salt")).sortWithinPartitions(
+        "scheduled_ms", "url"
+    )

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target the sandbox (local[N] with N=SPARK_GRAFT_CPUS), but every
+knob is chosen to also be correct on a multi-executor cluster:
+
+* AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+* shuffle partitions sized to parallelism (overridable; at 100 TB you set
+  this to ~2-3x total cores or rely on AQE coalescing from a high initial),
+* session timezone pinned to UTC so results compare bit-for-bit against
+  the DuckDB oracle (duckdb timestamps are UTC-naive),
+* Arrow enabled for the vectorized pandas-UDF stages.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gepris-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,264 @@
+"""Deterministic synthetic crawl corpus (FIXTURES.md §§1-3).
+
+Replaces live HTTP for tests and benchmarks: seeded, reproducible
+generation of
+
+* `images`  — image+caption payload rows per BASELINE.json input_hint
+              (real PNG / qdct encodings of seeded pixel arrays),
+* `seeds`   — the seed-list replay corpus (canonical GEPRIS urls +
+              duplicates + invalid variants, priority/recency/host),
+* `pages`   — GEPRIS-shaped HTML responses (h1.facelift title,
+              content_inside div, nameX/valueX attribute span pairs,
+              ul/li trees, data-URI embedded image + figcaption),
+              with status routes success/moved/bad_structure/
+              wrong_language matching the reference's middleware
+              validation paths (middlewares.py:15-114).
+
+Everything derives from (seed, index) — no wall clock, no randomness
+outside numpy's seeded PCG64 — so the replay oracle and engine see
+byte-identical inputs.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pandas as pd
+
+from gepris_spark.codecs import image as imagecodec
+from gepris_spark.schemas import CONTEXT_PRIORITY, CONTEXTS
+
+GEPRIS_HOST = "gepris.dfg.de"
+BASE_EPOCH = datetime(2021, 10, 18, 6, 0, 0, tzinfo=timezone.utc)
+
+# German attribute keys from the reference's attribute grammar
+# (spiders/base.py:42-118 zips nameX/valueX span runs).
+ATTR_KEYS = [
+    "Antragsteller",
+    "Fachliche Zuordnung",
+    "Förderung",
+    "Projektkennung",
+    "DFG-Verfahren",
+    "Internetseite",
+]
+
+
+def _stable_u64(*parts) -> int:
+    digest = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(digest[:8], "big")
+
+
+def ref_pixels(image_index: int, seed: int = 42) -> np.ndarray:
+    """The pre-encode reference pixels for image n: seeded gradient+noise.
+
+    The verification oracle re-derives these to check decoded-pixel
+    allclose / PSNR without storing a companion table.
+    """
+    rng = np.random.default_rng(seed * 1_000_003 + image_index)
+    size = (32, 48, 64)[image_index % 3]
+    yy, xx = np.mgrid[0:size, 0:size]
+    base = np.stack(
+        [
+            (xx * 255 // max(size - 1, 1)),
+            (yy * 255 // max(size - 1, 1)),
+            ((xx + yy) * 255 // max(2 * size - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.float64)
+    noise = rng.normal(0, 12, size=(size, size, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def caption_for(image_index: int) -> str:
+    """Deterministic caption with unicode, extra whitespace and
+    non-printables so clean_string parity (F1) is exercised."""
+    return (
+        f"Abbildung {image_index}:  Förderung\tder   Universität"
+        f" — Projekt {image_index * 7 % 9973}​ (†)"
+    )
+
+
+def gen_images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """IMAGES rows (input_hint schema). fmt alternates png (lossless)
+    and qdct (lossy, exercises PSNR>=40dB)."""
+    rows = []
+    for i in range(n):
+        pixels = ref_pixels(i, seed)
+        fmt = "png" if i % 2 == 0 else "qdct"
+        data = imagecodec.encode(pixels, fmt)
+        rows.append(
+            {
+                "image_id": f"img{i:08d}",
+                "bytes": data,
+                "w": pixels.shape[1],
+                "h": pixels.shape[0],
+                "fmt": fmt,
+                "caption": caption_for(i),
+                "phash": imagecodec.phash64(pixels),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_seeds_pdf(
+    n_per_context: dict[str, int] | int,
+    seed: int = 42,
+    n_extra_hosts: int = 3,
+    dup_rate: float = 0.03,
+    invalid_rate: float = 0.02,
+) -> pd.DataFrame:
+    """Seed-list replay corpus (FIXTURES.md §2).
+
+    Includes ~dup_rate duplicate urls (dup-arrival warn path,
+    search_results.py:60-63) and ~invalid_rate non-canonical variants
+    (query params, /gepris/projekt/null) that must be canonicalized or
+    filtered.
+    """
+    if isinstance(n_per_context, int):
+        n_per_context = {c: n_per_context for c in CONTEXTS}
+    rows = []
+    for context in CONTEXTS:
+        n = n_per_context.get(context, 0)
+        for i in range(n):
+            item_id = i + 1
+            h = _stable_u64(seed, context, item_id)
+            # mostly gepris.dfg.de plus a few synthetic hosts to
+            # exercise per-host politeness + salting
+            host = (
+                GEPRIS_HOST
+                if h % 10 < 7
+                else f"mirror{h % n_extra_hosts}.example.org"
+            )
+            url = f"https://{host}/gepris/{context}/{item_id}"
+            recency = BASE_EPOCH - timedelta(minutes=int(h % 100_000))
+            rows.append(
+                {
+                    "url": url,
+                    "context": context,
+                    "item_id": item_id,
+                    "language": "de",
+                    "priority_type": CONTEXT_PRIORITY[context],
+                    "recency_ts": recency,
+                    "host": host,
+                }
+            )
+            frac = (h >> 8) % 10_000 / 10_000
+            if frac < dup_rate:
+                rows.append({**rows[-1]})  # exact duplicate arrival
+            elif frac < dup_rate + invalid_rate:
+                noisy = dict(rows[-1])
+                if h % 2 == 0:
+                    noisy["url"] = url + "?language=en#top"  # canonicalizes to url
+                else:
+                    noisy["url"] = f"https://{host}/gepris/{context}/null"
+                    noisy["item_id"] = None
+                rows.append(noisy)
+    pdf = pd.DataFrame(rows)
+    pdf["recency_ts"] = pd.to_datetime(pdf["recency_ts"], utc=True).dt.tz_localize(None)
+    # explicit arrival order: the replay contract batches on this
+    pdf["arrival_seq"] = range(len(pdf))
+    return pdf
+
+
+def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
+               image_fmt: str | None, caption: str | None, status: str) -> str:
+    """Minimal GEPRIS-shaped page (grammar of spiders/base.py:42-118:
+    h1.facelift name, div.content_inside with nameX/valueX span pairs,
+    a ul/li tree, and — beyond the reference, per input_hint — an
+    embedded image with figcaption)."""
+    if status == "bad_structure":
+        return "<html><body><p>unexpected layout</p></body></html>"
+    if status == "moved":
+        title = "Page not found" if language == "en" else "Seite nicht gefunden"
+        return f"<html><head><title>{title}</title></head><body><h2>{title}</h2></body></html>"
+    page_lang = ("en" if language == "de" else "de") if status == "wrong_language" else language
+    h = _stable_u64("attrs", context, item_id)
+    spans = []
+    for idx, key in enumerate(ATTR_KEYS[: 3 + h % 4], start=1):
+        value = f"Wert {item_id}-{idx} für {key}"
+        if key == "Förderung":
+            value = f"Förderung von {2000 + h % 20} bis {2001 + h % 21}"
+        if key == "Internetseite":
+            value = f"https://example.org/p/{item_id}"
+        spans.append(
+            f'<span class="name{idx}">{key}</span>'
+            f'<span class="value{idx}">{value}</span>'
+        )
+    tree = (
+        f'<div id="projektbaum" class="content_frame"><ul>'
+        f'<li><a href="/gepris/projekt/{item_id * 10 + 1}">Teilprojekt A</a></li>'
+        f"<li>Gruppe<ul><li><a href=\"/gepris/projekt/{item_id * 10 + 2}\">Teilprojekt B</a>"
+        f"</li></ul></li></ul></div>"
+    )
+    figure = ""
+    if image_b64 is not None:
+        figure = (
+            f'<figure><img src="data:image/{image_fmt};base64,{image_b64}"/>'
+            f"<figcaption>{caption}</figcaption></figure>"
+        )
+    return (
+        f'<html lang="{page_lang}"><head><title>GEPRIS</title></head><body>'
+        f'<abbr title="Deutsche Forschungsgemeinschaft">DFG</abbr>'
+        f'<h2 class="h2-context-title">{context}</h2>'
+        f'<h1 class="facelift">Eintrag {item_id}  ({context})</h1>'
+        f'<div class="content_inside">{"".join(spans)}{tree}{figure}</div>'
+        f"</body></html>"
+    )
+
+
+def gen_pages_pdf(seeds_pdf: pd.DataFrame, images_pdf: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
+    """One page per (distinct canonical seed url, language in de/en).
+
+    Status distribution ~94% success / 2% moved / 2% bad_structure /
+    2% wrong_language (FIXTURES.md §3), deterministic per url.
+    """
+    uniq = seeds_pdf.dropna(subset=["item_id"]).drop_duplicates(subset=["url"])
+    uniq = uniq[~uniq["url"].str.contains(r"[?#]")]
+    images = images_pdf.reset_index(drop=True)
+    n_images = len(images)
+    rows = []
+    for row in uniq.itertuples(index=False):
+        for language in ("de", "en"):
+            h = _stable_u64(seed, "page", row.url, language)
+            p = h % 100
+            status = (
+                "success" if p < 94 else "moved" if p < 96 else "bad_structure" if p < 98 else "wrong_language"
+            )
+            img = images.iloc[int(row.item_id) % n_images] if n_images else None
+            b64 = base64.b64encode(img["bytes"]).decode() if img is not None else None
+            rows.append(
+                {
+                    "url": row.url,
+                    "language": language,
+                    "status": status,
+                    "html": _page_html(
+                        row.context,
+                        int(row.item_id),
+                        language,
+                        b64,
+                        img["fmt"] if img is not None else None,
+                        img["caption"] if img is not None else None,
+                        status,
+                    ),
+                    "embedded_image_ids": [img["image_id"]] if img is not None and status == "success" else [],
+                    "fetch_cost_ms": int(5 + (h >> 16) % 45),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def write_fixtures(out_dir: str, n_per_context: int = 60, n_images: int = 40, seed: int = 42) -> dict:
+    """Write the t1-scale fixture parquet files; returns row counts."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    images = gen_images_pdf(n_images, seed)
+    seeds = gen_seeds_pdf(n_per_context, seed)
+    pages = gen_pages_pdf(seeds, images, seed)
+    images.to_parquet(os.path.join(out_dir, "images.parquet"), index=False)
+    seeds.to_parquet(os.path.join(out_dir, "seeds.parquet"), index=False)
+    pages.to_parquet(os.path.join(out_dir, "pages.parquet"), index=False)
+    return {"images": len(images), "seeds": len(seeds), "pages": len(pages)}

@@ -1,0 +1,221 @@
+"""The crawl engine: checkpointed micro-batch loop (SURVEY §3.1 Spark
+lifecycle, §7.2 steps 5-6).
+
+Each micro-batch:
+
+  select batch (seed-list slice, arrival order)
+    -> canonicalize + validate (F2, built-ins)
+    -> URL-seen filter (bloom fast path + exact anti-join, A1)
+    -> robots + politeness schedule (A4; per-host token bucket whose
+       sequence numbers persist across batches in a host-state table)
+    -> visit-order assignment (the replay contract)
+    -> commit, step by step, each step idempotent: visit-log append
+       (per-batch directory), bloom update, host-state snapshot,
+       ledger row (K5 run ledger, database.py:214-229)
+
+Deterministic: no wall clock anywhere in the data path — `scheduled_ms`
+is logical time. A killed run resumes from the ledger and reproduces
+the remaining batches byte-identically (north rule), which
+tests/test_replay.py proves by diffing a killed+resumed run against an
+uninterrupted one.
+
+Structured Streaming is deliberately NOT used: ordering + politeness
+need cross-batch global state (per-host counters) and multi-table
+commits, which the explicit loop + snapshot store gives directly,
+mirroring the reference's run-ledger semantics (SURVEY §7.4 risk 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gepris_spark import schemas
+from gepris_spark.functions import canonical as C
+from gepris_spark.operators import politeness
+from gepris_spark.operators.urlseen import BloomUrlSeen
+from gepris_spark.store.table import SnapshotStore
+
+HOST_STATE = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("next_seq", T.LongType(), False),
+    ]
+)
+
+_GEPRIS_DETAIL_RE = r"^https?://[^/]*/gepris/([^/]+)/(\d+)$"
+
+
+@dataclass
+class EngineConfig:
+    batch_size: int = 10_000
+    n_salts: int = 8
+    bloom_buckets: int = 16
+    bloom_bits: int = 1 << 20
+    bloom_hashes: int = 5
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, root: str, config: EngineConfig | None = None):
+        self.spark = spark
+        self.root = root
+        self.config = config or EngineConfig()
+        self.store = SnapshotStore(root)
+        self.bloom = BloomUrlSeen(
+            root,
+            n_buckets=self.config.bloom_buckets,
+            m_bits=self.config.bloom_bits,
+            k=self.config.bloom_hashes,
+        )
+
+    # ------------------------------------------------------------ state
+    def _ledger_path(self) -> str:
+        return os.path.join(self.root, "ledger.jsonl")
+
+    def committed_batches(self) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        try:
+            with open(self._ledger_path()) as fh:
+                for line in fh:
+                    row = json.loads(line)
+                    out[row["batch_id"]] = row
+        except OSError:
+            pass
+        return out
+
+    def _commit_ledger(self, row: dict) -> None:
+        with open(self._ledger_path(), "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def host_state(self) -> DataFrame:
+        return self.store.read(self.spark, "host_state", HOST_STATE)
+
+    def visit_log(self) -> DataFrame:
+        return self.store.read_appends(self.spark, "visit_log", schemas.VISIT_LOG)
+
+    def url_seen(self) -> DataFrame:
+        """Exact URL-seen truth set (the bloom is only the fast path).
+        In a full deployment this is the frontier table itself."""
+        return self.visit_log().select("url")
+
+    # ------------------------------------------------------- one batch
+    def _candidates(self, batch: DataFrame) -> DataFrame:
+        """Canonicalize + validate + in-batch dedup (replay contract 1-2).
+
+        All built-ins — regexp canonicalization (F2), group-by-min for a
+        deterministic representative per canonical url.
+        """
+        parsed = (
+            batch.withColumn("_canon", C.canonical_url(F.col("url")))
+            .withColumn("_ctx", F.regexp_extract(F.col("_canon"), _GEPRIS_DETAIL_RE, 1))
+            .withColumn("_id", F.regexp_extract(F.col("_canon"), _GEPRIS_DETAIL_RE, 2))
+        )
+        valid = parsed.where((F.col("_ctx") != "") & (F.col("_id") != "")).select(
+            F.col("_canon").alias("url"),
+            F.col("_ctx").alias("context"),
+            F.col("_id").cast("long").alias("item_id"),
+            "priority_type",
+            "recency_ts",
+            C.url_host(F.col("_canon")).alias("host"),
+        )
+        dedup = valid.groupBy("url").agg(
+            F.min(F.struct("priority_type", "recency_ts", "context", "item_id", "host")).alias("_r")
+        )
+        return dedup.select(
+            "url",
+            F.col("_r.context").alias("context"),
+            F.col("_r.item_id").alias("item_id"),
+            F.col("_r.priority_type").alias("priority_type"),
+            F.col("_r.recency_ts").alias("recency_ts"),
+            F.col("_r.host").alias("host"),
+        )
+
+    def run_batch(self, batch_id: int, batch: DataFrame, robots: DataFrame) -> dict:
+        n_input = batch.count()
+        candidates = self._candidates(batch)
+        fresh = self.bloom.filter_new(candidates, self.url_seen())
+        allowed = politeness.apply_robots(fresh, robots)
+
+        # per-host token-bucket sequence carried across batches
+        state = self.host_state().withColumnRenamed("next_seq", "_base_seq")
+        scheduled = politeness.assign_schedule(
+            allowed.join(F.broadcast(state), "host", "left"), n_salts=self.config.n_salts
+        )
+        scheduled = scheduled.withColumn(
+            "host_seq", F.col("host_seq") + F.coalesce(F.col("_base_seq"), F.lit(0))
+        ).withColumn("scheduled_ms", F.col("host_seq") * F.col("delay_ms"))
+
+        prior = self.committed_batches()
+        first_seq = max((r["first_seq"] + r["n_visited"] for r in prior.values()), default=0)
+        ordered = politeness.visit_order(scheduled).persist()
+        n_visited = ordered.count()
+        n_candidates = candidates.count()
+
+        # ---- commit sequence (each step idempotent for resume) ----
+        visits = ordered.select(
+            (F.col("seq") + F.lit(first_seq)).cast("long").alias("seq"),
+            "url",
+            "host",
+            "context",
+            "item_id",
+            "scheduled_ms",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        self.store.append_batch(visits, "visit_log", batch_id)
+        self.bloom.add_urls(visits.select("url"))
+        batch_state = ordered.groupBy("host").agg((F.max("host_seq") + 1).alias("next_seq"))
+        merged_state = (
+            self.host_state()
+            .unionByName(batch_state)
+            .groupBy("host")
+            .agg(F.max("next_seq").alias("next_seq"))
+        )
+        self.store.commit_snapshot(merged_state, "host_state", num_files=1)
+        ordered.unpersist()
+        ledger_row = {
+            "batch_id": batch_id,
+            "n_candidates": int(n_candidates),
+            "n_visited": int(n_visited),
+            "n_dup_or_seen": int(n_candidates - n_visited),
+            "n_invalid": int(n_input - n_candidates),
+            "frontier_version": self.store.current_version("frontier"),
+            "first_seq": int(first_seq),
+        }
+        self._commit_ledger(ledger_row)
+        return ledger_row
+
+    # ------------------------------------------------------- full crawl
+    def run_seed_list(
+        self, seeds: DataFrame, robots: DataFrame | None = None, arrival_col: str = "arrival_seq"
+    ) -> list[dict]:
+        """Replay a seed list in arrival-order micro-batches, resuming
+        past already-committed batches.
+
+        `arrival_col` pins the seed-list order (the fixture generator
+        writes it); batching on an explicit column keeps the batch ->
+        row mapping deterministic under any partitioning.
+        """
+        robots = robots if robots is not None else politeness.empty_robots(self.spark)
+        if arrival_col not in seeds.columns:
+            raise ValueError(f"seed list needs an explicit arrival column {arrival_col!r}")
+        n = seeds.agg(F.max(arrival_col)).collect()[0][0]
+        n = int(n) + 1 if n is not None else 0
+        batch_size = self.config.batch_size
+        committed = self.committed_batches()
+        results = []
+        for batch_id, start in enumerate(range(0, n, batch_size)):
+            if batch_id in committed:
+                results.append(committed[batch_id])
+                continue
+            batch = seeds.where(
+                (F.col(arrival_col) >= start) & (F.col(arrival_col) < start + batch_size)
+            )
+            results.append(self.run_batch(batch_id, batch, robots))
+        return results
