@@ -65,7 +65,7 @@ class Frontier:
         )
 
         def updates(t, s):
-            changed = ~(F.col("t.last_available_item") <=> F.col("s.last_available_item"))
+            changed = ~F.col("t.last_available_item").eqNullSafe(F.col("s.last_available_item"))
             return {
                 "last_available_seen": run,
                 "last_available_change": F.when(

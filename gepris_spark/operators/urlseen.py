@@ -101,9 +101,14 @@ class BloomUrlSeen:
         """Adds boolean `maybe_seen`. Executors mmap only their bucket's
         bitset; candidates are repartitioned by bucket so each file is
         opened once per task."""
+        from pyspark.sql import types as T
+
         hashed = self.with_hashes(df, url_col).repartition(self.n_buckets, F.col(BUCKET))
         bloom_dir, k, m_bits = self.dir, self.k, self.m_bits
-        out_schema = hashed.schema.add("maybe_seen", "boolean")
+        # fresh StructType — .add() would mutate the DataFrame's cached schema
+        out_schema = T.StructType(
+            list(hashed.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+        )
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cache: dict[int, np.ndarray | None] = {}

@@ -126,7 +126,8 @@ class CrawlEngine:
             C.url_host(F.col("_canon")).alias("host"),
         )
         dedup = valid.groupBy("url").agg(
-            F.min(F.struct("priority_type", "recency_ts", "context", "item_id", "host")).alias("_r")
+            F.min(F.struct("priority_type", "recency_ts", "context", "item_id", "host")).alias("_r"),
+            F.count(F.lit(1)).alias("_arrivals"),
         )
         return dedup.select(
             "url",
@@ -135,12 +136,17 @@ class CrawlEngine:
             F.col("_r.priority_type").alias("priority_type"),
             F.col("_r.recency_ts").alias("recency_ts"),
             F.col("_r.host").alias("host"),
+            "_arrivals",
         )
 
     def run_batch(self, batch_id: int, batch: DataFrame, robots: DataFrame) -> dict:
         n_input = batch.count()
-        candidates = self._candidates(batch)
-        fresh = self.bloom.filter_new(candidates, self.url_seen())
+        candidates = self._candidates(batch).persist()
+        n_valid_arrivals = int(
+            candidates.agg(F.sum("_arrivals")).collect()[0][0] or 0
+        )
+        fresh = self.bloom.filter_new(candidates.drop("_arrivals"), self.url_seen()).persist()
+        n_fresh = fresh.count()
         allowed = politeness.apply_robots(fresh, robots)
 
         # per-host token-bucket sequence carried across batches
@@ -156,7 +162,6 @@ class CrawlEngine:
         first_seq = max((r["first_seq"] + r["n_visited"] for r in prior.values()), default=0)
         ordered = politeness.visit_order(scheduled).persist()
         n_visited = ordered.count()
-        n_candidates = candidates.count()
 
         # ---- commit sequence (each step idempotent for resume) ----
         visits = ordered.select(
@@ -179,12 +184,17 @@ class CrawlEngine:
         )
         self.store.commit_snapshot(merged_state, "host_state", num_files=1)
         ordered.unpersist()
+        candidates.unpersist()
+        fresh.unpersist()
+        # accounting matches the oracle: dup = arrival whose canonical
+        # url was already seen (in-batch or cross-batch); invalid =
+        # non-GEPRIS/robots-disallowed; visited = the rest
         ledger_row = {
             "batch_id": batch_id,
-            "n_candidates": int(n_candidates),
+            "n_candidates": int(n_valid_arrivals),
             "n_visited": int(n_visited),
-            "n_dup_or_seen": int(n_candidates - n_visited),
-            "n_invalid": int(n_input - n_candidates),
+            "n_dup_or_seen": int(n_valid_arrivals - n_fresh),
+            "n_invalid": int(n_input - n_valid_arrivals + (n_fresh - n_visited)),
             "frontier_version": self.store.current_version("frontier"),
             "first_seq": int(first_seq),
         }

@@ -1,0 +1,125 @@
+"""The headline contract (BASELINE.json metric): the Spark engine's
+visit ordering + final URL-seen set must exactly match the
+single-threaded replay oracle on the seed-list corpus, and a killed
+run must resume byte-identically."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gepris_spark.replay import replay
+from gepris_spark.sources import corpus
+from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
+
+
+@pytest.fixture(scope="module")
+def seeds_pdf():
+    return corpus.gen_seeds_pdf(40, seed=42)
+
+
+def _seed_rows(seeds_pdf):
+    return [
+        {
+            "url": r.url,
+            "priority_type": r.priority_type,
+            "recency_ts": r.recency_ts.to_pydatetime() if r.recency_ts is not None else None,
+        }
+        for r in seeds_pdf.itertuples(index=False)
+    ]
+
+
+def _engine_visits(engine):
+    return [
+        (r["seq"], r["url"], r["scheduled_ms"], r["batch_id"])
+        for r in engine.visit_log().orderBy("seq").collect()
+    ]
+
+
+def _assert_match(engine, oracle):
+    got = _engine_visits(engine)
+    want = [(v["seq"], v["url"], v["scheduled_ms"], v["batch_id"]) for v in oracle.visits]
+    assert len(got) == len(want), f"visit count {len(got)} != oracle {len(want)}"
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, f"first ordering mismatch: {mism[0]}"
+    got_seen = {r["url"] for r in engine.visit_log().select("url").distinct().collect()}
+    assert got_seen == oracle.url_seen
+
+
+def test_single_batch_exact_match(spark, tmp_path, seeds_pdf):
+    engine = CrawlEngine(spark, str(tmp_path / "e1"), EngineConfig(batch_size=10_000))
+    seeds = spark.createDataFrame(seeds_pdf)
+    engine.run_seed_list(seeds)
+    _assert_match(engine, replay(_seed_rows(seeds_pdf)))
+
+
+def test_micro_batches_exact_match(spark, tmp_path, seeds_pdf):
+    engine = CrawlEngine(spark, str(tmp_path / "e2"), EngineConfig(batch_size=25))
+    seeds = spark.createDataFrame(seeds_pdf)
+    ledger = engine.run_seed_list(seeds)
+    assert len(ledger) > 2
+    _assert_match(engine, replay(_seed_rows(seeds_pdf), batch_size=25))
+    # dup/invalid accounting matches the oracle too
+    oracle = replay(_seed_rows(seeds_pdf), batch_size=25)
+    assert sum(r["n_invalid"] for r in ledger) == oracle.invalid
+    assert sum(r["n_dup_or_seen"] for r in ledger) == oracle.dup_arrivals
+
+
+def test_robots_and_crawl_delay(spark, tmp_path, seeds_pdf):
+    from gepris_spark.operators.politeness import ROBOTS_SCHEMA
+
+    robots_rows = [("gepris.dfg.de", ["/gepris/person"], 500)]
+    robots = spark.createDataFrame(robots_rows, ROBOTS_SCHEMA)
+    engine = CrawlEngine(spark, str(tmp_path / "e3"), EngineConfig(batch_size=10_000))
+    engine.run_seed_list(spark.createDataFrame(seeds_pdf), robots=robots)
+    oracle = replay(
+        _seed_rows(seeds_pdf),
+        robots_delay_ms={"gepris.dfg.de": 500},
+        disallow_prefixes={"gepris.dfg.de": ["/gepris/person"]},
+    )
+    _assert_match(engine, oracle)
+    # disallowed urls never visited
+    assert (
+        engine.visit_log()
+        .where(F.col("url").contains("gepris.dfg.de/gepris/person"))
+        .count()
+        == 0
+    )
+
+
+def test_resume_byte_identical(spark, tmp_path, seeds_pdf):
+    seeds = spark.createDataFrame(seeds_pdf)
+    full = CrawlEngine(spark, str(tmp_path / "full"), EngineConfig(batch_size=25))
+    full.run_seed_list(seeds)
+
+    # killed run: stop after 2 batches, then resume with a fresh engine
+    killed = CrawlEngine(spark, str(tmp_path / "killed"), EngineConfig(batch_size=25))
+    n = int(seeds_pdf["arrival_seq"].max()) + 1
+    for batch_id, start in enumerate(range(0, n, 25)):
+        if batch_id >= 2:
+            break
+        batch = seeds.where((F.col("arrival_seq") >= start) & (F.col("arrival_seq") < start + 25))
+        from gepris_spark.operators.politeness import empty_robots
+
+        killed.run_batch(batch_id, batch, empty_robots(spark))
+    resumed = CrawlEngine(spark, str(tmp_path / "killed"), EngineConfig(batch_size=25))
+    resumed.run_seed_list(seeds)
+
+    assert _engine_visits(resumed) == _engine_visits(full)
+
+
+def test_bloom_urlseen_no_false_negatives(spark, tmp_path):
+    from gepris_spark.operators.urlseen import BloomUrlSeen
+
+    bloom = BloomUrlSeen(str(tmp_path / "b"), n_buckets=4, m_bits=1 << 14, k=5)
+    urls = spark.range(500).select(F.concat(F.lit("https://h/x"), F.col("id")).alias("url"))
+    bloom.add_urls(urls)
+    probed = bloom.with_maybe_seen(urls)
+    assert probed.where(~F.col("maybe_seen")).count() == 0  # no false negatives
+    other = spark.range(500, 1200).select(F.concat(F.lit("https://h/x"), F.col("id")).alias("url"))
+    fp = bloom.with_maybe_seen(other).where(F.col("maybe_seen")).count()
+    assert fp < 70  # false positives bounded (~k=5, m=16k bits, n=500)
+    new = bloom.filter_new(other, urls)
+    assert new.count() == 700  # exact path fixes all false positives
