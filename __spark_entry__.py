@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator surface over the driver's
+testdata tables:
+
+* SURVEY §2.9 relational operators (gepris_spark/plans/relational.py)
+* training-data pipeline operators (gepris_spark/plans/datapipe.py)
+* engine-native operators that have no SQL form (crawl replay,
+  multimodal image plumbing) — those omit `oracle_sql()` and get the
+  driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the pricing-summary
+    aggregation (SURVEY §2.8 G1 writ large)."""
+    from gepris_spark.plans.relational import q_pricing_summary
+
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
+    from gepris_spark.plans.multimodal_contract import MULTIMODAL_QUERIES
+    from gepris_spark.plans.relational import RELATIONAL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, (fn, _sql) in {**RELATIONAL_QUERIES, **DATAPIPE_QUERIES}.items():
+        out[name] = fn
+    out.update(MULTIMODAL_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
+    from gepris_spark.plans.relational import RELATIONAL_QUERIES
+
+    return {
+        name: sql
+        for name, (_fn, sql) in {**RELATIONAL_QUERIES, **DATAPIPE_QUERIES}.items()
+        if sql is not None
+    }

@@ -31,7 +31,7 @@ PUNCT_RE = r"[.,;:!?]"
 
 def tokens(text: Column) -> Column:
     """Tokenize: lowercase alnum runs (BPE-ish regex tokenizer baseline)."""
-    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE))
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
 def token_count(text: Column) -> Column:

@@ -1,0 +1,62 @@
+"""Engine-native driver-contract queries with no SQL form (the driver
+runs its weaker rows-only check on these; SURVEY §2 marks them as
+non-SQL-expressible: crawl replay state machine, binary image
+plumbing).
+
+Both are fully deterministic: inputs come from the seeded corpus
+generator, not from sf_dir (the testdata tables carry no binary/image
+columns)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode+verify the image payload table (input_hint schema):
+    per-row phash match, pixel allclose / PSNR>=40dB."""
+    from gepris_spark.operators.multimodal import decode_verify_stage
+    from gepris_spark.sources import corpus
+
+    images = spark.createDataFrame(corpus.gen_images_pdf(24, seed=42))
+
+    def ref(image_id: str):
+        return corpus.ref_pixels(int(image_id[3:]), seed=42)
+
+    return decode_verify_stage(images, ref).orderBy("image_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gepris_spark.operators.multimodal import rgb_feature_stage
+    from gepris_spark.sources import corpus
+
+    images = spark.createDataFrame(corpus.gen_images_pdf(24, seed=42))
+    return rgb_feature_stage(images).orderBy("image_id")
+
+
+def q_crawl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline engine path as a contract query: replay a seeded
+    deterministic seed list through the micro-batch engine (bloom
+    URL-seen, politeness schedule) and return the visit log. The pytest
+    suite proves this equals the independent single-threaded oracle."""
+    from gepris_spark.sources import corpus
+    from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
+
+    seeds = spark.createDataFrame(corpus.gen_seeds_pdf(30, seed=42))
+    engine = CrawlEngine(
+        spark, tempfile.mkdtemp(prefix="gepris_replay_"), EngineConfig(batch_size=40)
+    )
+    engine.run_seed_list(seeds)
+    return engine.visit_log().select(
+        "seq", "url", "host", "context", "item_id", "scheduled_ms", "batch_id"
+    ).orderBy("seq")
+
+
+MULTIMODAL_QUERIES = {
+    "multimodal_decode_verify": q_multimodal_decode,
+    "multimodal_rgb_features": q_multimodal_features,
+    "crawl_replay_visit_log": q_crawl_replay,
+}

@@ -164,7 +164,8 @@ def gen_seeds_pdf(
 
 
 def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
-               image_fmt: str | None, caption: str | None, status: str) -> str:
+               image_fmt: str | None, caption: str | None, status: str,
+               image_id: str | None = None) -> str:
     """Minimal GEPRIS-shaped page (grammar of spiders/base.py:42-118:
     h1.facelift name, div.content_inside with nameX/valueX span pairs,
     a ul/li tree, and — beyond the reference, per input_hint — an
@@ -195,8 +196,9 @@ def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
     )
     figure = ""
     if image_b64 is not None:
+        id_attr = f' id="{image_id}"' if image_id else ""
         figure = (
-            f'<figure><img src="data:image/{image_fmt};base64,{image_b64}"/>'
+            f'<figure><img{id_attr} src="data:image/{image_fmt};base64,{image_b64}"/>'
             f"<figcaption>{caption}</figcaption></figure>"
         )
     return (
@@ -242,6 +244,7 @@ def gen_pages_pdf(seeds_pdf: pd.DataFrame, images_pdf: pd.DataFrame, seed: int =
                         img["fmt"] if img is not None else None,
                         img["caption"] if img is not None else None,
                         status,
+                        image_id=img["image_id"] if img is not None else None,
                     ),
                     "embedded_image_ids": [img["image_id"]] if img is not None and status == "success" else [],
                     "fetch_cost_ms": int(5 + (h >> 16) % 45),
