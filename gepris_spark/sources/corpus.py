@@ -157,7 +157,10 @@ def gen_seeds_pdf(
                     noisy["item_id"] = None
                 rows.append(noisy)
     pdf = pd.DataFrame(rows)
-    pdf["recency_ts"] = pd.to_datetime(pdf["recency_ts"], utc=True).dt.tz_localize(None)
+    # microsecond precision: Spark's parquet reader rejects NANOS
+    pdf["recency_ts"] = (
+        pd.to_datetime(pdf["recency_ts"], utc=True).dt.tz_localize(None).astype("datetime64[us]")
+    )
     # explicit arrival order: the replay contract batches on this
     pdf["arrival_seq"] = range(len(pdf))
     return pdf
