@@ -17,8 +17,11 @@ GEPRIS_BASE_URL = "https://gepris.dfg.de/gepris"
 # Python str.isprintable() is False for Unicode categories C* (Cc, Cf,
 # Cs, Co, Cn) and the separators Zl, Zp, Zs — except U+0020 itself.
 # Java regex: \p{C} covers the C* categories; the separator classes are
-# explicit; the character-class intersection keeps plain space.
-_NON_PRINTABLE_RE = r"[\p{C}\p{Zl}\p{Zp}]|[\p{Zs}&&[^ ]]"
+# Python str.isprintable() is false for categories C* and Z* except
+# plain space (0x20) — the lookahead guard keeps the space. (A Java
+# char-class intersection [\p{Zs}&&[^ ]] mis-parses under Spark 4's
+# regexp engine and ate plain spaces in some positions.)
+_NON_PRINTABLE_RE = r"(?![ ])[\p{C}\p{Z}]"
 
 
 def clean_string(col: Column) -> Column:

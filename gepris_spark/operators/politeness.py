@@ -82,41 +82,91 @@ def assign_schedule(
     Output adds: host_seq (0-based per-host position), scheduled_ms,
     salt (executor-spreading shard for the fetch stage).
 
-    Scale note: the per-host window is a prefix-sum; with one dominant
-    host it sorts that host's rows in one shuffle partition. That is
-    exactly the skew the salting addresses *downstream* (fetch).
-    Upstream, batches are bounded (per-batch budget A3 caps rows), so
-    the window sort is bounded too; at unbounded batch sizes switch to
-    range-partitioned rank (repartitionByRange on the priority key
-    within host) — same semantics.
+    Scale note: a plain `row_number() OVER (PARTITION BY host)` puts a
+    hot host's entire batch in ONE shuffle partition (gepris.dfg.de is
+    70-100% of the corpus). Instead the batch is range-partitioned on
+    (host, priority key) — a parallel global sort in which a hot host
+    spans many partitions in priority order — then
+    host_seq = rank within (host, partition) + the host's cumulative
+    row count over earlier partitions (a tiny (host, pid) count table,
+    broadcast back). Identical semantics, no single-partition sort.
     """
     priority_cols = priority_cols or ["priority_type", "recency_ts", "url"]
     order = [
         F.col(c).asc_nulls_first() if c != "url" else F.col(c).asc() for c in priority_cols
     ]
-    win = Window.partitionBy("host").orderBy(*order)
+    spark = batch.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    ranged = (
+        batch.repartitionByRange(n, F.col("host").asc(), *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("host", "_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    cum = Window.partitionBy("host").orderBy("_pid")
+    offsets = counts.withColumn(
+        "_off", (F.sum("_cnt").over(cum) - F.col("_cnt")).cast("long")
+    ).select("host", "_pid", "_off")
+    win = Window.partitionBy("host", "_pid").orderBy(*order)
     scheduled = (
-        batch.withColumn("host_seq", F.row_number().over(win).cast("long") - 1)
+        ranged.join(F.broadcast(offsets), ["host", "_pid"])
+        .withColumn(
+            "host_seq",
+            F.row_number().over(win).cast("long") - 1 + F.col("_off"),
+        )
+        .drop("_pid", "_off")
         .withColumn("scheduled_ms", F.col("host_seq") * F.col("delay_ms"))
         .withColumn("salt", F.pmod(F.col("host_seq"), F.lit(n_salts)).cast("int"))
     )
     return scheduled
 
 
-def visit_order(scheduled: DataFrame) -> DataFrame:
+def visit_order(scheduled: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """The crawl's total visit order: logical send time, then priority,
     then canonical url — the replay contract both engine and oracle
-    compute (SURVEY §7.4 risk 1)."""
-    win_order = [
+    compute (SURVEY §7.4 risk 1).
+
+    Scale: a global `row_number() OVER (ORDER BY ...)` window moves the
+    whole batch to ONE partition — fatal at 10^10-URL scale. Instead:
+    range-partition on the sort key (parallel global sort), count rows
+    per partition (tiny driver-side array), and assign
+    seq = partition_offset + rank-within-partition with a window
+    partitioned by partition id. The sort key ends in the unique
+    canonical url, so the total order is strict and the resulting seq
+    is independent of where the range boundaries land.
+    """
+    keys = [
         F.col("scheduled_ms").asc(),
         F.col("priority_type").asc_nulls_last(),
         F.col("url").asc(),
     ]
-    from pyspark.sql import Window as W
-
-    return scheduled.withColumn(
-        "seq", F.row_number().over(W.orderBy(*win_order)).cast("long") - 1
+    spark = scheduled.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        scheduled.repartitionByRange(n, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        offset_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("_pid")]
+    else:
+        offset_expr = F.lit(0)
+    win = Window.partitionBy("_pid").orderBy(*keys)
+    return ranged.withColumn(
+        "seq",
+        (F.row_number().over(win).cast("long") - 1 + F.coalesce(offset_expr, F.lit(0)).cast("long")),
+    ).drop("_pid")
 
 
 def salted_fetch_partitions(scheduled: DataFrame, n_salts: int = 8) -> DataFrame:
