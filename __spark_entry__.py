@@ -31,24 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _oracle_checked() -> dict[str, tuple]:
+    from gepris_spark.plans.contract_extra import CONTRACT_EXTRA_QUERIES
     from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
-    from gepris_spark.plans.multimodal_contract import MULTIMODAL_QUERIES
     from gepris_spark.plans.relational import RELATIONAL_QUERIES
 
-    out: dict[str, Callable] = {}
-    for name, (fn, _sql) in {**RELATIONAL_QUERIES, **DATAPIPE_QUERIES}.items():
-        out[name] = fn
+    return {**RELATIONAL_QUERIES, **DATAPIPE_QUERIES, **CONTRACT_EXTRA_QUERIES}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from gepris_spark.plans.multimodal_contract import MULTIMODAL_QUERIES
+
+    out: dict[str, Callable] = {name: fn for name, (fn, _sql) in _oracle_checked().items()}
     out.update(MULTIMODAL_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
-    from gepris_spark.plans.relational import RELATIONAL_QUERIES
-
-    return {
-        name: sql
-        for name, (_fn, sql) in {**RELATIONAL_QUERIES, **DATAPIPE_QUERIES}.items()
-        if sql is not None
-    }
+    return {name: sql for name, (_fn, sql) in _oracle_checked().items() if sql is not None}

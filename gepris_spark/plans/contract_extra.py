@@ -1,0 +1,162 @@
+"""Additional oracle-checked contract queries: the normalization /
+canonicalization operator shapes (SURVEY §2.3 F2, §2.6 N1, §2.9 Q11)
+expressed over the driver's testdata tables so DuckDB can verify them.
+
+Each Spark plan is pure built-ins; each SQL string is the DuckDB
+equivalent with identical aliases (the driver hashes values after
+sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gepris_spark.plans.relational import load
+
+# ----------------------------------------------------------- N1 recode
+# event_type recode map (the N1 mechanism: literal broadcast lookup +
+# quarantine of unknown keys, normalisation.py:4-17)
+_RECODE = {
+    "click": "interaction",
+    "view": "interaction",
+    "purchase": "conversion",
+    "signup": "conversion",
+    "error": "fault",
+}
+
+
+def q_normalise_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    km = F.create_map(*[F.lit(x) for kv in _RECODE.items() for x in kv])
+    recoded = events.withColumn("_norm", km[F.col("event_type")])
+    return (
+        recoded.groupBy(
+            F.coalesce(F.col("_norm"), F.lit("__quarantine__")).alias("norm_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("norm_type")
+    )
+
+
+_CASES = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _RECODE.items())
+SQL_NORMALISE_RECODE = f"""
+SELECT coalesce(CASE event_type {_CASES} END, '__quarantine__') AS norm_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1 ORDER BY norm_type
+"""
+
+
+# ------------------------------------------------- F2 canonicalization
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 over synthesized noisy urls: orders rows become GEPRIS-ish
+    urls (some with query/fragment noise, some invalid /null paths);
+    canonicalize, validate, extract ids, count per context — the exact
+    URL-seen key computation (data_transformations.py:10-27)."""
+    orders = load(spark, sf_dir, "orders")
+    ctx = (
+        F.when(F.col("o_orderkey") % 3 == 0, "projekt")
+        .when(F.col("o_orderkey") % 3 == 1, "person")
+        .otherwise("institution")
+    )
+    raw = F.concat(
+        F.lit("https://gepris.dfg.de/gepris/"),
+        ctx,
+        F.lit("/"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("null")).otherwise(
+            F.col("o_orderkey").cast("string")
+        ),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("?language=en#top")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_extract(raw, r"^(https?://[^/]*/gepris/[^/?#]+/\d+)", 1)
+    parsed = orders.select(
+        F.when(canon != "", canon).alias("canon_url"),
+        F.regexp_extract(raw, r"^https?://[^/]*/gepris/([^/?#]+)/(\d+)", 1).alias("_ctx"),
+        F.regexp_extract(raw, r"^https?://[^/]*/gepris/([^/?#]+)/(\d+)", 2).alias("_id"),
+    )
+    return (
+        parsed.groupBy(
+            F.when(F.col("_ctx") != "", F.col("_ctx")).otherwise("__invalid__").alias("context")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("canon_url").alias("n_canonical"),
+            F.max(F.when(F.col("_id") != "", F.col("_id").cast("long"))).alias("max_id"),
+        )
+        .orderBy("context")
+    )
+
+
+SQL_URL_CANONICALIZE = """
+WITH raw AS (
+  SELECT 'https://gepris.dfg.de/gepris/'
+         || CASE o_orderkey % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person'
+                                ELSE 'institution' END
+         || '/'
+         || CASE WHEN o_orderkey % 11 = 0 THEN 'null'
+                 ELSE cast(o_orderkey AS VARCHAR) END
+         || CASE WHEN o_orderkey % 7 = 0 THEN '?language=en#top' ELSE '' END AS u
+  FROM orders),
+parsed AS (
+  SELECT nullif(regexp_extract(u, '^(https?://[^/]*/gepris/[^/?#]+/\\d+)', 1), '')
+           AS canon_url,
+         regexp_extract(u, '^https?://[^/]*/gepris/([^/?#]+)/(\\d+)', 1) AS ctx,
+         regexp_extract(u, '^https?://[^/]*/gepris/([^/?#]+)/(\\d+)', 2) AS id
+  FROM raw)
+SELECT CASE WHEN ctx <> '' THEN ctx ELSE '__invalid__' END AS context,
+       count(*) AS n_urls,
+       count(DISTINCT canon_url) AS n_canonical,
+       max(CASE WHEN id <> '' THEN cast(id AS BIGINT) END) AS max_id
+FROM parsed GROUP BY 1 ORDER BY context
+"""
+
+
+# --------------------------------------------------- Q11-style backprop
+def q_attribute_backprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 gender back-propagation shape (dfg-gepris.sql:369-378):
+    update an entity attribute from unanimous evidence in a referencing
+    table — customers inherit an order-priority class only when ALL
+    their orders agree; conflicting evidence leaves the attribute
+    unchanged. Broadcast-join update, never a full shuffle of the
+    entity table."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    evidence = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.when(F.count_distinct("o_orderpriority") == 1, F.min("o_orderpriority")).alias(
+            "_evidence"
+        )
+    )
+    return (
+        customer.join(evidence, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("_evidence"), F.lit("unknown")).alias("priority_class"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ATTRIBUTE_BACKPROP = """
+WITH evidence AS (
+  SELECT o_custkey AS c_custkey,
+         CASE WHEN count(DISTINCT o_orderpriority) = 1
+              THEN min(o_orderpriority) END AS ev
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey, coalesce(e.ev, 'unknown') AS priority_class
+FROM customer c LEFT JOIN evidence e USING (c_custkey)
+ORDER BY c_custkey
+"""
+
+
+CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
+    "normalise_recode": (q_normalise_recode, SQL_NORMALISE_RECODE),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "attribute_backprop": (q_attribute_backprop, SQL_ATTRIBUTE_BACKPROP),
+}
