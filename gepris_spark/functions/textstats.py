@@ -34,6 +34,17 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
+def _bind(value: Column, fn) -> Column:
+    """Evaluate `value` ONCE per row and pass it to `fn` as a bound
+    variable. Catalyst re-evaluates a Column expression at every
+    reference — inside a higher-order-function lambda that means once
+    PER ELEMENT (a regexp normalization referenced in a transform
+    lambda cost 5x the whole query). Routing the value through a
+    1-element array transform makes it a lambda variable, which is
+    evaluated once and shared by every reference in fn's body."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
@@ -54,21 +65,26 @@ def _stopword_hits(toks: Column, lang: str) -> Column:
 def langid(text: Column) -> Column:
     """Language-ID heuristic: argmax of stopword hits per language,
     ties broken by LANG_ORDER precedence; no hits at all -> 'unknown'.
+    Tokenization is bound once per row; the CASE chain's many hit
+    references then scan the bound array instead of re-tokenizing.
     """
-    toks = tokens(text)
-    hits = {lang: _stopword_hits(toks, lang) for lang in LANG_ORDER}
-    expr = F.lit("unknown")
-    # Build the CASE chain back-to-front so earlier langs win ties.
-    for lang in reversed(LANG_ORDER):
-        cond = hits[lang] > 0
-        for other in LANG_ORDER:
-            if other == lang:
-                break
-            cond = cond & (hits[lang] > hits[other])
-        for other in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]:
-            cond = cond & (hits[lang] >= hits[other])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+
+    def body(toks: Column) -> Column:
+        hits = {lang: _stopword_hits(toks, lang) for lang in LANG_ORDER}
+        expr = F.lit("unknown")
+        # Build the CASE chain back-to-front so earlier langs win ties.
+        for lang in reversed(LANG_ORDER):
+            cond = hits[lang] > 0
+            for other in LANG_ORDER:
+                if other == lang:
+                    break
+                cond = cond & (hits[lang] > hits[other])
+            for other in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]:
+                cond = cond & (hits[lang] >= hits[other])
+            expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        return expr
+
+    return _bind(tokens(text), body)
 
 
 def punct_count(text: Column) -> Column:
@@ -84,21 +100,24 @@ def quality_score(text: Column) -> Column:
 
     stopword_ratio = hits over the union stoplist / token_count.
     """
-    toks = tokens(text)
-    n = F.size(toks).cast("double")
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
-    hits = F.size(F.filter(toks, lambda t: t.isin(all_stop))).cast("double")
-    stop_ratio = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
     punct_ratio = F.when(
         F.length(text) > 0, punct_count(text).cast("double") / F.length(text).cast("double")
     ).otherwise(F.lit(0.0))
     clamp = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))  # noqa: E731
-    return F.round(
-        F.lit(0.4) * clamp(n / F.lit(100.0))
-        + F.lit(0.4) * clamp(stop_ratio * 5)
-        + F.lit(0.2) * (F.lit(1.0) - clamp(punct_ratio * 20)),
-        6,
-    )
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        hits = F.size(F.filter(toks, lambda t: t.isin(all_stop))).cast("double")
+        stop_ratio = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+        return F.round(
+            F.lit(0.4) * clamp(n / F.lit(100.0))
+            + F.lit(0.4) * clamp(stop_ratio * 5)
+            + F.lit(0.2) * (F.lit(1.0) - clamp(punct_ratio * 20)),
+            6,
+        )
+
+    return _bind(tokens(text), body)
 
 
 def fingerprint(text: Column) -> Column:
@@ -119,22 +138,30 @@ def fingerprint(text: Column) -> Column:
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) of the normalized text.
 
-    Normalization: lowercase, collapse whitespace to single spaces.
-    Built-ins only: slice the string at every offset via transform over
-    a 0..len-n index sequence.
+    Normalization: lowercase, collapse whitespace to single spaces —
+    bound once per row (see _bind), then sliced at every offset via
+    transform over a 1..len-n+1 index sequence.
     """
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-    idx = F.sequence(F.lit(1), F.length(norm) - (n - 1))
-    grams = F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
-    # sequence(1, k) is descending when k < 1 — guard short strings.
-    return F.when(F.length(norm) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    def shingle(s: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+        grams = F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+        # sequence(1, k) is descending when k < 1 — guard short strings.
+        return F.when(F.length(s) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return _bind(norm, shingle)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles joined by single spaces."""
-    toks = tokens(text)
-    count = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), count - 1)
-    return F.when(count > 0, F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    )).otherwise(F.array().cast("array<string>"))
+    """Distinct k-word shingles joined by single spaces (tokenization
+    bound once per row, not once per shingle)."""
+
+    def shingle(toks: Column) -> Column:
+        count = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+        idx = F.sequence(F.lit(0), count - 1)
+        return F.when(count > 0, F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+        )).otherwise(F.array().cast("array<string>"))
+
+    return _bind(tokens(text), shingle)

@@ -194,33 +194,58 @@ _JACCARD_THRESHOLD = 0.5
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-3-gram Jaccard near-dup pairs via inverted-index self-join,
-    blocked by `source` (the classic ppjoin-lite plan): explode
-    distinct shingles, equi-join on (source, shingle), count
-    intersections, compute |A|+|B|-|∩| for the union."""
+    """Char-3-gram Jaccard near-dup pairs: blocked exact verification.
+
+    Scale design: this operator is the *exact verifier* that pairs with
+    a linear candidate generator (the LSH plan in q_dedup_minhash) —
+    blocks (here `source`; at 100 TB an LSH bucket id) are bounded, so
+    within-block pairwise scoring is O(sum b_k^2) with small b_k,
+    parallel across blocks. Scoring runs as one Arrow-batched
+    applyInPandas doing set intersections per block — no inverted-index
+    self-join, whose intermediate (sum over hot (source,gram) buckets
+    of n^2) explodes to ~10^8 rows at sf0.1 on gram-dense corpora.
+    Skew guard at scale: cap block size upstream (LSH band width) or
+    sub-block + merge. Jaccard arithmetic + threshold stay in Spark
+    built-ins so rounding matches the oracle bit-for-bit."""
+    import pandas as pd
+
     docs = load(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", "source", TS.char_ngrams(F.col("text"), 3).alias("g")
     ).where(F.size("g") > 0)
-    sizes = grams.select("doc_id", F.size("g").alias("n"))
-    inv = grams.select("doc_id", "source", F.explode("g").alias("gram"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy()
+        vocab: dict[str, int] = {}
+        for g in pdf["g"]:
+            for s in g:
+                vocab.setdefault(s, len(vocab))
+        m = np.zeros((len(ids), len(vocab)), dtype=np.float32)
+        for i, g in enumerate(pdf["g"]):
+            m[i, [vocab[s] for s in g]] = 1.0
+        inter = m @ m.T  # n_inter for every pair, one BLAS call
+        sizes = m.sum(axis=1).astype(np.int64)
+        ai, bj = np.triu_indices(len(ids), k=1)
+        keep = inter[ai, bj] > 0
+        ai, bj = ai[keep], bj[keep]
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ai],
+                "doc_b": ids[bj],
+                "n_inter": inter[ai, bj].astype(np.int64),
+                "n_a": sizes[ai],
+                "n_b": sizes[bj],
+            }
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+
+    scored = grams.groupBy("source").applyInPandas(
+        block_pairs, "doc_a long, doc_b long, n_inter long, n_a long, n_b long"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
@@ -269,23 +294,39 @@ def _norm2(a: Column) -> Column:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine >= threshold, blocked by label
-    (cluster id) so the pairwise work is per-block, not global. At
-    scale the label comes from coarse quantization (IVF) — same plan."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    """Embedding near-dup: pairs with cosine >= threshold, blocked by
+    label (cluster id; at 100 TB the label comes from coarse
+    quantization / IVF — same plan). Within a block the full cosine
+    matrix is ONE numpy matmul inside applyInPandas — vectorized Arrow
+    path, ~100x the per-pair zip_with/aggregate expression, and the
+    only shuffle is the groupBy(label). Block sizes are bounded by the
+    quantizer, so per-task memory is O(block^2) with small blocks.
+    Rounding + thresholding happen Spark-side to match the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        ai, bj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bj], "_cos": cos[ai, bj]}
+        )
+
+    scored = emb.groupBy("label").applyInPandas(
+        block_cosine, "vec_a long, vec_b long, _cos double"
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(
-            _dot(F.col("a.v"), F.col("b.v")) / (_norm2(F.col("a.v")) * _norm2(F.col("b.v"))), 4
-        ).alias("cosine"),
+    return (
+        scored.withColumn("cosine", F.round(F.col("_cos"), 4))
+        .where(F.col("cosine") >= _COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
     )
-    return pairs.where(F.col("cosine") >= _COSINE_THRESHOLD).orderBy("vec_a", "vec_b")
 
 
 SQL_DEDUP_EMBEDDING_COSINE = f"""
