@@ -1,0 +1,133 @@
+"""spark-submit entrypoints (north rule: "launched via spark-submit
+--py-files on multi-executor clusters").
+
+Usage on a cluster (the module is self-contained under gepris_spark/):
+
+  zip -r gepris_spark.zip gepris_spark
+  spark-submit --py-files gepris_spark.zip -m gepris_spark.cli crawl \
+      --seeds s3://bucket/seeds.parquet --state s3://bucket/state \
+      --batch-size 50000
+
+Subcommands:
+  crawl   — run the micro-batch frontier loop over a seed parquet
+            (resumes from the state dir's ledger automatically)
+  replay  — crawl + assert exact-match against the pure-Python oracle
+            (small corpora only; the oracle is single-threaded)
+  bench   — frontier throughput on a generated corpus (bench.py is the
+            repo-root variant the driver runs; this one works from a
+            --py-files deployment)
+
+Local smoke:  python -m gepris_spark.cli crawl --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from gepris_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"gepris-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_crawl(args) -> int:
+    from gepris_spark.operators import politeness
+    from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
+
+    spark = _spark(args)
+    seeds = spark.read.parquet(args.seeds)
+    robots = (
+        spark.read.parquet(args.robots) if args.robots else politeness.empty_robots(spark)
+    )
+    engine = CrawlEngine(
+        spark, args.state, EngineConfig(batch_size=args.batch_size, n_salts=args.n_salts)
+    )
+    ledger = engine.run_seed_list(seeds, robots)
+    print(json.dumps({"batches": len(ledger), "visited": sum(r["n_visited"] for r in ledger)}))
+    spark.stop()
+    return 0
+
+
+def cmd_replay(args) -> int:
+    """Crawl then diff against the oracle — the BASELINE.json
+    exact-match gate, runnable anywhere."""
+    from gepris_spark import replay as oracle
+    from gepris_spark.operators import politeness
+    from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
+
+    spark = _spark(args)
+    seeds = spark.read.parquet(args.seeds)
+    engine = CrawlEngine(spark, args.state, EngineConfig(batch_size=args.batch_size))
+    engine.run_seed_list(seeds, politeness.empty_robots(spark))
+    got = [
+        (r["seq"], r["url"])
+        for r in engine.visit_log().orderBy("seq").select("seq", "url").collect()
+    ]
+    seed_rows = [r.asDict() for r in seeds.orderBy("arrival_seq").collect()]
+    expected = oracle.replay(seed_rows, batch_size=args.batch_size)
+    want = [(v["seq"], v["url"]) for v in expected.visits]
+    match = got == want
+    print(json.dumps({"n_visits": len(got), "exact_match": match}))
+    spark.stop()
+    return 0 if match else 1
+
+
+def cmd_bench(args) -> int:
+    from gepris_spark.sources.corpus import gen_seeds_df
+    from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
+
+    spark = _spark(args)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cli_bench_")
+    gen_seeds_df(spark, args.n_per_context).write.mode("overwrite").parquet(tmp + "/seeds")
+    seeds = spark.read.parquet(tmp + "/seeds")
+    engine = CrawlEngine(spark, tmp + "/state", EngineConfig(batch_size=args.batch_size))
+    t0 = time.perf_counter()
+    ledger = engine.run_seed_list(seeds)
+    wall = time.perf_counter() - t0
+    visited = sum(r["n_visited"] for r in ledger)
+    print(json.dumps({"urls": visited, "sec": round(wall, 2), "urls_per_sec": round(visited / wall, 1)}))
+    spark.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gepris-spark")
+    ap.add_argument("--master", default=None, help="override spark master (default env/local)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    crawl = sub.add_parser("crawl", help="run the frontier micro-batch loop")
+    crawl.add_argument("--seeds", required=True, help="seed parquet path")
+    crawl.add_argument("--state", required=True, help="engine state directory")
+    crawl.add_argument("--robots", default=None, help="robots rules parquet")
+    crawl.add_argument("--batch-size", type=int, default=50_000)
+    crawl.add_argument("--n-salts", type=int, default=8)
+    crawl.set_defaults(fn=cmd_crawl)
+
+    rp = sub.add_parser("replay", help="crawl + oracle exact-match check")
+    rp.add_argument("--seeds", required=True)
+    rp.add_argument("--state", required=True)
+    rp.add_argument("--batch-size", type=int, default=50_000)
+    rp.set_defaults(fn=cmd_replay)
+
+    bench = sub.add_parser("bench", help="frontier throughput on a generated corpus")
+    bench.add_argument("--n-per-context", type=int, default=100_000)
+    bench.add_argument("--batch-size", type=int, default=2_000_000)
+    bench.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -271,9 +271,15 @@ def fetch_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
     """S7/S8 — the corpus-backed fetch: left join on (url, language).
 
     Missing pages surface as status='error' rows (connection failure
-    analogue). The pages side is the big table at bench scale — the
-    join shuffles on url, which both sides can pre-bucket by in a
-    persistent deployment.
+    analogue).
+
+    Physical plan: the batch of scheduled urls is small (bounded by the
+    per-batch budget) while the page store is the big side — so the
+    SCHEDULED side is broadcast and pages STREAM through a
+    broadcast-hash join with zero shuffle of the multi-KB html rows.
+    The left-outer semantics (keep scheduled rows with no page) come
+    from a second, column-pruned anti-join pass: it rescans only the
+    (url, language) columns of the parquet, never the html.
     """
     pages_sel = pages.select(
         F.col("url").alias("_p_url"),
@@ -285,15 +291,39 @@ def fetch_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
     cond = (scheduled["url"] == F.col("_p_url")) & (
         scheduled["language"] == F.col("_p_language")
     )
-    return scheduled.join(pages_sel, cond, "left").drop("_p_url", "_p_language")
+    found = pages_sel.join(F.broadcast(scheduled), cond, "inner").drop(
+        "_p_url", "_p_language"
+    )
+    page_keys = pages.select(
+        F.col("url").alias("_p_url"), F.col("language").alias("_p_language")
+    )
+    missing = scheduled.join(
+        page_keys,
+        (scheduled["url"] == F.col("_p_url"))
+        & (scheduled["language"] == F.col("_p_language")),
+        "left_anti",
+    ).select(
+        "*",
+        F.lit(None).cast("string").alias("fetch_status"),
+        F.lit(None).cast("string").alias("html"),
+        F.lit(None).cast("int").alias("fetch_cost_ms"),
+    )
+    return found.unionByName(missing.select(*found.columns))
 
 
 def parse_stage(
     fetched: DataFrame,
     ref_pixels_fn: Callable[[str], np.ndarray] | None = None,
     expected_caption_fn: Callable[[str], str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """One mapInPandas over the fetched batch -> PARSED rows."""
+    """One mapInPandas over the fetched batch -> PARSED rows.
+
+    `num_partitions` forces a balancing repartition first — use it when
+    the input comes out of an AQE-coalesced shuffle with few fat
+    partitions; when the input is a parquet scan (the broadcast-join
+    fetch path), the 32 MB split size already yields balanced small
+    partitions and a shuffle of the html would only burn I/O."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -316,4 +346,7 @@ def parse_stage(
     for opt in ("context", "item_id"):
         if opt in fetched.columns:
             cols.append(opt)
-    return fetched.select(*cols).mapInPandas(run, schemas.PARSED)
+    out = fetched.select(*cols)
+    if num_partitions:
+        out = out.repartition(num_partitions)
+    return out.mapInPandas(run, schemas.PARSED)

@@ -121,7 +121,9 @@ def assign_schedule(
     return scheduled
 
 
-def visit_order(scheduled: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def visit_order_with_count(
+    scheduled: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
     """The crawl's total visit order: logical send time, then priority,
     then canonical url — the replay contract both engine and oracle
     compute (SURVEY §7.4 risk 1).
@@ -163,10 +165,17 @@ def visit_order(scheduled: DataFrame, num_partitions: int | None = None) -> Data
     else:
         offset_expr = F.lit(0)
     win = Window.partitionBy("_pid").orderBy(*keys)
-    return ranged.withColumn(
+    out = ranged.withColumn(
         "seq",
         (F.row_number().over(win).cast("long") - 1 + F.coalesce(offset_expr, F.lit(0)).cast("long")),
     ).drop("_pid")
+    # total row count falls out of the offsets pass — callers need it
+    # for the ledger and should not pay a second count job
+    return out, acc
+
+
+def visit_order(scheduled: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    return visit_order_with_count(scheduled, num_partitions)[0]
 
 
 def salted_fetch_partitions(scheduled: DataFrame, n_salts: int = 8) -> DataFrame:

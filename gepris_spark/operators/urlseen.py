@@ -66,35 +66,56 @@ class BloomUrlSeen:
         return os.path.join(self.dir, f"bucket{bucket:05d}.npy")
 
     # ----------------------------------------------------------- update
-    def add_urls(self, df: DataFrame, url_col: str = "url") -> int:
-        """OR the batch's bits into the bucket bitsets. Driver-side merge
-        of a bounded micro-batch; returns number of urls added."""
+    def add_urls(self, df: DataFrame, url_col: str = "url", assume_distinct: bool = False) -> int:
+        """OR the batch's bits into the bucket bitsets.
+
+        Scale path: bit-packing happens ON EXECUTORS — each bucket's
+        hashes fold into a packed bitset inside applyInPandas, and the
+        driver receives only n_buckets rows of (bucket, m_bits/8 bytes)
+        to OR into the stored bitsets. The driver never sees per-url
+        rows (a collect of a 10^7-url batch would be the bottleneck).
+        `assume_distinct` skips the dedup shuffle when the caller
+        already guarantees unique urls (the visit log does)."""
+        urls = df.select(url_col) if assume_distinct else df.select(url_col).distinct()
+        hashed = self.with_hashes(urls, url_col).select(H1, H2, BUCKET)
+        k, m_bits = self.k, self.m_bits
+        words = int(m_bits // 64)
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"bucket": [], "n": [], "bits": []})
+            h1 = pdf[H1].to_numpy(dtype=np.int64).astype(np.uint64)
+            h2 = pdf[H2].to_numpy(dtype=np.int64).astype(np.uint64)
+            pos = _positions(h1, h2, k, m_bits).ravel()
+            bits = np.zeros(words, dtype=np.uint64)
+            np.bitwise_or.at(bits, (pos // 64).astype(np.int64), np.uint64(1) << (pos % 64))
+            return pd.DataFrame(
+                {"bucket": [int(pdf[BUCKET].iloc[0])], "n": [len(pdf)], "bits": [bits.tobytes()]}
+            )
+
+        # sub-split each bucket so packing parallelism is not capped at
+        # n_buckets; the driver ORs the (bucket, split) partial bitsets
+        par = hashed.sparkSession.sparkContext.defaultParallelism
+        splits = max(1, (2 * par) // max(self.n_buckets, 1))
         rows = (
-            self.with_hashes(df.select(url_col).distinct(), url_col)
-            .select(H1, H2, BUCKET)
+            hashed.groupBy(F.col(BUCKET), F.pmod(F.col(H1), F.lit(splits)).alias("_split"))
+            .applyInPandas(pack, "bucket int, n long, bits binary")
             .collect()
         )
-        if not rows:
-            return 0
-        h1 = np.array([r[H1] for r in rows], dtype=np.int64).astype(np.uint64)
-        h2 = np.array([r[H2] for r in rows], dtype=np.int64).astype(np.uint64)
-        buckets = np.array([r[BUCKET] for r in rows], dtype=np.int64)
-        pos = _positions(h1, h2, self.k, self.m_bits)
-        for b in np.unique(buckets):
-            mask = buckets == b
-            path = self._bucket_path(int(b))
-            words = int(self.m_bits // 64)
+        total = 0
+        for r in rows:
+            total += r["n"]
+            path = self._bucket_path(int(r["bucket"]))
             bits = (
                 np.load(path).astype(np.uint64)
                 if os.path.exists(path)
                 else np.zeros(words, dtype=np.uint64)
             )
-            p = pos[mask].ravel()
-            np.bitwise_or.at(bits, (p // 64).astype(np.int64), np.uint64(1) << (p % 64))
+            bits |= np.frombuffer(r["bits"], dtype=np.uint64)
             tmp = path + ".tmp.npy"
             np.save(tmp, bits)
             os.replace(tmp, path)
-        return len(rows)
+        return total
 
     # ------------------------------------------------------- membership
     def with_maybe_seen(self, df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -103,7 +124,11 @@ class BloomUrlSeen:
         opened once per task."""
         from pyspark.sql import types as T
 
-        hashed = self.with_hashes(df, url_col).repartition(self.n_buckets, F.col(BUCKET))
+        # partition primarily by bucket (one mmap per file per task) but
+        # never below the cluster parallelism — a task may touch a couple
+        # of buckets (LRU-cached mmaps), which beats idling cores
+        par = max(df.sparkSession.sparkContext.defaultParallelism, self.n_buckets)
+        hashed = self.with_hashes(df, url_col).repartition(par, F.col(BUCKET), F.col(H1))
         bloom_dir, k, m_bits = self.dir, self.k, self.m_bits
         # fresh StructType — .add() would mutate the DataFrame's cached schema
         out_schema = T.StructType(

@@ -39,8 +39,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # html-heavy tables: smaller scan splits keep every core busy on
+        # the Python parse stage without an extra balancing shuffle
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # page rows carry 5-60 KB HTML: 10k-record Arrow batches balloon
+        # to ~200 MB per worker and stall the Python stages; 1k keeps
+        # per-batch memory ~20 MB with negligible batching overhead
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -166,6 +166,184 @@ def gen_seeds_pdf(
     return pdf
 
 
+def gen_seeds_df(spark, n_per_context: int, seed: int = 42, n_extra_hosts: int = 3,
+                 dup_rate: float = 0.03, invalid_rate: float = 0.02):
+    """Distributed seed-list generator for benchmarks: same shape as
+    gen_seeds_pdf (host mix, priority/recency, ~3% dup arrivals, ~2%
+    non-canonical urls) but built from spark.range + expressions, so a
+    10^7-row corpus materializes in seconds across executors instead of
+    a driver-side Python loop. Deterministic via xxhash64(seed, ctx, id).
+
+    Used for throughput/scaling measurement only — correctness replay
+    tests use the pandas generator, which the oracle mirrors row-for-row.
+    """
+    from pyspark.sql import functions as F
+
+    dfs = []
+    for ctx_idx, context in enumerate(CONTEXTS):
+        base = spark.range(1, n_per_context + 1).select(
+            F.lit(context).alias("context"), (F.col("id")).alias("item_id")
+        )
+        h = F.abs(F.xxhash64(F.lit(seed), F.col("context"), F.col("item_id")))
+        host = (
+            F.when(h % 10 < 7, F.lit(GEPRIS_HOST)).otherwise(
+                F.concat(F.lit("mirror"), (h % n_extra_hosts).cast("string"), F.lit(".example.org"))
+            )
+        )
+        url = F.concat(
+            F.lit("https://"), host, F.lit("/gepris/"), F.col("context"), F.lit("/"),
+            F.col("item_id").cast("string"),
+        )
+        recency = F.lit(BASE_EPOCH.replace(tzinfo=None)) - F.make_interval(
+            mins=(h % 100_000).cast("int")
+        )
+        frac = (F.shiftright(h, 8) % 10_000) / 10_000
+        rows = base.select(
+            url.alias("url"),
+            "context",
+            F.col("item_id").cast("long").alias("item_id"),
+            F.lit("de").alias("language"),
+            F.lit(CONTEXT_PRIORITY[context]).cast("int").alias("priority_type"),
+            recency.alias("recency_ts"),
+            host.alias("host"),
+            # dense deterministic arrival order: contexts interleaved
+            ((F.col("item_id") - 1) * len(CONTEXTS) + F.lit(ctx_idx))
+            .cast("long")
+            .alias("arrival_seq"),
+            frac.alias("_frac"),
+            h.alias("_h"),
+        )
+        dup = rows.where(F.col("_frac") < dup_rate)
+        noisy = rows.where((F.col("_frac") >= dup_rate) & (F.col("_frac") < dup_rate + invalid_rate))
+        noisy = noisy.withColumn(
+            "url",
+            F.when(F.col("_h") % 2 == 0, F.concat(F.col("url"), F.lit("?language=en#top"))).otherwise(
+                F.concat(
+                    F.lit("https://"), F.col("host"), F.lit("/gepris/"), F.col("context"),
+                    F.lit("/null"),
+                )
+            ),
+        ).withColumn("item_id", F.when(F.col("_h") % 2 == 0, F.col("item_id")))
+        dfs.append(rows.unionByName(dup).unionByName(noisy))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    # dup/noisy arrivals share their original's arrival_seq (same
+    # micro-batch — the dup-warn path); generation stays shuffle-free
+    return out.drop("_frac", "_h")
+
+
+def gen_pages_df(spark, seeds, n_images: int = 24, seed: int = 42, languages=("de",)):
+    """Distributed page generator for benchmark-scale corpora: one
+    GEPRIS-shaped HTML page per (distinct canonical seed url, language),
+    built with Spark string expressions + a broadcast join onto the
+    (tiny) image table for the embedded data-URI figure. Same status
+    mix as gen_pages_pdf (94/2/2/2); pages carry the same structural
+    elements the parser exercises (h1.facelift, nameX/valueX spans,
+    ul/li tree, figure+figcaption). Fidelity is benchmark-grade — the
+    byte-exact fixture pages for correctness tests come from the
+    pandas generator."""
+    from pyspark.sql import functions as F
+
+    images = gen_images_pdf(n_images, seed)
+    img_rows = [
+        (i, base64.b64encode(r["bytes"]).decode(), r["fmt"], r["caption"], r["image_id"])
+        for i, r in images.iterrows()
+    ]
+    img_df = spark.createDataFrame(
+        img_rows, "img_idx long, b64 string, fmt string, caption string, image_id string"
+    )
+    uniq = (
+        seeds.dropna(subset=["item_id"])
+        .where(~F.col("url").contains("?"))
+        .dropDuplicates(["url"])
+        .select("url", "context", "item_id")
+    )
+    out = []
+    for language in languages:
+        h = F.abs(F.xxhash64(F.lit(seed), F.lit("page"), F.col("url"), F.lit(language)))
+        p = h % 100
+        status = (
+            F.when(p < 94, "success")
+            .when(p < 96, "moved")
+            .when(p < 98, "bad_structure")
+            .otherwise("wrong_language")
+        )
+        page_lang = F.when(
+            status == "wrong_language", F.lit("en" if language == "de" else "de")
+        ).otherwise(F.lit(language))
+        joined = uniq.withColumn("img_idx", F.col("item_id") % n_images).join(
+            F.broadcast(img_df), "img_idx"
+        )
+        spans = F.format_string(
+            '<span class="name1">Antragsteller</span>'
+            '<span class="value1">Wert %s-1 für Antragsteller</span>'
+            '<span class="name2">Fachliche Zuordnung</span>'
+            '<span class="value2">Wert %s-2 für Fachliche Zuordnung</span>'
+            '<span class="name3">Förderung</span>'
+            '<span class="value3">Förderung von %s bis %s</span>'
+            '<span class="name4">Internetseite</span>'
+            '<span class="value4">https://example.org/p/%s</span>',
+            F.col("item_id").cast("string"),
+            F.col("item_id").cast("string"),
+            (F.lit(2000) + h % 20).cast("string"),
+            (F.lit(2001) + h % 21).cast("string"),
+            F.col("item_id").cast("string"),
+        )
+        tree = F.format_string(
+            '<div id="projektbaum" class="content_frame"><ul>'
+            '<li><a href="/gepris/projekt/%s">Teilprojekt A</a></li>'
+            '<li>Gruppe<ul><li><a href="/gepris/projekt/%s">Teilprojekt B</a></li></ul></li>'
+            "</ul></div>",
+            (F.col("item_id") * 10 + 1).cast("string"),
+            (F.col("item_id") * 10 + 2).cast("string"),
+        )
+        figure = F.format_string(
+            '<figure><img id="%s" src="data:image/%s;base64,%s"/>'
+            "<figcaption>%s</figcaption></figure>",
+            F.col("image_id"), F.col("fmt"), F.col("b64"), F.col("caption"),
+        )
+        success_html = F.concat(
+            F.format_string(
+                '<html lang="%s"><head><title>GEPRIS</title></head><body>'
+                '<abbr title="Deutsche Forschungsgemeinschaft">DFG</abbr>'
+                '<h2 class="h2-context-title">%s</h2>'
+                '<h1 class="facelift">Eintrag %s  (%s)</h1>'
+                '<div class="content_inside">',
+                page_lang, F.col("context"), F.col("item_id").cast("string"), F.col("context"),
+            ),
+            spans, tree, figure, F.lit("</div></body></html>"),
+        )
+        moved_title = "Page not found" if language == "en" else "Seite nicht gefunden"
+        html = (
+            F.when(status == "bad_structure", F.lit("<html><body><p>unexpected layout</p></body></html>"))
+            .when(
+                status == "moved",
+                F.lit(
+                    f"<html><head><title>{moved_title}</title></head>"
+                    f"<body><h2>{moved_title}</h2></body></html>"
+                ),
+            )
+            .otherwise(success_html)
+        )
+        out.append(
+            joined.select(
+                "url",
+                F.lit(language).alias("language"),
+                status.alias("status"),
+                html.alias("html"),
+                F.when(status == "success", F.array(F.col("image_id")))
+                .otherwise(F.array().cast("array<string>"))
+                .alias("embedded_image_ids"),
+                (F.lit(5) + F.shiftright(h, 16) % 45).cast("int").alias("fetch_cost_ms"),
+            )
+        )
+    res = out[0]
+    for d in out[1:]:
+        res = res.unionByName(d)
+    return res
+
+
 def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
                image_fmt: str | None, caption: str | None, status: str,
                image_id: str | None = None) -> str:

@@ -56,8 +56,16 @@ class EngineConfig:
     batch_size: int = 10_000
     n_salts: int = 8
     bloom_buckets: int = 16
-    bloom_bits: int = 1 << 20
+    # 2 MiB of bits per bucket -> ~0.1% fp at 1M urls/bucket with k=5
+    # (grow bits/buckets with the frontier: a saturated bloom silently
+    # degrades to "everything pays the exact anti-join" — bits are
+    # cheap, shuffles are not)
+    bloom_bits: int = 1 << 24
     bloom_hashes: int = 5
+    # detailed per-batch accounting (input/dup/invalid counts) costs 3
+    # extra count jobs per batch; throughput-critical deployments can
+    # turn it off — visit counts and stage timings are always kept
+    detailed_metrics: bool = True
 
 
 class CrawlEngine:
@@ -140,13 +148,29 @@ class CrawlEngine:
         )
 
     def run_batch(self, batch_id: int, batch: DataFrame, robots: DataFrame) -> dict:
-        n_input = batch.count()
+        import time as _time
+
+        timings: dict[str, float] = {}
+
+        def timed(label: str, fn):
+            t0 = _time.perf_counter()
+            out = fn()
+            timings[label] = round(_time.perf_counter() - t0, 3)
+            return out
+
+        detailed = self.config.detailed_metrics
+        n_input = timed("input_count", batch.count) if detailed else -1
         candidates = self._candidates(batch).persist()
-        n_valid_arrivals = int(
-            candidates.agg(F.sum("_arrivals")).collect()[0][0] or 0
+        n_valid_arrivals = (
+            int(
+                timed("candidates", lambda: candidates.agg(F.sum("_arrivals")).collect())[0][0]
+                or 0
+            )
+            if detailed
+            else -1
         )
         fresh = self.bloom.filter_new(candidates.drop("_arrivals"), self.url_seen()).persist()
-        n_fresh = fresh.count()
+        n_fresh = timed("urlseen_filter", fresh.count) if detailed else -1
         allowed = politeness.apply_robots(fresh, robots)
 
         # per-host token-bucket sequence carried across batches
@@ -160,8 +184,12 @@ class CrawlEngine:
 
         prior = self.committed_batches()
         first_seq = max((r["first_seq"] + r["n_visited"] for r in prior.values()), default=0)
-        ordered = politeness.visit_order(scheduled).persist()
-        n_visited = ordered.count()
+        ordered, n_visited = timed(
+            "schedule_order",
+            lambda: (lambda df, n: (df.persist(), n))(
+                *politeness.visit_order_with_count(scheduled)
+            ),
+        )
 
         # ---- commit sequence (each step idempotent for resume) ----
         visits = ordered.select(
@@ -173,8 +201,11 @@ class CrawlEngine:
             "scheduled_ms",
             F.lit(batch_id).cast("long").alias("batch_id"),
         )
-        self.store.append_batch(visits, "visit_log", batch_id)
-        self.bloom.add_urls(visits.select("url"))
+        timed("visit_write", lambda: self.store.append_batch(visits, "visit_log", batch_id))
+        timed(
+            "bloom_update",
+            lambda: self.bloom.add_urls(visits.select("url"), assume_distinct=True),
+        )
         batch_state = ordered.groupBy("host").agg((F.max("host_seq") + 1).alias("next_seq"))
         merged_state = (
             self.host_state()
@@ -182,7 +213,10 @@ class CrawlEngine:
             .groupBy("host")
             .agg(F.max("next_seq").alias("next_seq"))
         )
-        self.store.commit_snapshot(merged_state, "host_state", num_files=1)
+        timed(
+            "state_commit",
+            lambda: self.store.commit_snapshot(merged_state, "host_state", num_files=1),
+        )
         ordered.unpersist()
         candidates.unpersist()
         fresh.unpersist()
@@ -193,10 +227,13 @@ class CrawlEngine:
             "batch_id": batch_id,
             "n_candidates": int(n_valid_arrivals),
             "n_visited": int(n_visited),
-            "n_dup_or_seen": int(n_valid_arrivals - n_fresh),
-            "n_invalid": int(n_input - n_valid_arrivals + (n_fresh - n_visited)),
+            "n_dup_or_seen": int(n_valid_arrivals - n_fresh) if detailed else -1,
+            "n_invalid": (
+                int(n_input - n_valid_arrivals + (n_fresh - n_visited)) if detailed else -1
+            ),
             "frontier_version": self.store.current_version("frontier"),
             "first_seq": int(first_seq),
+            "stage_sec": timings,
         }
         self._commit_ledger(ledger_row)
         return ledger_row
