@@ -85,17 +85,15 @@ def _mean_resize(gray: np.ndarray, size: int = 32) -> np.ndarray:
     h, w = gray.shape
     ys = (np.arange(size + 1) * h // size).astype(np.int64)
     xs = (np.arange(size + 1) * w // size).astype(np.int64)
-    # integral image for O(1) box sums
+    # integral image for O(1) box sums, fully vectorized over the grid
     integ = np.zeros((h + 1, w + 1), dtype=np.float64)
     integ[1:, 1:] = np.cumsum(np.cumsum(gray.astype(np.float64), axis=0), axis=1)
-    out = np.empty((size, size), dtype=np.float64)
-    for i in range(size):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        row = integ[y1] - integ[y0]
-        for j in range(size):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            out[i, j] = (row[x1] - row[x0]) / ((y1 - y0) * (x1 - x0))
-    return out
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    rows = integ[y1] - integ[y0]  # (size, w+1)
+    sums = rows[:, x1] - rows[:, x0]  # same (row[x1]-row[x0]) as the scalar loop
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums / area
 
 
 _DCT32 = None

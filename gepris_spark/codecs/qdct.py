@@ -72,7 +72,9 @@ def encode(pixels: np.ndarray, quality: int = 96, compress_level: int = 6) -> by
     for c in range(3):
         blocks, hb, wb = _to_blocks(pixels[:, :, c])
         # vectorized per-block 2D DCT: D @ B @ D.T over the trailing axes
-        dct = np.einsum("ij,abjk,lk->abil", _D, blocks, _D, optimize=True)
+        # (matmul broadcasts over the leading block axes; einsum with
+        # optimize=True re-derived its contraction path on every call)
+        dct = np.matmul(np.matmul(_D, blocks), _D.T)
         quant = np.round(dct / q).astype(np.int16)
         coeff_bytes += quant.tobytes()
     header = _MAGIC + struct.pack(">IIB", w, h, max(1, min(100, quality)))
@@ -91,7 +93,7 @@ def decode(data: bytes) -> np.ndarray:
     out = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         dct = coeffs[c] * q
-        blocks = np.einsum("ji,abjk,kl->abil", _D, dct, _D, optimize=True) + 128.0
+        blocks = np.matmul(np.matmul(_D.T, dct), _D) + 128.0
         full = blocks.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
         out[:, :, c] = np.clip(np.round(full[:h, :w]), 0, 255).astype(np.uint8)
     return out

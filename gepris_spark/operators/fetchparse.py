@@ -42,9 +42,14 @@ _WS_RE = re.compile(r"\s+")
 
 
 def _clean(text: str) -> str:
-    """Python-side clean_string (F1 parity: data_transformations.py:123-132)."""
-    printable = "".join(c for c in text if c.isprintable())
-    return " ".join(printable.split()).strip()
+    """Python-side clean_string (F1 parity: data_transformations.py:123-132).
+
+    Fast path: str.isprintable() is a single C call and true for the
+    vast majority of strings — only strings that actually contain
+    non-printables pay the per-char filter."""
+    if not text.isprintable():
+        text = "".join(c for c in text if c.isprintable())
+    return " ".join(text.split()).strip()
 
 
 def _non_empty_text(node: Node | None) -> str | None:

@@ -65,6 +65,13 @@ class BloomUrlSeen:
     def _bucket_path(self, bucket: int) -> str:
         return os.path.join(self.dir, f"bucket{bucket:05d}.npy")
 
+    def is_empty(self) -> bool:
+        """True when no bits have ever been set (fresh crawl)."""
+        try:
+            return not any(e.startswith("bucket") for e in os.listdir(self.dir))
+        except OSError:
+            return True
+
     # ----------------------------------------------------------- update
     def add_urls(self, df: DataFrame, url_col: str = "url", assume_distinct: bool = False) -> int:
         """OR the batch's bits into the bucket bitsets.
@@ -167,8 +174,12 @@ class BloomUrlSeen:
 
         Bloom fast path: misses pass straight through (no join); only
         bloom hits (a small, false-positive-bounded subset) are checked
-        exactly via left-anti join against the truth table.
+        exactly via left-anti join against the truth table. An empty
+        bloom (fresh crawl, batch 0) means nothing can be seen — the
+        probe shuffle and the anti-join are skipped entirely.
         """
+        if self.is_empty():
+            return candidates
         probed = self.with_maybe_seen(candidates, url_col)
         definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = probed.where(F.col("maybe_seen")).drop("maybe_seen")

@@ -240,7 +240,11 @@ class CrawlEngine:
 
     # ------------------------------------------------------- full crawl
     def run_seed_list(
-        self, seeds: DataFrame, robots: DataFrame | None = None, arrival_col: str = "arrival_seq"
+        self,
+        seeds: DataFrame,
+        robots: DataFrame | None = None,
+        arrival_col: str = "arrival_seq",
+        max_arrival: int | None = None,
     ) -> list[dict]:
         """Replay a seed list in arrival-order micro-batches, resuming
         past already-committed batches.
@@ -252,8 +256,11 @@ class CrawlEngine:
         robots = robots if robots is not None else politeness.empty_robots(self.spark)
         if arrival_col not in seeds.columns:
             raise ValueError(f"seed list needs an explicit arrival column {arrival_col!r}")
-        n = seeds.agg(F.max(arrival_col)).collect()[0][0]
-        n = int(n) + 1 if n is not None else 0
+        if max_arrival is not None:
+            n = max_arrival + 1
+        else:
+            n = seeds.agg(F.max(arrival_col)).collect()[0][0]
+            n = int(n) + 1 if n is not None else 0
         batch_size = self.config.batch_size
         committed = self.committed_batches()
         results = []
