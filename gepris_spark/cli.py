@@ -100,6 +100,28 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """K6 — JSON feed export (the reference's `scrapy crawl … -O
+    test.json`, README.md:58-65): dump an engine state table as JSON."""
+    from gepris_spark import schemas
+    from gepris_spark.store.table import SnapshotStore
+
+    spark = _spark(args)
+    store = SnapshotStore(args.state)
+    if args.table == "visit_log":
+        df = store.read_appends(spark, "visit_log", schemas.VISIT_LOG)
+    elif args.table == "history":
+        df = store.read_appends(spark, "history", schemas.HISTORY)
+    elif args.table == "frontier":
+        df = store.read(spark, "frontier", schemas.FRONTIER)
+    else:
+        raise SystemExit(f"unknown table {args.table!r}")
+    df.write.mode("overwrite").json(args.out)
+    print(json.dumps({"table": args.table, "rows": df.count(), "out": args.out}))
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="gepris-spark")
     ap.add_argument("--master", default=None, help="override spark master (default env/local)")
@@ -124,6 +146,13 @@ def main(argv=None) -> int:
     bench.add_argument("--n-per-context", type=int, default=100_000)
     bench.add_argument("--batch-size", type=int, default=2_000_000)
     bench.set_defaults(fn=cmd_bench)
+
+    exp = sub.add_parser("export", help="JSON feed export of a state table (K6)")
+    exp.add_argument("--state", required=True)
+    exp.add_argument("--table", default="visit_log",
+                     choices=["visit_log", "history", "frontier"])
+    exp.add_argument("--out", required=True)
+    exp.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
     return args.fn(args)

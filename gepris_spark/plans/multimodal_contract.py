@@ -46,8 +46,12 @@ def q_crawl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
 
     seeds = spark.createDataFrame(corpus.gen_seeds_pdf(30, seed=42))
+    # tiny demo corpus: small bloom + 2 micro-batches keep the fixed
+    # per-batch cost low while still exercising cross-batch state
     engine = CrawlEngine(
-        spark, tempfile.mkdtemp(prefix="gepris_replay_"), EngineConfig(batch_size=40)
+        spark,
+        tempfile.mkdtemp(prefix="gepris_replay_"),
+        EngineConfig(batch_size=48, bloom_buckets=4, bloom_bits=1 << 18),
     )
     engine.run_seed_list(seeds)
     return engine.visit_log().select(
