@@ -378,6 +378,101 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NPROBE = 3
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the scale path. The `label` column is the coarse
+    quantizer's cluster id (at 100 TB produced by k-means over a
+    sample); per query only the `nprobe` clusters whose CENTROID is
+    most query-similar are scanned — a broadcast of (queries x
+    centroids) prunes the big side down to ~nprobe/K of the corpus
+    before any per-vector work. Exact same output contract as the
+    brute-force baseline restricted to the probed clusters, so recall
+    loss is observable by diffing against ann_topk_cosine."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # centroids: element-wise mean per label (posexplode -> avg — one
+    # shuffle of (label, dim) pairs, never a collect)
+    cent = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("_s"))
+        .select("label", F.transform("_s", lambda s: s["cx"]).alias("cv"))
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm2(F.col("qv")) * _norm2(F.col("cv")))).alias("_ccos"),
+        )
+    )
+    probe_win = Window.partitionBy("query_id").orderBy(F.col("_ccos").desc(), F.col("label").asc())
+    probed = (
+        qc.withColumn("_pr", F.row_number().over(probe_win))
+        .where(F.col("_pr") <= _IVF_NPROBE)
+        .select("query_id", "qv", "label")
+    )
+    scored = F.broadcast(probed).join(emb, "label").where(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (_norm2(F.col("qv")) * _norm2(F.col("v")))).alias("_cos"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _ANN_K)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_ANN_TOPK_IVF = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (
+  SELECT label, list(cx ORDER BY dim) AS cv
+  FROM (SELECT label, dim, avg(x) AS cx
+        FROM (SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS dim FROM v)
+        GROUP BY label, dim)
+  GROUP BY label),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+qc AS (
+  SELECT q.query_id, q.qe, c.label,
+         list_dot_product(q.qe, c.cv) /
+           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+  FROM q CROSS JOIN cent c),
+probed AS (
+  SELECT query_id, qe, label
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, label ASC) AS pr FROM qc)
+  WHERE pr <= {_IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         list_dot_product(p.qe, v.e) /
+           (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(v.e, v.e))) AS cos
+  FROM probed p JOIN v ON v.label = p.label AND v.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {_ANN_K}
+ORDER BY query_id, rank
+"""
+
+
 SQL_ANN_TOPK = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
@@ -501,6 +596,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_topk_cosine": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
     "text_langid": (q_langid, SQL_LANGID),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
