@@ -272,6 +272,132 @@ def _parse_one(
     return out
 
 
+def _parse_search_page(url: str, context: str, html: str) -> list[dict]:
+    """P6/P7/G3/G4 — search-results page parse (search_results.py:36-100):
+    iterate `#liste` children minus `.pagination`, skip `/null` links
+    (counted as warns), per-context payload (projekt attribute pairs /
+    person beschreibung / institution subInstitution exploder), page
+    total from `#result-info@data-result-count` (dot-stripped)."""
+    doc = parse_html(html)
+    total = None
+    info = next((n for n in doc.iter() if n is not doc and n.attrs.get("id") == "result-info"), None)
+    if info is not None and info.attrs.get("data-result-count"):
+        try:
+            total = int(info.attrs["data-result-count"].replace(".", ""))
+        except ValueError:
+            total = None
+    liste = next((n for n in doc.iter() if n is not doc and n.attrs.get("id") == "liste"), None)
+    items: list[dict] = []
+    n_null_links = 0
+    if liste is not None:
+        for result in liste.child_elements():
+            if "pagination" in (result.attrs.get("class") or "").split():
+                continue
+            link = next(
+                (a for h2 in result.find_all("h2") for a in h2.find_all("a")), None
+            )
+            if link is None:
+                continue
+            href = link.attrs.get("href") or ""
+            if href == f"/gepris/{context}/null":
+                n_null_links += 1
+                continue
+            item_id = href.rsplit("/", 1)[-1]
+            base = {
+                "url": url,
+                "context": context,
+                "item_id": int(item_id) if item_id.isdigit() else None,
+                "name_de": _non_empty_text(link),
+                "addresse": None,
+                "attributes": None,
+                "uebergeordnete_institution": None,
+            }
+            if context == "projekt":
+                attrs: dict[str, list[str]] = {}
+                for detail_div in result.find_all("div", cls="details"):
+                    for line in detail_div.child_elements():
+                        for key, value in attributes_pairs_list(list(line.find_all("span"))):
+                            if key is None:
+                                continue
+                            if value is None:
+                                attrs[key] = []
+                            elif isinstance(value, list):
+                                attrs[key] = [
+                                    v if isinstance(v, str) else json.dumps(v, ensure_ascii=False)
+                                    for v in value
+                                ]
+                            else:
+                                attrs[key] = [value if isinstance(value, str) else json.dumps(value)]
+                base["attributes"] = attrs
+                items.append(base)
+            elif context == "person":
+                besch = result.find("div", cls="beschreibung")
+                text = _extract_text_and_links(besch) if besch is not None else None
+                base["addresse"] = text if isinstance(text, str) else (
+                    json.dumps(text, ensure_ascii=False) if text else None
+                )
+                items.append(base)
+            else:  # institution: parent row + one item per subInstitution (P7)
+                items.append(base)
+                for sub in result.find_all("div", cls="subInstitution"):
+                    sub_link = next(iter(sub.find_all("a")), None)
+                    if sub_link is None:
+                        continue
+                    sub_href = sub_link.attrs.get("href") or ""
+                    sub_id = sub_href.rsplit("/", 1)[-1]
+                    sub_text = [
+                        _clean(t) for t in sub.children if isinstance(t, str) and _clean(t)
+                    ]
+                    items.append(
+                        {
+                            "url": url,
+                            "context": context,
+                            "item_id": int(sub_id) if sub_id.isdigit() else None,
+                            "name_de": _non_empty_text(sub_link),
+                            "addresse": sub_text[0] if sub_text else None,
+                            "attributes": None,
+                            "uebergeordnete_institution": base["item_id"],
+                        }
+                    )
+    for it in items:
+        it["total_result_count"] = total
+        it["n_loaded_on_page"] = len(items)
+        it["n_null_links"] = n_null_links
+    return items
+
+
+def parse_search_stage(fetched: DataFrame) -> DataFrame:
+    """mapInPandas 1->n over fetched search pages (columns url, context,
+    html) -> one row per search-result item."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("context", T.StringType()),
+            T.StructField("item_id", T.LongType()),
+            T.StructField("name_de", T.StringType()),
+            T.StructField("addresse", T.StringType()),
+            T.StructField("attributes", T.MapType(T.StringType(), T.ArrayType(T.StringType()))),
+            T.StructField("uebergeordnete_institution", T.LongType()),
+            T.StructField("total_result_count", T.LongType()),
+            T.StructField("n_loaded_on_page", T.IntegerType()),
+            T.StructField("n_null_links", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                rows.extend(
+                    _parse_search_page(r.url, r.context, r.html if isinstance(r.html, str) else "")
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return fetched.select("url", "context", "html").mapInPandas(run, out_schema)
+
+
 def fetch_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
     """S7/S8 — the corpus-backed fetch: left join on (url, language).
 

@@ -434,6 +434,74 @@ def gen_pages_pdf(seeds_pdf: pd.DataFrame, images_pdf: pd.DataFrame, seed: int =
     return pd.DataFrame(rows)
 
 
+def _search_result_div(context: str, item_id, name: str, h: int) -> str:
+    """One search-result row (search_results.py:45-100 grammar)."""
+    href = f"/gepris/{context}/{item_id}"
+    head = f'<h2><a href="{href}">{name}</a></h2>'
+    if context == "projekt":
+        spans = (
+            '<span class="name1">Antragsteller</span>'
+            f'<span class="value1">Person {h % 97}</span>'
+            '<span class="name2">Förderung</span>'
+            f'<span class="value2">Förderung von {2000 + h % 20} bis {2001 + h % 21}</span>'
+        )
+        body = f'<div class="details"><div>{spans}</div></div>'
+    elif context == "person":
+        body = f'<div class="beschreibung">Universität Beispielstadt {h % 50}</div>'
+    else:
+        subs = ""
+        for j in range(h % 3):
+            sub_id = int(item_id) * 100 + j if item_id != "null" else j
+            subs += (
+                f'<div class="subInstitution"><a href="/gepris/institution/{sub_id}">'
+                f"Unterinstitut {sub_id}</a> Nebenstraße {j}</div>"
+            )
+        body = subs
+    return f'<div class="result">{head}{body}</div>'
+
+
+def gen_search_pages_pdf(
+    context: str, n_items: int, page_size: int = 50, seed: int = 42, null_rate: float = 0.02
+) -> pd.DataFrame:
+    """Paginated search-result pages (S1/P6/P7 fixtures): `result-info`
+    carries the dot-formatted total (G3); each page holds `page_size`
+    result rows (last page short), ~null_rate rows are the
+    `/gepris/<ctx>/null` links the parser must warn-and-skip
+    (search_results.py:49-50); institutions carry subInstitution rows
+    (P7)."""
+    total_fmt = f"{n_items:,}".replace(",", ".")
+    rows = []
+    for start in range(0, n_items, page_size):
+        ids = range(start + 1, min(start + page_size, n_items) + 1)
+        divs = []
+        n_real = 0
+        for i in ids:
+            h = _stable_u64(seed, "search", context, i)
+            if (h % 10_000) / 10_000 < null_rate:
+                divs.append(_search_result_div(context, "null", "Kaputt", h))
+            else:
+                divs.append(_search_result_div(context, i, f"Eintrag {i} ({context})", h))
+                n_real += 1
+        html = (
+            f'<html lang="de"><body>'
+            f'<div id="result-info" data-result-count="{total_fmt}"></div>'
+            f'<div id="liste">{"".join(divs)}'
+            f'<div class="pagination">1 2 3</div></div>'
+            f"</body></html>"
+        )
+        rows.append(
+            {
+                "url": f"https://{GEPRIS_HOST}/search/{context}?index={start}",
+                "context": context,
+                "page_index": start // page_size,
+                "html": html,
+                "n_rows_on_page": len(list(ids)),
+                "n_real_items": n_real,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def write_fixtures(out_dir: str, n_per_context: int = 60, n_images: int = 40, seed: int = 42) -> dict:
     """Write the t1-scale fixture parquet files; returns row counts."""
     import os
