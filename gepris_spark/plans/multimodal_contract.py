@@ -59,8 +59,49 @@ def q_crawl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq")
 
 
+def q_search_results_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7 search-results parse (1->n mapInPandas) over the seeded
+    paginated search corpus — institution pages include the
+    sub-institution exploder rows."""
+    from gepris_spark.operators.fetchparse import parse_search_stage
+    from gepris_spark.sources import corpus
+
+    pages = spark.createDataFrame(
+        corpus.gen_search_pages_pdf("institution", n_items=80, page_size=40, seed=42)
+    )
+    return parse_search_stage(pages).orderBy("item_id", "uebergeordnete_institution")
+
+
+def q_entity_etl_projekte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 entity ETL end-to-end: seeded detail pages -> parse ->
+    normalise (N1/N2/N3-N6) -> typed projekte rows."""
+    from gepris_spark.operators import fetchparse
+    from gepris_spark.plans import etl
+    from gepris_spark.sources import corpus
+
+    seeds = corpus.gen_seeds_pdf(25, seed=42)
+    images = corpus.gen_images_pdf(8, seed=42)
+    pages = corpus.gen_pages_pdf(seeds, images, seed=42)
+    meta = (
+        spark.createDataFrame(seeds)
+        .dropna(subset=["item_id"])
+        .select("url", "context", "item_id")
+        .distinct()
+    )
+    fetched = (
+        spark.createDataFrame(pages)
+        .join(meta, "url")
+        .select("url", "language", "html", "context", "item_id")
+    )
+    parsed = fetchparse.parse_stage(fetched)
+    norm = etl.normalised_items(parsed, "projekt")
+    return etl.projekte_table(norm).orderBy("id")
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_decode_verify": q_multimodal_decode,
     "multimodal_rgb_features": q_multimodal_features,
     "crawl_replay_visit_log": q_crawl_replay,
+    "search_results_parse": q_search_results_parse,
+    "entity_etl_projekte": q_entity_etl_projekte,
 }
