@@ -123,3 +123,20 @@ def test_bloom_urlseen_no_false_negatives(spark, tmp_path):
     assert fp < 70  # false positives bounded (~k=5, m=16k bits, n=500)
     new = bloom.filter_new(other, urls)
     assert new.count() == 700  # exact path fixes all false positives
+
+
+@pytest.mark.parametrize("corpus_seed", [7, 1337])
+def test_exact_match_on_other_corpora(spark, tmp_path, corpus_seed):
+    """The exact-match contract is corpus-independent: different random
+    seeds (different host mixes, dup/invalid placements, recencies)
+    replay identically through engine and oracle, single- AND
+    multi-batch."""
+    pdf = corpus.gen_seeds_pdf(30, seed=corpus_seed)
+    for batch_size, tag in ((10_000, "one"), (33, "many")):
+        engine = CrawlEngine(
+            spark,
+            str(tmp_path / f"s{corpus_seed}_{tag}"),
+            EngineConfig(batch_size=batch_size, bloom_buckets=4, bloom_bits=1 << 18),
+        )
+        engine.run_seed_list(spark.createDataFrame(pdf))
+        _assert_match(engine, replay(_seed_rows(pdf), batch_size=batch_size))
