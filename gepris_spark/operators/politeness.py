@@ -45,6 +45,44 @@ def empty_robots(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], ROBOTS_SCHEMA)
 
 
+def parse_robots_txt(host: str, text: str, default_delay_ms: int = DEFAULT_DELAY_MS) -> dict:
+    """Parse one robots.txt body into a robots-rules row (A4:
+    ROBOTSTXT_OBEY, settings.py:66). Honors the `User-agent: *` group's
+    Disallow prefixes and Crawl-delay (seconds -> ms); other UA groups
+    are ignored (the reference crawls with a generic agent).
+    Empty-string Disallow lines mean allow-all and are dropped."""
+    disallow: list[str] = []
+    crawl_delay_ms: int | None = None
+    in_star_group = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            in_star_group = value == "*"
+        elif in_star_group and key == "disallow" and value:
+            disallow.append(value)
+        elif in_star_group and key == "crawl-delay":
+            try:
+                crawl_delay_ms = int(float(value) * 1000)
+            except ValueError:
+                pass
+    return {
+        "host": host,
+        "disallow_prefixes": disallow,
+        "crawl_delay_ms": crawl_delay_ms if crawl_delay_ms is not None else default_delay_ms,
+    }
+
+
+def robots_table(spark: SparkSession, bodies: dict[str, str]) -> DataFrame:
+    """Robots cache table from {host: robots.txt body} — broadcast to
+    the schedule stage by apply_robots."""
+    rows = [parse_robots_txt(h, t) for h, t in bodies.items()]
+    return spark.createDataFrame(rows, ROBOTS_SCHEMA) if rows else empty_robots(spark)
+
+
 def apply_robots(candidates: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
     """Drop robots-disallowed urls; attach effective per-host delay.
 

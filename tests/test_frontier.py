@@ -168,3 +168,26 @@ def test_mark_check_needed_for_ids(spark, store_dir):
     assert got[(1, "projekt")][4] is False
     assert got[(2, "projekt")][4] is True
     assert got[(2, "person")][4] is True
+
+
+def test_parse_robots_txt(spark):
+    from gepris_spark.operators import politeness
+
+    body = """
+# comment
+User-agent: evilbot
+Disallow: /
+
+User-agent: *
+Disallow: /gepris/private
+Disallow:
+Crawl-delay: 4.5
+"""
+    row = politeness.parse_robots_txt("gepris.dfg.de", body)
+    assert row["disallow_prefixes"] == ["/gepris/private"]
+    assert row["crawl_delay_ms"] == 4500
+    df = politeness.robots_table(spark, {"gepris.dfg.de": body})
+    got = df.collect()[0]
+    assert got["crawl_delay_ms"] == 4500
+    # no crawl-delay -> default politeness budget
+    assert politeness.parse_robots_txt("x", "User-agent: *\nDisallow: /y")["crawl_delay_ms"] == 2000
