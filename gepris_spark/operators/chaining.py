@@ -113,6 +113,13 @@ def details_chain(
     from gepris_spark.operators.history import route_statuses
 
     parsed_de = parse(fetchparse.fetch_pages(scheduled_de, pages))
+    if "attempt" in scheduled_de.columns:
+        # the parse stage emits only the PARSED schema — re-attach the
+        # retry budget so route_statuses can exhaust it (urls are
+        # unique within a batch)
+        parsed_de = parsed_de.join(
+            scheduled_de.select("url", "attempt").dropDuplicates(["url"]), "url", "left"
+        )
     routed = route_statuses(parsed_de, max_retries=max_retries)
     terminal_de = routed["terminal"]
 
@@ -125,5 +132,7 @@ def details_chain(
     return {
         "items": items,
         "retry": routed["retry"],
-        "terminal_nonsuccess": terminal_de.where(F.col("status") != "success"),
+        # drop the threaded attempt column so terminal outputs have a
+        # stable schema whether or not the batch carried a retry budget
+        "terminal_nonsuccess": terminal_de.where(F.col("status") != "success").drop("attempt"),
     }

@@ -238,6 +238,77 @@ class CrawlEngine:
         self._commit_ledger(ledger_row)
         return ledger_row
 
+    # ---------------------------------------------------- details crawl
+    def run_details_batch(
+        self,
+        run_id: int,
+        scheduled: DataFrame,
+        pages: DataFrame,
+        runs: DataFrame,
+        max_retries: int = 2,
+    ) -> dict:
+        """§3.1 lifecycle, steps 4-7: fetch+parse the scheduled de batch,
+        loop A5 retries until exhausted (each retry refetches, mirroring
+        refresh_cache=True), chain the en stage (A6), insert bilingual
+        items + terminal non-success rows into history (K3), mark the
+        ids checked in the frontier (K2).
+
+        `pages` is the page source (corpus-backed fetch); `runs` the run
+        ledger for the history latest-view join.
+        """
+        from gepris_spark.operators import chaining, fetchparse
+        from gepris_spark.operators.frontier import Frontier
+        from gepris_spark.operators.history import History
+
+        result = chaining.details_chain(
+            scheduled, pages, fetchparse.parse_stage, max_retries=max_retries
+        )
+        items, nonsuccess = result["items"], result["terminal_nonsuccess"]
+        retry = result["retry"]
+        # A5: re-fetch retries until the attempt budget is gone; the
+        # corpus fetch is deterministic, so retries that keep failing
+        # drain to terminal errors via route_statuses' exhaustion rule
+        attempt = 0
+        while attempt < max_retries:
+            if retry.isEmpty():
+                break
+            again = chaining.details_chain(
+                retry.select("url", "context", "item_id", F.lit("de").alias("language"), "attempt"),
+                pages,
+                fetchparse.parse_stage,
+                max_retries=max_retries,
+            )
+            items = items.unionByName(again["items"])
+            nonsuccess = nonsuccess.unionByName(again["terminal_nonsuccess"])
+            retry = again["retry"]
+            attempt += 1
+
+        history = History(self.spark, self.store)
+        batch_rows = items.select(
+            F.col("id"), "context", F.col("item"), F.col("status")
+        ).unionByName(
+            nonsuccess.select(
+                F.col("item_id").cast("long").alias("id"),
+                "context",
+                F.lit(None).cast("string").alias("item"),
+                "status",
+            )
+        )
+        history.insert_batch(batch_rows, runs, run_id)
+        frontier = Frontier(self.spark, self.store)
+        frontier.upsert_details_batch(
+            items.select(F.col("id").alias("item_id"), "context").unionByName(
+                nonsuccess.select("item_id", "context")
+            ),
+            run_id,
+        )
+        return {
+            "run_id": run_id,
+            "n_items": items.count(),
+            "n_nonsuccess": nonsuccess.count(),
+            "n_unresolved_retries": retry.count(),
+        }
+
     # ------------------------------------------------------- full crawl
     def run_seed_list(
         self,
