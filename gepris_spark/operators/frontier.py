@@ -25,23 +25,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gepris_spark import schemas
-from gepris_spark.store.table import SnapshotStore, merge_upsert
+from gepris_spark.store.table import SnapshotStore
 
 KEYS = ["id", "context"]
 TABLE = "frontier"
 
 
 class Frontier:
-    def __init__(self, spark: SparkSession, store: SnapshotStore):
+    def __init__(self, spark: SparkSession, store: SnapshotStore, n_buckets: int = 64):
         self.spark = spark
         self.store = store
+        self.n_buckets = n_buckets
 
     # ------------------------------------------------------------- state
     def read(self) -> DataFrame:
-        return self.store.read(self.spark, TABLE, schemas.FRONTIER)
+        return self.store.read_bucketed(self.spark, TABLE, schemas.FRONTIER)
 
     def _commit(self, df: DataFrame) -> int:
-        return self.store.commit_snapshot(df, TABLE)
+        """Full-table rewrite path (sweep updates that touch every
+        bucket: vanish marking, moved-invalidation)."""
+        return self.store.commit_bucketed(df, TABLE, "id", self.n_buckets)
+
+    def _merge(self, source: DataFrame, matched_update, not_matched_insert) -> int:
+        """Bucket-pruned MERGE path (micro-batch upserts): only hash
+        buckets present in the source are read + rewritten; the rest of
+        the frontier is hardlinked forward (store.merge_bucketed)."""
+        return self.store.merge_bucketed(
+            self.spark,
+            TABLE,
+            schemas.FRONTIER,
+            source,
+            KEYS,
+            matched_update,
+            not_matched_insert,
+            n_buckets=self.n_buckets,
+        )
 
     # ---------------------------------------------------------------- K1
     def upsert_search_batch(self, batch: DataFrame, run_id: int) -> int:
@@ -87,8 +105,7 @@ class Frontier:
                 "detail_check_needed": F.lit(True),
             }
 
-        merged = merge_upsert(self.read(), source, KEYS, updates, inserts)
-        return self._commit(merged)
+        return self._merge(source, updates, inserts)
 
     # ---------------------------------------------------------------- K2
     def upsert_details_batch(self, ids: DataFrame, run_id: int) -> int:
@@ -107,8 +124,7 @@ class Frontier:
                 "detail_check_needed": F.lit(False),
             }
 
-        merged = merge_upsert(self.read(), source, KEYS, updates, inserts)
-        return self._commit(merged)
+        return self._merge(source, updates, inserts)
 
     # ---------------------------------------------------------------- Q7
     def mark_vanished(self, context: str, run_id: int) -> int:
@@ -147,23 +163,23 @@ class Frontier:
         reference-explosion view, plans/views.py). Anti-join against
         known persons, insert with detail_check_needed=True.
         """
-        frontier = self.read()
-        known = frontier.where(F.col("context") == "person").select("id")
-        new = (
+        source = (
             referenced_person_ids.select(F.col("id").cast("long"))
             .distinct()
-            .join(known, "id", "left_anti")
-            .select(
-                "id",
-                F.lit("person").alias("context"),
-                F.lit(None).cast("long").alias("last_available_seen"),
-                F.lit(None).cast("long").alias("last_available_change"),
-                F.lit(None).cast("string").alias("last_available_item"),
-                F.lit(None).cast("long").alias("last_detail_check"),
-                F.lit(True).alias("detail_check_needed"),
-            )
+            .select("id", F.lit("person").alias("context"))
         )
-        return self._commit(frontier.unionByName(new))
+
+        def updates(t, s):
+            return {}  # already-known persons are untouched (the anti-join arm)
+
+        def inserts(s):
+            return {
+                "id": F.col("s.id"),
+                "context": F.col("s.context"),
+                "detail_check_needed": F.lit(True),
+            }
+
+        return self._merge(source, updates, inserts)
 
     # ------------------------------------------------------------- Q5/Q6
     def mark_check_needed_for_ids(self, ids: DataFrame) -> int:
