@@ -178,6 +178,7 @@ def bench_once(args) -> dict:
             )
             return result
         if not args.replay_only:
+            _warm_python_workers(spark)
             t0 = time.perf_counter()
             result["queries"] = run_queries(spark, sf_dir)
             result["value"] = round(time.perf_counter() - t0, 3)
