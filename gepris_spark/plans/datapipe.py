@@ -178,7 +178,7 @@ votes AS (
   FROM occ, UNNEST(range(0, {_SIMHASH_BITS})) AS b(b)
   GROUP BY doc_id, b.b),
 sh AS (
-  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id),
 cnt AS (
   SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents)
@@ -568,7 +568,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = f"""
 SELECT source, count(*) AS n_docs,
-       sum(len({_SQL_TOKENS})) AS total_tokens,
+       CAST(sum(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
        round(avg(len({_SQL_TOKENS})), 4) AS avg_tokens
 FROM documents GROUP BY source ORDER BY source
 """
@@ -581,9 +581,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FINGERPRINT = f"""
 SELECT doc_id,
-       coalesce((SELECT sum(({_sql_hash60("tok")} % 2147483648) * pos)
+       CAST(coalesce((SELECT sum(({_sql_hash60("tok")} % 2147483648) * pos)
                  FROM (SELECT unnest({_SQL_TOKENS}) AS tok,
-                              generate_subscripts({_SQL_TOKENS}, 1) AS pos)), 0)
+                              generate_subscripts({_SQL_TOKENS}, 1) AS pos)), 0) AS BIGINT)
          AS fingerprint
 FROM documents ORDER BY doc_id
 """

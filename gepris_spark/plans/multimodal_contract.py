@@ -75,6 +75,18 @@ def q_search_results_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_entity_etl_projekte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 entity ETL end-to-end: seeded detail pages -> parse ->
     normalise (N1/N2/N3-N6) -> typed projekte rows."""
+    from gepris_spark.plans import etl
+
+    out = etl.projekte_table(_etl_inputs(spark, "projekt"))
+    # driver canonicalization sorts pandas columns — arrays are
+    # unhashable there, so serialize them deterministically
+    for c in ("fachrichtungen", "internationaler_bezug", "teil_projekte",
+              "male_personen", "female_personen"):
+        out = out.withColumn(c, F.to_json(F.col(c)))
+    return out.orderBy("id")
+
+
+def _etl_inputs(spark: SparkSession, context: str):
     from gepris_spark.operators import fetchparse
     from gepris_spark.plans import etl
     from gepris_spark.sources import corpus
@@ -94,8 +106,21 @@ def q_entity_etl_projekte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", "language", "html", "context", "item_id")
     )
     parsed = fetchparse.parse_stage(fetched)
-    norm = etl.normalised_items(parsed, "projekt")
-    return etl.projekte_table(norm).orderBy("id")
+    return etl.normalised_items(parsed, context)
+
+
+def q_entity_etl_personen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 entity ETL for personen (dfg-gepris.sql:233-262 semantics)."""
+    from gepris_spark.plans import etl
+
+    return etl.personen_table(_etl_inputs(spark, "person")).orderBy("id")
+
+
+def q_entity_etl_institutionen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 entity ETL for institutionen (dfg-gepris.sql:264-289)."""
+    from gepris_spark.plans import etl
+
+    return etl.institutionen_table(_etl_inputs(spark, "institution")).orderBy("id")
 
 
 MULTIMODAL_QUERIES = {
@@ -104,4 +129,6 @@ MULTIMODAL_QUERIES = {
     "crawl_replay_visit_log": q_crawl_replay,
     "search_results_parse": q_search_results_parse,
     "entity_etl_projekte": q_entity_etl_projekte,
+    "entity_etl_personen": q_entity_etl_personen,
+    "entity_etl_institutionen": q_entity_etl_institutionen,
 }

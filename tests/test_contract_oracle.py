@@ -1,14 +1,21 @@
 """Local mirror of the driver's correctness gate: every queries() entry
 with an oracle runs on Spark AND DuckDB at sf0.001 and must match on
-row count, column names, and order-insensitive values."""
+row count, column names, dtypes, and EXACT values.
+
+Round-1 lesson: the driver canonicalizes both results as pandas frames
+(sorted columns, sorted rows) and hashes the values — so (a) int128
+(DuckDB HUGEINT) vs int64 is a hash mismatch even when values are
+equal, and (b) array-typed columns make the pandas sort blow up with
+`unhashable type: 'list'`. This mirror therefore compares pandas
+dtypes and exact values (no rounding) and runs the same sort-based
+canonicalization on rows-only queries too.
+"""
 
 from __future__ import annotations
 
-import datetime
-import math
-from decimal import Decimal
-
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -20,18 +27,29 @@ TABLES = [
 ]
 
 
-def _norm(v):
-    if isinstance(v, Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    return v
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonicalization: sorted columns, then row sort over
+    all columns (this is where unhashable array cells explode)."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            # tz/unit normalize: Spark emits datetime64[us]/[ns],
+            # DuckDB datetime64[us]; value equality is what matters
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None).astype("datetime64[ns]")
+    pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def _dtype_tag(dtype) -> str:
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "ts"
+    return str(dtype)
 
 
 @pytest.fixture(scope="module")
@@ -47,32 +65,34 @@ def contract():
     return entrymod.queries(), entrymod.oracle_sql()
 
 
-def _spark_rows(df):
-    cols = sorted(df.columns)
-    return cols, sorted(
-        tuple(_norm(r[c]) for c in cols) for r in df.collect()
-    )
-
-
-def _duck_rows(con, sql):
-    res = con.execute(sql)
-    names = [d[0] for d in res.description]
-    rows = res.fetchall()
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    cols = [names[i] for i in order]
-    return cols, sorted(tuple(_norm(row[i]) for i in order) for row in rows)
-
-
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, duck, contract, name):
     queries, oracles = contract
-    s_cols, s_rows = _spark_rows(queries[name](spark, SF_DIR))
-    d_cols, d_rows = _duck_rows(duck, oracles[name])
-    assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"
-    assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} rows != {len(d_rows)}"
-    mism = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-    assert not mism, f"{name}: first mismatch {mism[0]}"
-    assert len(s_rows) > 0, f"{name}: empty result"
+    s_pdf = _canon(queries[name](spark, SF_DIR).toPandas())
+    d_pdf = _canon(duck.execute(oracles[name]).fetchdf())
+    assert list(s_pdf.columns) == list(d_pdf.columns), (
+        f"{name}: columns {list(s_pdf.columns)} != {list(d_pdf.columns)}"
+    )
+    assert len(s_pdf) == len(d_pdf), f"{name}: {len(s_pdf)} rows != {len(d_pdf)}"
+    assert len(s_pdf) > 0, f"{name}: empty result"
+    s_tags = [_dtype_tag(t) for t in s_pdf.dtypes]
+    d_tags = [_dtype_tag(t) for t in d_pdf.dtypes]
+    assert s_tags == d_tags, (
+        f"{name}: dtype mismatch {list(zip(s_pdf.columns, s_tags, d_tags))} "
+        "(an `object` on the DuckDB side usually means HUGEINT/DECIMAL — "
+        "CAST the oracle SQL)"
+    )
+    for c in s_pdf.columns:
+        a, b = s_pdf[c].to_numpy(), d_pdf[c].to_numpy()
+        if pd.api.types.is_float_dtype(s_pdf[c]):
+            eq = (a == b) | (np.isnan(a.astype(float)) & np.isnan(b.astype(float)))
+            bad = np.flatnonzero(~eq)
+        else:
+            bad = np.flatnonzero(~(pd.Series(a).eq(pd.Series(b)) | (pd.isna(a) & pd.isna(b))))
+        assert bad.size == 0, (
+            f"{name}.{c}: {bad.size} exact-value mismatches, first at row "
+            f"{bad[0]}: spark={a[bad[0]]!r} oracle={b[bad[0]]!r}"
+        )
 
 
 def test_entry_smoke(spark):
@@ -81,6 +101,8 @@ def test_entry_smoke(spark):
 
 
 @pytest.mark.parametrize("name", sorted(set(entrymod.queries()) - set(entrymod.oracle_sql())))
-def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() > 0
+def test_rows_only_queries_canonicalize(spark, name):
+    """Rows-only queries still pass through the driver's pandas
+    canonicalization — run it so unhashable cell types fail HERE."""
+    pdf = _canon(entrymod.queries()[name](spark, SF_DIR).toPandas())
+    assert len(pdf) > 0
