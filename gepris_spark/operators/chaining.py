@@ -39,7 +39,54 @@ def continuation_rows(parsed_de: DataFrame, language: str = "en") -> DataFrame:
     )
 
 
-def assemble_bilingual(parsed_de: DataFrame, parsed_en: DataFrame) -> DataFrame:
+def result_continuation_rows(parsed_en: DataFrame, language: str = "de") -> DataFrame:
+    """Frontier rows for the projekt result page (A6 stage 3).
+
+    The reference follows the result tab found on the ENGLISH details
+    page (details.py:91-96: exactly one li#tabbutton2 > a), resolving
+    the href against the details url (urljoin + url_query_cleaner).
+    Pure column expressions cover the three href shapes: absolute,
+    root-relative, and sibling-relative."""
+    base_url = F.regexp_replace(F.col("url"), r"[?#].*$", "")
+    href = F.col("result_href")
+    resolved = (
+        F.when(href.rlike("^https?://"), href)
+        .when(
+            href.startswith("/"),
+            F.concat(F.regexp_extract(base_url, r"^(https?://[^/]+)", 1), href),
+        )
+        .otherwise(F.concat(F.regexp_replace(base_url, r"[^/]+$", ""), href))
+    )
+    return (
+        parsed_en.where(
+            (F.col("status") == "success")
+            & (F.col("context") == "projekt")
+            & F.col("result_href").isNotNull()
+        )
+        .select(
+            resolved.alias("url"),
+            "context",
+            "item_id",
+            F.lit(language).alias("language"),
+        )
+    )
+
+
+def _result_struct_type() -> str:
+    return (
+        "struct<ergebnis_zusammenfassung_de:string,"
+        "ergebnis_zusammenfassung_en:string,"
+        "ergebnis_publikationen:array<array<string>>,"
+        "attributes:struct<ergebnis_erstellungsjahr:int>>"
+    )
+
+
+def assemble_bilingual(
+    parsed_de: DataFrame,
+    parsed_en: DataFrame,
+    result_de: DataFrame | None = None,
+    result_en: DataFrame | None = None,
+) -> DataFrame:
     """Final details item: german fields + english name/attributes where
     the english page succeeded (details.py:78-117 merges the en parse
     into the de item). Output carries one JSON `item` column shaped
@@ -69,6 +116,46 @@ def assemble_bilingual(parsed_de: DataFrame, parsed_en: DataFrame) -> DataFrame:
         F.col("attributes").alias("attributes_en"),
     )
     joined = de.join(en, ["context", "item_id"], "left")
+
+    # A6 stages 3-4: the result dict merges the de result page's
+    # summary/attributes/publications with the en page's summary
+    # (details.py:103-110). Divergence from the reference, documented:
+    # a failed result fetch degrades to a partial/absent `result`
+    # instead of losing the whole projekt item to the errback.
+    if result_de is not None:
+        rde = result_de.where(F.col("status") == "success").select(
+            "context",
+            F.col("item_id").cast("long").alias("item_id"),
+            F.col("summary").alias("_r_sum_de"),
+            F.col("erstellungsjahr").alias("_r_jahr"),
+            F.col("publications").alias("_r_pubs"),
+        )
+        joined = joined.join(rde, ["context", "item_id"], "left")
+        if result_en is not None:
+            ren = result_en.where(F.col("status") == "success").select(
+                "context",
+                F.col("item_id").cast("long").alias("item_id"),
+                F.col("summary").alias("_r_sum_en"),
+            )
+            joined = joined.join(ren, ["context", "item_id"], "left")
+        else:
+            joined = joined.withColumn("_r_sum_en", F.lit(None).cast("string"))
+        result_col = F.when(
+            F.col("_r_pubs").isNotNull()
+            | F.col("_r_sum_de").isNotNull()
+            | F.col("_r_jahr").isNotNull(),
+            F.struct(
+                F.col("_r_sum_de").alias("ergebnis_zusammenfassung_de"),
+                F.col("_r_sum_en").alias("ergebnis_zusammenfassung_en"),
+                F.col("_r_pubs").alias("ergebnis_publikationen"),
+                F.struct(F.col("_r_jahr").alias("ergebnis_erstellungsjahr")).alias(
+                    "attributes"
+                ),
+            ),
+        )
+    else:
+        result_col = F.lit(None).cast(_result_struct_type())
+
     item = F.to_json(
         F.struct(
             F.col("name_de"),
@@ -79,6 +166,7 @@ def assemble_bilingual(parsed_de: DataFrame, parsed_en: DataFrame) -> DataFrame:
             F.col("caption"),
             F.col("image_id"),
             F.col("phash"),
+            result_col.alias("result"),
         )
     )
     return joined.select(
@@ -96,6 +184,7 @@ def details_chain(
     pages: DataFrame,
     parse,
     max_retries: int = 2,
+    parse_result=None,
 ) -> dict[str, DataFrame]:
     """Run the full two-language details chain over a scheduled batch.
 
@@ -112,6 +201,9 @@ def details_chain(
     from gepris_spark.operators import fetchparse
     from gepris_spark.operators.history import route_statuses
 
+    if parse_result is None:
+        parse_result = fetchparse.parse_result_stage
+
     parsed_de = parse(fetchparse.fetch_pages(scheduled_de, pages))
     if "attempt" in scheduled_de.columns:
         # the parse stage emits only the PARSED schema — re-attach the
@@ -126,8 +218,22 @@ def details_chain(
     cont = continuation_rows(terminal_de)
     parsed_en = parse(fetchparse.fetch_pages(cont, pages))
 
+    # A6 stages 3-4: projekt result pages, de then en, keyed off the
+    # en page's result tab (details.py:91-117). Both stages touch only
+    # the projekt-with-result subset — the fetch join prunes everything
+    # else before any html moves.
+    res_cont_de = result_continuation_rows(parsed_en)
+    result_de = parse_result(fetchparse.fetch_pages(res_cont_de, pages))
+    res_cont_en = result_de.where(F.col("status") == "success").select(
+        "url", "context", "item_id", F.lit("en").alias("language")
+    )
+    result_en = parse_result(fetchparse.fetch_pages(res_cont_en, pages))
+
     items = assemble_bilingual(
-        terminal_de.where(F.col("status") == "success"), parsed_en
+        terminal_de.where(F.col("status") == "success"),
+        parsed_en,
+        result_de=result_de,
+        result_en=result_en,
     )
     return {
         "items": items,

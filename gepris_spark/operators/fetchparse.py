@@ -183,6 +183,7 @@ def _parse_one(
         "phash": None,
         "psnr_db": None,
         "pixels_ok": None,
+        "result_href": None,
     }
     doc = parse_html(html)
 
@@ -241,6 +242,17 @@ def _parse_one(
         trees = extract_trees(content)
         if trees:
             out["trees_json"] = json.dumps(trees, ensure_ascii=False)
+
+        # A6 stages 3-4 trigger — the result tab link; the reference
+        # follows it only when EXACTLY one matches (details.py:91-96)
+        tab_links = [
+            a
+            for li in content.find_all("li")
+            if li.attrs.get("id") == "tabbutton2"
+            for a in li.find_all("a")
+        ]
+        if len(tab_links) == 1:
+            out["result_href"] = tab_links[0].attrs.get("href")
 
     # P12 — embedded image + caption
     img = doc.find("img")
@@ -481,3 +493,141 @@ def parse_stage(
     if num_partitions:
         out = out.repartition(num_partitions)
     return out.mapInPandas(run, schemas.PARSED)
+
+
+# ----------------------------------------------------- result-page parse
+# A6 stages 3-4 (spiders/details.py:98-117 + items.py:133-149 loader).
+
+_NO_ABSTRACT = ("Keine Zusammenfassung vorhanden", "No abstract available")
+# MapCompose(filter_parenthesis, filter_strings(..., '(Siehe online unter'))
+_PUB_DROP = ("(", ")", "(Siehe online unter")
+# normalisation/project_result_attributes.py:7-9
+_RESULT_ATTRIBUTES_MAP = {"Erstellungsjahr": "ergebnis_erstellungsjahr"}
+
+
+def _parse_result_one(
+    url: str,
+    html: str,
+    expected_language: str | None,
+    context: str | None,
+    item_id,
+) -> dict:
+    """Parse one projekt result page.
+
+    parse_project_result (details.py:98-117): summary from
+    #projektbeschreibung > p, attribute span rows normalised through
+    PROJEKT_RESULT_ATTRIBUTES_MAP (int-cast Erstellungsjahr), one
+    publication entry per ul.publications > li with the '(' / ')' /
+    '(Siehe online unter' chrome filtered out (items.py:136-138).
+    Unknown attribute keys quarantine instead of raising the
+    reference's UnexpectedFieldError (engine N1 policy)."""
+    out = {
+        "url": url,
+        "item_id": item_id,
+        "context": context,
+        "language": expected_language,
+        "status": "success",
+        "summary": None,
+        "erstellungsjahr": None,
+        "publications": None,
+        "unknown_result_keys": [],
+    }
+    doc = parse_html(html)
+
+    # same middleware validators as the details pages: the result fetch
+    # goes through details_request too (details.py:100-103)
+    title = doc.find("title")
+    title_text = _clean(" ".join(title.all_text())) if title else ""
+    if title_text in ("Page not found", "Seite nicht gefunden") or any(
+        _clean(" ".join(h2.all_text())) in ("Page not found", "Seite nicht gefunden")
+        for h2 in doc.find_all("h2")
+    ):
+        out["status"] = "moved"
+        return out
+    if doc.find("h2", cls="h2-context-title") is None or doc.find("abbr") is None:
+        out["status"] = "error"
+        return out
+    html_node = doc.find("html")
+    page_lang = (html_node.attrs.get("lang") if html_node else None) or ""
+    if expected_language and page_lang and page_lang != expected_language:
+        out["status"] = "retry"
+        return out
+
+    desc = next(
+        (n for n in doc.iter() if n.attrs.get("id") == "projektbeschreibung"), None
+    )
+    if desc is None:
+        out["status"] = "error"
+        return out
+
+    # summary: './p' children, Join() after the no-abstract filter
+    texts = [
+        t
+        for p in desc.child_elements()
+        if p.tag == "p"
+        for t in (_clean(s) for s in p.all_text())
+        if t != ""
+    ]
+    if len(texts) == 1 and texts[0] in _NO_ABSTRACT:
+        texts = []
+    out["summary"] = " ".join(texts) if texts else None
+
+    # attributes: './div' span rows -> recode through the result map
+    for div in (c for c in desc.child_elements() if c.tag == "div"):
+        spans = [c for c in div.child_elements() if c.tag == "span"]
+        for key, value in attributes_pairs_list(spans):
+            if key is None:
+                continue
+            if key in _RESULT_ATTRIBUTES_MAP:
+                first = value[0] if isinstance(value, list) and value else value
+                try:
+                    out["erstellungsjahr"] = int(first)
+                except (TypeError, ValueError):
+                    out["unknown_result_keys"] = out["unknown_result_keys"] + [key]
+            else:
+                out["unknown_result_keys"] = out["unknown_result_keys"] + [key]
+
+    # publications: one entry per './ul[@class="publications"]/li'
+    pubs = []
+    for ul in (c for c in desc.child_elements() if c.tag == "ul"):
+        if (ul.attrs.get("class") or "") != "publications":
+            continue
+        for li in (c for c in ul.child_elements() if c.tag == "li"):
+            parts = _extract_text_and_links(li)
+            if not isinstance(parts, list):
+                parts = [parts]
+            entry = [
+                p if isinstance(p, str) else json.dumps(p, ensure_ascii=False)
+                for p in parts
+                if not (isinstance(p, str) and p in _PUB_DROP)
+            ]
+            pubs.append(entry)
+    out["publications"] = pubs if pubs else None
+    return out
+
+
+def parse_result_stage(fetched: DataFrame) -> DataFrame:
+    """mapInPandas over fetched result pages -> RESULT_PARSED rows.
+    Same single-pass Arrow-batched shape as parse_stage; result pages
+    are text-only (no image decode), so the per-row cost is the DOM
+    walk alone."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _parse_result_one(
+                    r.url,
+                    r.html if isinstance(r.html, str) else "",
+                    getattr(r, "language", None),
+                    getattr(r, "context", None),
+                    getattr(r, "item_id", None),
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in schemas.RESULT_PARSED.fields])
+
+    cols = ["url", "language", "html"]
+    for opt in ("context", "item_id"):
+        if opt in fetched.columns:
+            cols.append(opt)
+    return fetched.select(*cols).mapInPandas(run, schemas.RESULT_PARSED)

@@ -64,6 +64,32 @@ def projekte_table(norm: DataFrame) -> DataFrame:
     )
 
 
+def attach_result_columns(projekte: DataFrame, items: DataFrame) -> DataFrame:
+    """The four ergebnis columns of the reference projekte table
+    (dfg-gepris.sql:310-335: item->'result'->…), extracted from the
+    bilingual item JSON and left-joined onto the typed projekte rows.
+
+    Broadcast-safe: the result subset is a fraction of projekte (only
+    tab-carrying items), and the join key is the same id the projekte
+    table is already partitioned on."""
+    res = items.where(F.col("context") == "projekt").select(
+        F.col("id"),
+        F.get_json_object("item", "$.result.ergebnis_zusammenfassung_de").alias(
+            "ergebnis_zusammenfassung_de"
+        ),
+        F.get_json_object("item", "$.result.ergebnis_zusammenfassung_en").alias(
+            "ergebnis_zusammenfassung_en"
+        ),
+        F.get_json_object("item", "$.result.ergebnis_publikationen").alias(
+            "ergebnis_publikationen"
+        ),
+        F.get_json_object("item", "$.result.attributes.ergebnis_erstellungsjahr")
+        .cast("int")
+        .alias("ergebnis_erstellungsjahr"),
+    )
+    return projekte.join(res, "id", "left")
+
+
 def personen_table(norm: DataFrame) -> DataFrame:
     """create_personen_from_items (dfg-gepris.sql:233-262): person rows
     with verstorben from the crucifix marker (F7) and gender guessed

@@ -161,5 +161,27 @@ PARSED = T.StructType(
         T.StructField("phash", T.LongType(), True),
         T.StructField("psnr_db", T.DoubleType(), True),
         T.StructField("pixels_ok", T.BooleanType(), True),
+        # projekt result-tab link (spiders/details.py:91-96: exactly one
+        # li#tabbutton2 > a triggers the 3rd/4th fetch of the chain)
+        T.StructField("result_href", T.StringType(), True),
+    ]
+)
+
+# ------------------------------------------------ result-page parse output
+# Projekt result pages (A6 stages 3-4; spiders/details.py:98-117).
+# publications: one array per <li> in ul.publications, elements are
+# cleaned strings or JSON-serialized {value,path} link refs — the same
+# string-or-ref serialization the attributes map uses.
+RESULT_PARSED = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("item_id", T.LongType(), True),
+        T.StructField("context", T.StringType(), True),
+        T.StructField("language", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("summary", T.StringType(), True),
+        T.StructField("erstellungsjahr", T.IntegerType(), True),
+        T.StructField("publications", T.ArrayType(T.ArrayType(T.StringType())), True),
+        T.StructField("unknown_result_keys", T.ArrayType(T.StringType()), True),
     ]
 )

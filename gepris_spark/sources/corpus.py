@@ -344,6 +344,60 @@ def gen_pages_df(spark, seeds, n_images: int = 24, seed: int = 42, languages=("d
     return res
 
 
+def has_result(item_id: int) -> bool:
+    """Whether a projekt carries a result tab (deterministic ~60%).
+
+    Mirrors GEPRIS, where only a subset of projekte have the
+    "Projektergebnisse" tab that triggers the 3rd/4th fetch of the
+    details chain (spiders/details.py:91-96)."""
+    return _stable_u64("hasresult", item_id) % 100 < 60
+
+
+def result_href(item_id: int) -> str:
+    """Root-relative result-tab href, as on the live site."""
+    return f"/gepris/projekt/{item_id}/ergebnisse"
+
+
+def _result_page_html(item_id: int, language: str, status: str) -> str:
+    """Projekt result page (spiders/details.py:98-117 grammar):
+    #projektbeschreibung with summary <p>, attribute span rows
+    (Erstellungsjahr -> normalisation/project_result_attributes.py:7-9)
+    and ul.publications entries whose trailing '(Siehe online unter'
+    chrome the loader must filter (items.py:133-149)."""
+    if status == "moved":
+        title = "Page not found" if language == "en" else "Seite nicht gefunden"
+        return f"<html><head><title>{title}</title></head><body><h2>{title}</h2></body></html>"
+    h = _stable_u64("ressum", item_id, language)
+    if h % 10 == 0:
+        summary = (
+            "Keine Zusammenfassung vorhanden" if language == "de" else "No abstract available"
+        )
+    else:
+        summary = (
+            f"Ergebnisbericht  {item_id}: Abschluss und  Auswertung ({language})."
+        )
+    year = 2005 + _stable_u64("resyear", item_id) % 18
+    pubs = []
+    for j in range(1 + h % 3):
+        pubs.append(
+            f"<li>Autor {item_id}-{j} (2020): Titel {item_id}-{j}"
+            f'<a href="https://doi.org/10.5555/{item_id}.{j}">DOI {item_id}.{j}</a>'
+            f'(Siehe online unter<a href="https://dx.doi.org/10.5555/{item_id}.{j}">'
+            f"https://dx.doi.org/10.5555/{item_id}.{j}</a>)</li>"
+        )
+    return (
+        f'<html lang="{language}"><head><title>GEPRIS</title></head><body>'
+        f'<abbr title="Deutsche Forschungsgemeinschaft">DFG</abbr>'
+        f'<h2 class="h2-context-title">projekt</h2>'
+        f'<div id="projektbeschreibung">'
+        f"<p>{summary}</p>"
+        f'<div><span class="name1">Erstellungsjahr</span>'
+        f'<span class="value1">{year}</span></div>'
+        f'<ul class="publications">{"".join(pubs)}</ul>'
+        f"</div></body></html>"
+    )
+
+
 def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
                image_fmt: str | None, caption: str | None, status: str,
                image_id: str | None = None) -> str:
@@ -382,12 +436,18 @@ def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
             f'<figure><img{id_attr} src="data:image/{image_fmt};base64,{image_b64}"/>'
             f"<figcaption>{caption}</figcaption></figure>"
         )
+    tabs = ""
+    if context == "projekt" and has_result(item_id):
+        tabs = (
+            '<ul class="tabs"><li id="tabbutton1"><a href="#">Details</a></li>'
+            f'<li id="tabbutton2"><a href="{result_href(item_id)}">Projektergebnisse</a></li></ul>'
+        )
     return (
         f'<html lang="{page_lang}"><head><title>GEPRIS</title></head><body>'
         f'<abbr title="Deutsche Forschungsgemeinschaft">DFG</abbr>'
         f'<h2 class="h2-context-title">{context}</h2>'
         f'<h1 class="facelift">Eintrag {item_id}  ({context})</h1>'
-        f'<div class="content_inside">{"".join(spans)}{tree}{figure}</div>'
+        f'<div class="content_inside">{tabs}{"".join(spans)}{tree}{figure}</div>'
         f"</body></html>"
     )
 
@@ -431,6 +491,26 @@ def gen_pages_pdf(seeds_pdf: pd.DataFrame, images_pdf: pd.DataFrame, seed: int =
                     "fetch_cost_ms": int(5 + (h >> 16) % 45),
                 }
             )
+        # projekt result pages (A6 stages 3-4, spiders/details.py:91-117):
+        # the server serves them whenever the projekt has a result tab;
+        # whether they get fetched depends on the en detail page parse
+        if row.context == "projekt" and has_result(int(row.item_id)):
+            base = row.url.split("?")[0]
+            host = base.split("/")[2]
+            res_url = f"https://{host}{result_href(int(row.item_id))}"
+            for language in ("de", "en"):
+                hr = _stable_u64(seed, "respage", res_url, language)
+                res_status = "success" if hr % 100 < 96 else "moved"
+                rows.append(
+                    {
+                        "url": res_url,
+                        "language": language,
+                        "status": res_status,
+                        "html": _result_page_html(int(row.item_id), language, res_status),
+                        "embedded_image_ids": [],
+                        "fetch_cost_ms": int(5 + (hr >> 16) % 45),
+                    }
+                )
     return pd.DataFrame(rows)
 
 
