@@ -202,6 +202,76 @@ class Frontier:
         )
         return self._commit(flagged)
 
+    def mark_projekte_for_moved_references(
+        self, history: DataFrame, runs: DataFrame, context: str, run_id: int
+    ) -> int:
+        """Q5 end-to-end — moved persons/institutions invalidate the
+        projekte that reference them
+        (database.py:163-188
+        mark_detail_check_needed_on_projekts_for_moved_person_institution):
+
+          moved = history rows of THIS run with status='moved'
+          refs  = latest_{person|institution}_projekt_references
+                  (the Q3 explosion over latest_detail_items,
+                  dfg-gepris.sql:100-115)
+          flag every projekt_id whose referenced id moved
+
+        The moved set is tiny (a GEPRIS renumbering event), so the
+        ref-edge join broadcasts it; the frontier UPDATE reuses the
+        bucket-pruned MERGE of mark_check_needed_for_ids."""
+        from gepris_spark.plans import views
+
+        if context == "person":
+            refs = views.person_projekt_references(
+                views.latest_detail_items(history, runs)
+            )
+            key = "person_id"
+        elif context == "institution":
+            refs = views.institution_projekt_references(
+                views.latest_detail_items(history, runs)
+            )
+            key = "institution_id"
+        else:
+            raise ValueError(f"context must be person|institution, was {context!r}")
+        moved = history.where(
+            (F.col("created_at") == run_id) & (F.col("status") == "moved")
+        ).select(F.col("id").alias("_moved_id"))
+        projekt_ids = (
+            refs.join(F.broadcast(moved), refs[key] == F.col("_moved_id"))
+            .select(F.col("projekt_id").alias("id"))
+            .distinct()
+        )
+        return self.mark_check_needed_for_ids(projekt_ids)
+
+    def mark_roots_for_moved_subinstitutions(
+        self, history: DataFrame, runs: DataFrame, run_id: int
+    ) -> int:
+        """Q6 end-to-end — a moved sub-institution invalidates its tree
+        root (database.py:190-207
+        mark_detail_check_needed_on_root_institutions_for_moved_sub_institution):
+
+          moved = this run's status='moved' history rows
+          hier  = institution_hierarchy closure over latest_items
+                  (dfg-gepris.sql:117-141)
+          flag root_id of every moved row with a non-null parent
+          (a moved ROOT flags itself — matching the reference, whose
+          join keys on hierarchy.id with parent_id NOT NULL)."""
+        from gepris_spark.plans import views
+
+        hier = views.institution_hierarchy(
+            views.latest_items(self.read(), history, runs)
+        )
+        moved = history.where(
+            (F.col("created_at") == run_id) & (F.col("status") == "moved")
+        ).select(F.col("id").alias("_moved_id"))
+        root_ids = (
+            hier.where(F.col("parent_id").isNotNull())
+            .join(F.broadcast(moved), hier["id"] == F.col("_moved_id"))
+            .select(F.col("root_id").alias("id"))
+            .distinct()
+        )
+        return self.mark_check_needed_for_ids(root_ids)
+
     # ---------------------------------------------------------------- A2
     def get_ids(
         self,

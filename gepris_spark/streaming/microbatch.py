@@ -302,6 +302,42 @@ class CrawlEngine:
             ),
             run_id,
         )
+
+        # close-of-run database operations (pipelines.py:34-46):
+        # projekt runs discover newly-referenced persons (Q4); person/
+        # institution runs invalidate dependents of moved ids (Q5/Q6).
+        # The context/moved probes are O(contexts) driver lookups, so a
+        # clean batch pays nothing beyond two tiny aggregations.
+        from gepris_spark.plans import views
+
+        batch_contexts = {
+            r["context"]
+            for r in batch_rows.select("context").distinct().collect()
+            if r["context"]
+        }
+        moved_contexts = {
+            r["context"]
+            for r in nonsuccess.where(F.col("status") == "moved")
+            .select("context")
+            .distinct()
+            .collect()
+            if r["context"]
+        }
+        hist_df = history.read()
+        if "projekt" in batch_contexts:
+            run_refs = views.person_projekt_references(
+                hist_df.where(
+                    (F.col("created_at") == run_id) & (F.col("context") == "projekt")
+                ).where(F.col("status") == "success")
+            )
+            frontier.discover_new_persons(
+                run_refs.select(F.col("person_id").alias("id")), run_id
+            )
+        for ctx in ("person", "institution"):
+            if ctx in moved_contexts:
+                frontier.mark_projekte_for_moved_references(hist_df, runs, ctx, run_id)
+        if "institution" in moved_contexts:
+            frontier.mark_roots_for_moved_subinstitutions(hist_df, runs, run_id)
         return {
             "run_id": run_id,
             "n_items": items.count(),
