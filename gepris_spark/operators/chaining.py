@@ -185,6 +185,7 @@ def details_chain(
     parse,
     max_retries: int = 2,
     parse_result=None,
+    broadcast_fetch: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the full two-language details chain over a scheduled batch.
 
@@ -204,7 +205,7 @@ def details_chain(
     if parse_result is None:
         parse_result = fetchparse.parse_result_stage
 
-    parsed_de = parse(fetchparse.fetch_pages(scheduled_de, pages))
+    parsed_de = parse(fetchparse.fetch_pages(scheduled_de, pages, broadcast_fetch))
     if "attempt" in scheduled_de.columns:
         # the parse stage emits only the PARSED schema — re-attach the
         # retry budget so route_statuses can exhaust it (urls are
@@ -212,22 +213,33 @@ def details_chain(
         parsed_de = parsed_de.join(
             scheduled_de.select("url", "attempt").dropDuplicates(["url"]), "url", "left"
         )
+    # the chain DAG is a diamond: the en stage re-derives from the de
+    # parse, the result stages from the en parse, and the final item
+    # join consumes all four — without a persist at each stage boundary
+    # every downstream action re-executes the whole upstream fetch+parse
+    # once per path (measured 14-23x at batch scale). MEMORY_AND_DISK
+    # persists (not checkpoints) keep lineage for AQE while bounding
+    # each stage to one execution; run_details_batch unpersists via the
+    # returned `_cached` handles once the batch is committed.
+    parsed_de = parsed_de.persist()
     routed = route_statuses(parsed_de, max_retries=max_retries)
     terminal_de = routed["terminal"]
 
     cont = continuation_rows(terminal_de)
-    parsed_en = parse(fetchparse.fetch_pages(cont, pages))
+    parsed_en = parse(fetchparse.fetch_pages(cont, pages, broadcast_fetch)).persist()
 
     # A6 stages 3-4: projekt result pages, de then en, keyed off the
     # en page's result tab (details.py:91-117). Both stages touch only
     # the projekt-with-result subset — the fetch join prunes everything
     # else before any html moves.
     res_cont_de = result_continuation_rows(parsed_en)
-    result_de = parse_result(fetchparse.fetch_pages(res_cont_de, pages))
+    result_de = parse_result(
+        fetchparse.fetch_pages(res_cont_de, pages, broadcast_fetch)
+    ).persist()
     res_cont_en = result_de.where(F.col("status") == "success").select(
         "url", "context", "item_id", F.lit("en").alias("language")
     )
-    result_en = parse_result(fetchparse.fetch_pages(res_cont_en, pages))
+    result_en = parse_result(fetchparse.fetch_pages(res_cont_en, pages, broadcast_fetch))
 
     items = assemble_bilingual(
         terminal_de.where(F.col("status") == "success"),
@@ -241,4 +253,6 @@ def details_chain(
         # drop the threaded attempt column so terminal outputs have a
         # stable schema whether or not the batch carried a retry budget
         "terminal_nonsuccess": terminal_de.where(F.col("status") != "success").drop("attempt"),
+        # persisted stage boundaries — callers unpersist after consuming
+        "_cached": [parsed_de, parsed_en, result_de],
     }

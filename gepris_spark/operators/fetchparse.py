@@ -410,19 +410,40 @@ def parse_search_stage(fetched: DataFrame) -> DataFrame:
     return fetched.select("url", "context", "html").mapInPandas(run, out_schema)
 
 
-def fetch_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+# Above this many scheduled rows the fetch join stops broadcasting the
+# batch: a broadcast side is rebuilt on every executor and lives in
+# driver+executor memory, so a design-point 50M-row batch would OOM.
+# 2M rows of (url, context, ids) ≈ 250 MB serialized — safely under a
+# default 1 GiB driver maxResultSize while covering every sane batch.
+FETCH_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def fetch_pages(
+    scheduled: DataFrame,
+    pages: DataFrame,
+    broadcast_scheduled: bool = True,
+) -> DataFrame:
     """S7/S8 — the corpus-backed fetch: left join on (url, language).
 
     Missing pages surface as status='error' rows (connection failure
     analogue).
 
-    Physical plan: the batch of scheduled urls is small (bounded by the
-    per-batch budget) while the page store is the big side — so the
+    Physical plan: while the batch of scheduled urls is small (bounded
+    by the per-batch budget) and the page store is the big side, the
     SCHEDULED side is broadcast and pages STREAM through a
     broadcast-hash join with zero shuffle of the multi-KB html rows.
-    The left-outer semantics (keep scheduled rows with no page) come
-    from a second, column-pruned anti-join pass: it rescans only the
-    (url, language) columns of the parquet, never the html.
+
+    `broadcast_scheduled` is a CALLER-SUPPLIED hint, not a runtime
+    probe: the scheduled side is often a derived plan (retry sets,
+    en/result continuations hang off a parse stage), so counting it
+    here would re-execute that upstream lineage once per fetch. Callers
+    know their batch budget — pass False whenever it can exceed
+    FETCH_BROADCAST_MAX_ROWS (BASELINE.md design-point batches are
+    >=50M rows; broadcasting those OOMs every executor) and the join
+    falls back to a shuffle join on (url, language) with AQE free to
+    re-plan. The left-outer semantics (keep scheduled rows with no
+    page) come from a second, column-pruned anti-join pass: it rescans
+    only the (url, language) columns of the parquet, never the html.
     """
     pages_sel = pages.select(
         F.col("url").alias("_p_url"),
@@ -434,7 +455,8 @@ def fetch_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
     cond = (scheduled["url"] == F.col("_p_url")) & (
         scheduled["language"] == F.col("_p_language")
     )
-    found = pages_sel.join(F.broadcast(scheduled), cond, "inner").drop(
+    sched_side = F.broadcast(scheduled) if broadcast_scheduled else scheduled
+    found = pages_sel.join(sched_side, cond, "inner").drop(
         "_p_url", "_p_language"
     )
     page_keys = pages.select(

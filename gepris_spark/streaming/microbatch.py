@@ -260,14 +260,28 @@ class CrawlEngine:
         from gepris_spark.operators.frontier import Frontier
         from gepris_spark.operators.history import History
 
+        # broadcast only while the configured batch budget fits the
+        # fetch-join ceiling; a >=50M-row design-point batch must take
+        # the shuffle-join path (fetchparse.FETCH_BROADCAST_MAX_ROWS)
+        bcast = self.config.batch_size <= fetchparse.FETCH_BROADCAST_MAX_ROWS
         result = chaining.details_chain(
-            scheduled, pages, fetchparse.parse_stage, max_retries=max_retries
+            scheduled,
+            pages,
+            fetchparse.parse_stage,
+            max_retries=max_retries,
+            broadcast_fetch=bcast,
         )
         items, nonsuccess = result["items"], result["terminal_nonsuccess"]
-        retry = result["retry"]
+        cached = list(result.get("_cached", []))
         # A5: re-fetch retries until the attempt budget is gone; the
         # corpus fetch is deterministic, so retries that keep failing
-        # drain to terminal errors via route_statuses' exhaustion rule
+        # drain to terminal errors via route_statuses' exhaustion rule.
+        # Each iteration's retry set is localCheckpoint'd (eager) so the
+        # isEmpty probe and the next chain never re-execute the full
+        # upstream fetch+parse lineage; items/nonsuccess unions are
+        # likewise checkpointed per iteration, as downstream runs >1
+        # action over them (history insert, frontier mark, counts).
+        retry = result["retry"].localCheckpoint(eager=True)
         attempt = 0
         while attempt < max_retries:
             if retry.isEmpty():
@@ -277,11 +291,20 @@ class CrawlEngine:
                 pages,
                 fetchparse.parse_stage,
                 max_retries=max_retries,
+                broadcast_fetch=bcast,
             )
             items = items.unionByName(again["items"])
             nonsuccess = nonsuccess.unionByName(again["terminal_nonsuccess"])
-            retry = again["retry"]
+            retry = again["retry"].localCheckpoint(eager=True)
+            cached.extend(again.get("_cached", []))
             attempt += 1
+        items = items.localCheckpoint(eager=True)
+        nonsuccess = nonsuccess.localCheckpoint(eager=True)
+        # the checkpoints above materialized everything downstream of
+        # the chain's stage-boundary persists — release them now so a
+        # long-running engine doesn't accumulate cached batches
+        for df in cached:
+            df.unpersist()
 
         history = History(self.spark, self.store)
         batch_rows = items.select(

@@ -21,8 +21,9 @@ def chain_result(spark, corpus_dir):
         .withColumn("language", F.lit("de"))
     )
     out = chaining.details_chain(batch, pages, fetchparse.parse_stage)
-    for df in out.values():
-        df.persist().count()
+    for name, df in out.items():
+        if not name.startswith("_"):
+            df.persist().count()
     return out
 
 
