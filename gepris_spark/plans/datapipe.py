@@ -192,21 +192,105 @@ ORDER BY sh.doc_id
 # ---------------------------------------------------------- ngram jaccard
 _JACCARD_THRESHOLD = 0.5
 
+# Pairwise-verifier sub-block cap: no single applyInPandas task ever
+# holds more than 2 sub-blocks of this many docs, whatever the block
+# key's skew. At 100 TB a hot block (one `source`, one LSH bucket, one
+# IVF cell) can hold millions of docs — without the cap that is one
+# task with an O(n^2) scratch matrix.
+_PAIR_BLOCK_CAP = 4096
+
+
+def _subblocked(df, block_col: str, id_col: str, cap: int):
+    """Salted all-pairs co-grouping: split each block into
+    ceil(n/cap)-doc sub-blocks by id hash and replicate every row to
+    each unordered sub-block pair (i<=j) it participates in.
+
+    Returns df + (i, j, _sub) with exactly one copy of each row per
+    pair task, so every within-block doc pair is scored exactly once:
+    (a, b) lands only in task (sub(a), sub(b)). Replication factor is
+    nsub — the inherent O(n^2/cap) all-pairs cost, now spread over
+    nsub^2 bounded tasks instead of one unbounded one. For unskewed
+    blocks (n <= cap) the plan collapses to one task per block with no
+    replication."""
+    counts = df.groupBy(block_col).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("_nsub")
+    )
+    withsub = df.join(F.broadcast(counts), block_col).withColumn(
+        "_sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsub")).cast("int")
+    )
+    return (
+        withsub.withColumn("_t", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)))
+        .withColumn("i", F.least("_sub", "_t"))
+        .withColumn("j", F.greatest("_sub", "_t"))
+        .drop("_t", "_nsub")
+    )
+
+
+def _ranges(starts, lens):
+    """Concatenated arange(s, s+l) per (s, l) pair, fully vectorized."""
+    import numpy as np
+
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(lens)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
+
+
+def _intersection_counts(rows_a, cols_a, n_a, rows_b, cols_b, n_b):
+    """Exact co-occurrence counts C[n_a, n_b] (#shared cols per row
+    pair) via per-column posting-list cartesian expansion — linear in
+    the true number of (pair, shared-col) incidences, no dense
+    doc x vocab matrix anywhere. This is the same work the inverted-
+    index SQL join does, but bounded to one sub-block pair per task."""
+    import numpy as np
+
+    C = np.zeros((n_a, n_b), dtype=np.int32)
+    if len(cols_a) == 0 or len(cols_b) == 0:
+        return C
+    oa = np.argsort(cols_a, kind="stable")
+    ca, ra = cols_a[oa], rows_a[oa]
+    ob = np.argsort(cols_b, kind="stable")
+    cb, rb = cols_b[ob], rows_b[ob]
+    ua, sa = np.unique(ca, return_index=True)
+    ub, sb = np.unique(cb, return_index=True)
+    _, ia, ib = np.intersect1d(ua, ub, return_indices=True, assume_unique=True)
+    if len(ia) == 0:
+        return C
+    la = np.diff(np.append(sa, len(ca)))[ia]
+    lb = np.diff(np.append(sb, len(cb)))[ib]
+    # A postings of shared cols, grouped by col
+    a_rows_c = ra[_ranges(sa[ia], la)]
+    # each A posting repeated |B postings of its col| times
+    pairs_a = np.repeat(a_rows_c, np.repeat(lb, la))
+    # for each A posting, the full B posting segment of its col
+    pairs_b = rb[_ranges(np.repeat(sb[ib], la), np.repeat(lb, la))]
+    np.add.at(C, (pairs_a, pairs_b), 1)
+    return C
+
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-3-gram Jaccard near-dup pairs: blocked exact verification.
 
     Scale design: this operator is the *exact verifier* that pairs with
     a linear candidate generator (the LSH plan in q_dedup_minhash) —
-    blocks (here `source`; at 100 TB an LSH bucket id) are bounded, so
-    within-block pairwise scoring is O(sum b_k^2) with small b_k,
-    parallel across blocks. Scoring runs as one Arrow-batched
-    applyInPandas doing set intersections per block — no inverted-index
-    self-join, whose intermediate (sum over hot (source,gram) buckets
-    of n^2) explodes to ~10^8 rows at sf0.1 on gram-dense corpora.
-    Skew guard at scale: cap block size upstream (LSH band width) or
-    sub-block + merge. Jaccard arithmetic + threshold stay in Spark
-    built-ins so rounding matches the oracle bit-for-bit."""
+    blocks (here `source`; at 100 TB an LSH bucket id) are scored
+    pairwise, and TWO bounds make that safe under arbitrary skew:
+
+    1. plan-level sub-block + merge (`_subblocked`): a block bigger
+       than _PAIR_BLOCK_CAP docs is salted into sub-blocks and every
+       unordered sub-block pair becomes its own applyInPandas task, so
+       no task holds more than 2*cap docs no matter how hot the key;
+    2. task-level posting-list scoring (`_intersection_counts`): shared
+       grams are counted through per-column posting expansion, linear
+       in true pair-incidences — the round-1 dense doc x vocab matrix
+       (O(n*V) memory, OOM on gram-dense hot blocks) is gone.
+
+    Jaccard arithmetic + threshold stay in Spark built-ins so rounding
+    matches the oracle bit-for-bit."""
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents")
@@ -214,34 +298,64 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", TS.char_ngrams(F.col("text"), 3).alias("g")
     ).where(F.size("g") > 0)
 
+    def _encode(sub: pd.DataFrame, vocab: dict):
+        import numpy as np
+
+        rows, cols = [], []
+        sizes = np.empty(len(sub), dtype=np.int64)
+        for r, g in enumerate(sub["g"]):
+            uniq = set(g)
+            sizes[r] = len(uniq)
+            for s in uniq:
+                rows.append(r)
+                cols.append(vocab.setdefault(s, len(vocab)))
+        return (
+            np.asarray(rows, dtype=np.int64),
+            np.asarray(cols, dtype=np.int64),
+            sizes,
+        )
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        si, sj = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])
         pdf = pdf.sort_values("doc_id")
-        ids = pdf["doc_id"].to_numpy()
         vocab: dict[str, int] = {}
-        for g in pdf["g"]:
-            for s in g:
-                vocab.setdefault(s, len(vocab))
-        m = np.zeros((len(ids), len(vocab)), dtype=np.float32)
-        for i, g in enumerate(pdf["g"]):
-            m[i, [vocab[s] for s in g]] = 1.0
-        inter = m @ m.T  # n_inter for every pair, one BLAS call
-        sizes = m.sum(axis=1).astype(np.int64)
-        ai, bj = np.triu_indices(len(ids), k=1)
+        if si == sj:
+            sub = pdf
+            rows, cols, sizes = _encode(sub, vocab)
+            ids = sub["doc_id"].to_numpy()
+            inter = _intersection_counts(rows, cols, len(ids), rows, cols, len(ids))
+            ai, bj = np.triu_indices(len(ids), k=1)
+            ids_a = ids_b = ids
+            sz_a = sz_b = sizes
+        else:
+            A = pdf[pdf["_sub"] == si]
+            B = pdf[pdf["_sub"] == sj]
+            rows_a, cols_a, sz_a = _encode(A, vocab)
+            rows_b, cols_b, sz_b = _encode(B, vocab)
+            ids_a, ids_b = A["doc_id"].to_numpy(), B["doc_id"].to_numpy()
+            inter = _intersection_counts(
+                rows_a, cols_a, len(ids_a), rows_b, cols_b, len(ids_b)
+            )
+            ai, bj = np.indices(inter.shape).reshape(2, -1)
         keep = inter[ai, bj] > 0
         ai, bj = ai[keep], bj[keep]
+        da, db = ids_a[ai], ids_b[bj]
+        lo = np.minimum(da, db)
         return pd.DataFrame(
             {
-                "doc_a": ids[ai],
-                "doc_b": ids[bj],
+                "doc_a": lo,
+                "doc_b": np.maximum(da, db),
                 "n_inter": inter[ai, bj].astype(np.int64),
-                "n_a": sizes[ai],
-                "n_b": sizes[bj],
+                "n_a": sz_a[ai],
+                "n_b": sz_b[bj],
             }
         )
 
-    scored = grams.groupBy("source").applyInPandas(
+    scored = _subblocked(grams, "source", "doc_id", _PAIR_BLOCK_CAP).groupBy(
+        "source", "i", "j"
+    ).applyInPandas(
         block_pairs, "doc_a long, doc_b long, n_inter long, n_a long, n_b long"
     )
     return (
@@ -299,28 +413,56 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization / IVF — same plan). Within a block the full cosine
     matrix is ONE numpy matmul inside applyInPandas — vectorized Arrow
     path, ~100x the per-pair zip_with/aggregate expression, and the
-    only shuffle is the groupBy(label). Block sizes are bounded by the
-    quantizer, so per-task memory is O(block^2) with small blocks.
+    only shuffle is the groupBy. A quantizer usually bounds block
+    sizes, but nothing guarantees it: `_subblocked` enforces a hard
+    _PAIR_BLOCK_CAP so a pathologically hot label becomes a grid of
+    bounded sub-block-pair tasks (<= 2*cap vectors, O(cap^2) scores
+    each) instead of one task with an unbounded n x n matrix.
     Rounding + thresholding happen Spark-side to match the oracle."""
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
 
+    def _mat(sub: pd.DataFrame):
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in sub["embedding"]])
+        return m, np.sqrt((m * m).sum(axis=1))
+
     def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        si, sj = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])
         pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-        norms = np.sqrt((m * m).sum(axis=1))
-        cos = (m @ m.T) / np.outer(norms, norms)
-        ai, bj = np.triu_indices(len(ids), k=1)
+        # dot/(|a|*|b|) exactly as round 1 (and the DuckDB oracle):
+        # normalize-then-matmul would shift values at the 1e-16 level
+        if si == sj:
+            ids = pdf["vec_id"].to_numpy()
+            m, norms = _mat(pdf)
+            cos = (m @ m.T) / np.outer(norms, norms)
+            ai, bj = np.triu_indices(len(ids), k=1)
+            ids_a = ids_b = ids
+        else:
+            A = pdf[pdf["_sub"] == si]
+            B = pdf[pdf["_sub"] == sj]
+            if len(A) == 0 or len(B) == 0:  # a hash-empty sub-block
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "_cos": []}).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "_cos": "float64"}
+                )
+            ids_a, ids_b = A["vec_id"].to_numpy(), B["vec_id"].to_numpy()
+            ma, na = _mat(A)
+            mb, nb = _mat(B)
+            cos = (ma @ mb.T) / np.outer(na, nb)
+            ai, bj = np.indices(cos.shape).reshape(2, -1)
+        va, vb = ids_a[ai], ids_b[bj]
         return pd.DataFrame(
-            {"vec_a": ids[ai], "vec_b": ids[bj], "_cos": cos[ai, bj]}
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "_cos": cos[ai, bj],
+            }
         )
 
-    scored = emb.groupBy("label").applyInPandas(
-        block_cosine, "vec_a long, vec_b long, _cos double"
-    )
+    scored = _subblocked(emb, "label", "vec_id", _PAIR_BLOCK_CAP).groupBy(
+        "label", "i", "j"
+    ).applyInPandas(block_cosine, "vec_a long, vec_b long, _cos double")
     return (
         scored.withColumn("cosine", F.round(F.col("_cos"), 4))
         .where(F.col("cosine") >= _COSINE_THRESHOLD)
