@@ -120,19 +120,35 @@ def quality_score(text: Column) -> Column:
     return _bind(tokens(text), body)
 
 
+# Mersenne prime 2^61-1: the fingerprint accumulator is reduced mod
+# this on every step, so the running value stays < 2^61 and the
+# per-step add (< 2^61 + 2^31*n_tokens) can't overflow int64 for any
+# document under 2^30 tokens. The DuckDB oracle applies the same mod to
+# its (HUGEINT) total — identical residues because mod distributes over
+# the sum.
+FINGERPRINT_MOD = 2305843009213693951
+
+
 def fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint (rolling-hash style):
 
-      sum over tokens of (hash60(token) mod 2^31) * position_1based
+      (sum over tokens of (hash60(token) mod 2^31) * position_1based)
+        mod FINGERPRINT_MOD
 
-    Bounded: (2^31)*(pos<=~1e5) summed stays well inside int64.
-    DuckDB form uses unnest + generate_subscripts.
-    """
+    Without the modulus the sum overflows int64 around 10^4.5-token
+    documents ((2^31) * n^2 / 2); the synthetic corpus never gets
+    there, a real crawl does. Each term is < 2^31 * n, exact in int64
+    up to n = 2^30 tokens/doc. DuckDB form uses unnest +
+    generate_subscripts."""
     toks = tokens(text)
     weighted = F.transform(
         toks, lambda t, i: F.pmod(hash60(t), F.lit(2147483648)) * (i.cast("long") + 1)
     )
-    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.aggregate(
+        weighted,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc + x, F.lit(FINGERPRINT_MOD)),
+    )
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:

@@ -190,8 +190,12 @@ class Frontier:
         and a person sharing an id are both flagged.
         """
         frontier = self.read()
+        # no explicit broadcast: invalidation sets are usually tiny but
+        # nothing bounds them (a full-corpus renumbering flags every
+        # projekt) — AQE picks broadcast-hash at runtime when the
+        # distinct id set is actually small
         flagged = (
-            frontier.join(F.broadcast(ids.select("id").distinct()).withColumn("_hit", F.lit(True)), "id", "left")
+            frontier.join(ids.select("id").distinct().withColumn("_hit", F.lit(True)), "id", "left")
             .select(
                 *[F.col(c) for c in schemas.FRONTIER.fieldNames() if c != "detail_check_needed"],
                 F.when(F.col("_hit"), F.lit(True))

@@ -148,21 +148,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(toks, lambda t: TS.hash60(t)).alias("_th"),
     )
 
-    def _bit_sum(b: int):
-        # b must be a Python int: shiftright takes a literal shift
-        return F.aggregate(
-            "_th",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    simhash = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(_bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
+    # single-pass fold: ONE traversal of the token-hash array carrying
+    # all 32 bit-counters in an array accumulator (the 32-aggregate
+    # formulation scanned the array once per bit). Bit b of h is tested
+    # with h & (1<<b) != 0 — no shifts, no double division, exact for
+    # the 60-bit hash.
+    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(_SIMHASH_BITS)])
+    votes = F.aggregate(
+        "_th",
+        F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    voted = with_hashes.select("doc_id", "n_tokens", votes.alias("_votes"))
+    simhash = F.aggregate(
+        F.zip_with(
+            F.col("_votes"),
+            pows,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return (
-        with_hashes.select("doc_id", simhash.alias("simhash"), "n_tokens")
+        voted.select("doc_id", simhash.alias("simhash"), "n_tokens")
         .where(F.col("n_tokens") > 0)
         .orderBy("doc_id")
     )
@@ -725,7 +737,8 @@ SQL_FINGERPRINT = f"""
 SELECT doc_id,
        CAST(coalesce((SELECT sum(({_sql_hash60("tok")} % 2147483648) * pos)
                  FROM (SELECT unnest({_SQL_TOKENS}) AS tok,
-                              generate_subscripts({_SQL_TOKENS}, 1) AS pos)), 0) AS BIGINT)
+                              generate_subscripts({_SQL_TOKENS}, 1) AS pos)), 0)
+            % {TS.FINGERPRINT_MOD} AS BIGINT)
          AS fingerprint
 FROM documents ORDER BY doc_id
 """
