@@ -5,8 +5,9 @@ typed metadata (schemas.IMAGES is the image instance). Every per-row
 compute here is a `mapInPandas` stage over Arrow batches with numpy
 inside — no per-row Python UDFs.
 
-Real in this container: png/qdct decode, verify, resize, rgb feature
-extraction, phash. Stubbed (library absent): jpeg decode (PIL), audio
+Real in this container: png/qdct/jpeg decode (jpeg is the pure-numpy
+baseline JFIF codec in codecs/jpeg.py), verify, resize, rgb feature
+extraction, phash. Stubbed (library absent): audio
 decode, video frame-sampling — each raises a clearly-marked
 NotImplementedError from the same tested plumbing, so swapping a real
 decoder in changes one function, not the plan.

@@ -82,12 +82,12 @@ def caption_for(image_index: int) -> str:
 
 
 def gen_images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
-    """IMAGES rows (input_hint schema). fmt alternates png (lossless)
-    and qdct (lossy, exercises PSNR>=40dB)."""
+    """IMAGES rows (input_hint schema). fmt cycles png (lossless),
+    qdct and real baseline jpeg (both lossy, exercise PSNR>=40dB)."""
     rows = []
     for i in range(n):
         pixels = ref_pixels(i, seed)
-        fmt = "png" if i % 2 == 0 else "qdct"
+        fmt = ("png", "qdct", "jpeg")[i % 3]
         data = imagecodec.encode(pixels, fmt)
         rows.append(
             {
