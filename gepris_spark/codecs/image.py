@@ -15,6 +15,8 @@ Formats:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from gepris_spark.codecs import jpeg, png, qdct
@@ -26,8 +28,8 @@ PSNR_LOSSY_THRESHOLD_DB = 40.0
 JPEG_QUALITY = 98
 
 
-def decode(data: bytes, fmt: str) -> np.ndarray:
-    """Decode an encoded image to (h, w, 3) uint8 pixels."""
+@functools.lru_cache(maxsize=512)
+def _decode_cached(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png.decode(data)
     if fmt == "qdct":
@@ -35,6 +37,17 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt in ("jpeg", "jpg"):
         return jpeg.decode(data)
     raise ValueError(f"unknown image format {fmt!r}")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    """Decode an encoded image to (h, w, 3) uint8 pixels.
+
+    Per-worker LRU on the payload bytes: crawled corpora repeat images
+    (logos, figures reused across pages), and the decode is the only
+    per-row cost that doesn't vectorize — a hit skips it entirely. 512
+    entries x <=64 KB pixels bounds the cache at ~32 MB per worker.
+    Returns a copy so callers can't corrupt the cached pixels."""
+    return _decode_cached(bytes(data), fmt).copy()
 
 
 def encode(pixels: np.ndarray, fmt: str, quality: int | None = None) -> bytes:

@@ -143,11 +143,16 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value, for the bit-at-a-time reader."""
-    return {
-        (length, code): v for v, (code, length) in _canonical_codes(bits, vals).items()
-    }
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_lut(dht_payload: bytes):
+    """LUT build + tolist costs ~2 ms; files produced with the typical
+    Annex-K tables all share the same DHT payloads, so cache on them."""
+    bits = list(dht_payload[:16])
+    vals = list(dht_payload[16:])
+    return _prefix_lut(bits, vals)
 
 
 class _BitWriter:
@@ -173,41 +178,40 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
+def _prefix_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-prefix Huffman lookup: LUT[window] -> (value, code length).
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("jpeg: entropy data exhausted")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("jpeg: unexpected marker in entropy data")
-                self.pos += 1  # drop the stuffed 0x00
-            self.acc = byte
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    Every canonical code of length L owns the 2^(16-L) windows starting
+    with it, so one array index decodes a symbol — no per-bit loop."""
+    lut_val = np.full(1 << 16, -1, dtype=np.int32)
+    lut_len = np.zeros(1 << 16, dtype=np.int32)
+    for v, (code, length) in _canonical_codes(bits, vals).items():
+        start = code << (16 - length)
+        lut_val[start : start + (1 << (16 - length))] = v
+        lut_len[start : start + (1 << (16 - length))] = length
+    # plain lists: python-int indexing in the symbol loop is ~3x faster
+    # than numpy scalar extraction
+    return lut_val.tolist(), lut_len.tolist()
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
 
-    def read_huffman(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("jpeg: invalid huffman code")
+def _bit_windows(data: bytes) -> list[int]:
+    """Rolling 16-bit windows over the unstuffed entropy bits: W[i] is
+    the integer formed by bits i..i+15 (zero-padded past the end),
+    precomputed vectorized and returned as a plain list — the symbol
+    loop then decodes each Huffman code and amplitude with one list
+    index + one shift, no per-bit work."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    # drop the 0x00 stuffed after every 0xFF (B.1.1.5)
+    stuffed = np.flatnonzero(raw[:-1] == 0xFF) + 1
+    keep = np.ones(len(raw), dtype=bool)
+    keep[stuffed[raw[stuffed] == 0x00]] = False
+    bits = np.unpackbits(raw[keep])
+    n = len(bits)
+    padded = np.concatenate([bits, np.zeros(32, dtype=np.uint8)]).astype(np.uint32)
+    w = np.zeros(n + 16, dtype=np.uint32)
+    for k in range(16):
+        w = (w << 1) | padded[k : k + n + 16]
+    return w.tolist()
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -217,15 +221,6 @@ def _magnitude(v: int) -> tuple[int, int]:
     size = int(abs(v)).bit_length()
     bits = v if v >= 0 else v + (1 << size) - 1
     return size, bits
-
-
-def _extend(bits: int, size: int) -> int:
-    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
-    if size == 0:
-        return 0
-    if bits < (1 << (size - 1)):
-        return bits - (1 << size) + 1
-    return bits
 
 
 # ------------------------------------------------------------- encoder
@@ -362,7 +357,9 @@ def decode(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + n])
-                htables[(cls_id >> 4, cls_id & 0x0F)] = _decode_table(bits, vals)
+                htables[(cls_id >> 4, cls_id & 0x0F)] = _cached_lut(
+                    bytes(payload[p + 1 : p + 17 + n])
+                )
                 p += 17 + n
         elif marker == 0xFFC0:  # SOF0 baseline
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
@@ -399,40 +396,67 @@ def decode(data: bytes) -> np.ndarray:
     mcus_x = -(-frame["w"] // (8 * hmax))
     mcus_y = -(-frame["h"] // (8 * vmax))
 
-    br = _BitReader(entropy)
+    wl = _bit_windows(entropy)
+    wpos = 0
     comp_blocks: list[list] = [[] for _ in frame["comps"]]
     prev_dc = [0] * len(frame["comps"])
-    for _ in range(mcus_x * mcus_y):
-        for ci, comp in enumerate(frame["comps"]):
-            dc_t = htables[(0, scan[comp["id"]][0])]
-            ac_t = htables[(1, scan[comp["id"]][1])]
-            for _ in range(comp["h"] * comp["v"]):
-                zz = np.zeros(64, dtype=np.float64)
-                size = br.read_huffman(dc_t)
-                prev_dc[ci] += _extend(br.read_bits(size), size)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = br.read_huffman(ac_t)
-                    run, size = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                comp_blocks[ci].append(zz)
+    tabs = [
+        (
+            htables[(0, scan[c["id"]][0])],
+            htables[(1, scan[c["id"]][1])],
+            c["h"] * c["v"],
+        )
+        for c in frame["comps"]
+    ]
+    try:
+        for _ in range(mcus_x * mcus_y):
+            for ci, ((dcv, dcl), (acv, acl), nblk) in enumerate(tabs):
+                for _ in range(nblk):
+                    zz = [0.0] * 64
+                    w = wl[wpos]
+                    size = dcv[w]
+                    if size < 0:
+                        raise ValueError("jpeg: invalid huffman code")
+                    wpos += dcl[w]
+                    if size:
+                        amp = wl[wpos] >> (16 - size)
+                        wpos += size
+                        prev_dc[ci] += (
+                            amp if amp >= 1 << (size - 1) else amp - (1 << size) + 1
+                        )
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        w = wl[wpos]
+                        rs = acv[w]
+                        if rs < 0:
+                            raise ValueError("jpeg: invalid huffman code")
+                        wpos += acl[w]
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 0x0F
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        amp = wl[wpos] >> (16 - size)
+                        wpos += size
+                        zz[k] = (
+                            amp if amp >= 1 << (size - 1) else amp - (1 << size) + 1
+                        )
+                        k += 1
+                    comp_blocks[ci].append(zz)
+    except IndexError:
+        raise ValueError("jpeg: entropy data exhausted") from None
 
     planes = []
     for ci, comp in enumerate(frame["comps"]):
         qt = qtables[comp["q"]]
         bw_ = mcus_x * comp["h"]
         bh_ = mcus_y * comp["v"]
-        zz = np.stack(comp_blocks[ci])  # (n, 64) in MCU order
+        zz = np.array(comp_blocks[ci], dtype=np.float64)  # (n, 64) MCU order
         blocks = (zz[:, _UNZZ].reshape(-1, 8, 8)) * qt
         spatial = np.einsum("ji,njk,kl->nil", _D, blocks, _D) + 128.0
         # MCU-interleaved order -> plane raster order
