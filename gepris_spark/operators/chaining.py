@@ -81,6 +81,182 @@ def _result_struct_type() -> str:
     )
 
 
+_NORM_COLS = [
+    "url", "context", "item_id", "status", "name", "caption", "image_id",
+    "phash", "norm_attributes", "unknown_keys", "ref_ids",
+    "foerderung_beginn", "foerderung_ende", "male_personen",
+    "female_personen", "norm_trees_json", "tree_error",
+]
+
+
+def normalised_success_rows(terminal_success: DataFrame) -> DataFrame:
+    """Apply the reference's ItemLoader normalization (N1/N2/N3-N6 +
+    L7 reference-id extraction) to the de success rows BEFORE item
+    assembly — the reference's process_item stores the *loaded* (i.e.
+    normalized) item in history, and the relational views (Q3-Q6, Q8)
+    read that normalized shape back. Round 1 stored raw attributes,
+    which silently starved those views on the engine's own output.
+
+    One branch per context (the key maps and tree dispatch are
+    per-context), unioned back; the input is the persisted de parse so
+    the 3-way branch costs no recompute. `ref_ids` carries the L7
+    extraction for every whitelisted relation key as map<key, ids>."""
+    from gepris_spark.functions import normalise as N
+
+    parts = []
+    for ctx in ("projekt", "person", "institution"):
+        df = terminal_success.where(F.col("context") == ctx)
+        df = N.normalise_attributes(df, ctx)
+        if ctx == "projekt":
+            df = N.gender_person_sets(df)
+        else:
+            df = (
+                df.withColumn("male_personen", F.lit(None).cast("array<bigint>"))
+                .withColumn("female_personen", F.lit(None).cast("array<bigint>"))
+                .withColumn("foerderung_beginn", F.lit(None).cast("int"))
+                .withColumn("foerderung_ende", F.lit(None).cast("int"))
+            )
+        df = N.normalise_trees(df)
+        entries = F.map_entries("norm_attributes")
+        p_entries = F.filter(entries, lambda e: e["key"].isin(N.PERSON_REFERENCE_KEYS))
+        i_entries = F.filter(
+            entries, lambda e: e["key"].isin(N.INSTITUTION_REFERENCE_KEYS)
+        )
+        ref_map = F.map_concat(
+            F.map_from_entries(
+                F.transform(
+                    p_entries,
+                    lambda e: F.struct(e["key"], N.reference_ids(e["value"], "person")),
+                )
+            ),
+            F.map_from_entries(
+                F.transform(
+                    i_entries,
+                    lambda e: F.struct(
+                        e["key"], N.reference_ids(e["value"], "institution")
+                    ),
+                )
+            ),
+        )
+        parts.append(df.withColumn("ref_ids", ref_map).select(*_NORM_COLS))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_ASSEMBLED_SCHEMA = (
+    "id long, context string, url string, status string, en_status string, item string"
+)
+
+
+def _jsonable(v):
+    """numpy/Arrow scalars and containers -> plain JSON types."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
+def _notnull(v) -> bool:
+    import math
+
+    if v is None:
+        return False
+    return not (isinstance(v, float) and math.isnan(v))
+
+
+def _assemble_items_stage(joined: DataFrame) -> DataFrame:
+    """One Arrow pass serializing the typed, already-normalized columns
+    into the reference-shaped item JSON. Purely mechanical — every
+    semantic transform (N1/N2/N3-N6/L7) happened upstream in the Spark
+    plan, so there is no normalization logic to drift here."""
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from gepris_spark.functions import normalise as N
+
+    array_keys = (
+        frozenset(N.PERSON_REFERENCE_KEYS)
+        | frozenset(N.INSTITUTION_REFERENCE_KEYS)
+        | {"internationaler_bezug", "gross_geraete", "geraetegruppe"}
+    )
+
+    def build(r: dict) -> str:
+        attrs: dict = {}
+        for k, vals in (r["norm_attributes"] or {}).items():
+            vals = _jsonable(vals) or []
+            attrs[k] = vals if k in array_keys else (vals[0] if len(vals) == 1 else vals)
+        for k, ids in (r["ref_ids"] or {}).items():
+            attrs[k] = [int(i) for i in _jsonable(ids)]
+        for k in ("foerderung_beginn", "foerderung_ende"):
+            if _notnull(r[k]):
+                attrs[k] = int(r[k])
+        if r["context"] == "projekt" and r["male_personen"] is not None:
+            attrs["male_personen"] = [int(i) for i in _jsonable(r["male_personen"])]
+            attrs["female_personen"] = [int(i) for i in _jsonable(r["female_personen"])]
+        item: dict = {
+            "name_de": r["name_de"],
+            "name_en": r["name_en"],
+            "attributes": attrs,
+        }
+        if r["attributes_en"]:
+            item["attributes_en"] = _jsonable(r["attributes_en"])
+        uk = r["unknown_keys"]
+        if uk is not None and len(uk):
+            item["unknown_keys"] = [str(k) for k in uk]
+        if r["norm_trees_json"]:
+            item["trees"] = _json.loads(r["norm_trees_json"])
+        if r["tree_error"]:
+            item["tree_error"] = r["tree_error"]
+        for k in ("caption", "image_id"):
+            if r[k] is not None:
+                item[k] = r[k]
+        if _notnull(r["phash"]):
+            item["phash"] = int(r["phash"])
+        res = r["_result"]
+        if res is not None:
+            clean = {}
+            for k, v in _jsonable(res).items():
+                if not _notnull(v):
+                    continue
+                if isinstance(v, dict):
+                    # Arrow renders a nullable-int struct field as float
+                    v = {
+                        kk: (int(vv) if isinstance(vv, float) and vv.is_integer() else vv)
+                        for kk, vv in v.items()
+                        if _notnull(vv)
+                    }
+                clean[k] = v
+            item["result"] = clean
+        return _json.dumps(
+            {k: v for k, v in item.items() if v is not None}, ensure_ascii=False
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = pdf.to_dict("records")
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].astype("int64"),
+                    "context": pdf["context"],
+                    "url": pdf["url"],
+                    "status": pdf["status"],
+                    "en_status": pdf["en_status"],
+                    "item": [build(r) for r in recs],
+                }
+            )
+
+    return joined.mapInPandas(run, _ASSEMBLED_SCHEMA)
+
+
 def assemble_bilingual(
     parsed_de: DataFrame,
     parsed_en: DataFrame,
@@ -90,7 +266,16 @@ def assemble_bilingual(
     """Final details item: german fields + english name/attributes where
     the english page succeeded (details.py:78-117 merges the en parse
     into the de item). Output carries one JSON `item` column shaped
-    like the reference's JSONB (name_de/name_en, attributes, trees).
+    like the reference's JSONB: name_de/name_en, NORMALIZED attributes
+    (canonical keys, relation keys as long-id arrays, foerderung ints,
+    male/female person sets), normalized `trees`, optional `result` —
+    exactly what the relational views (Q3-Q6, Q8) and the reference's
+    entity ETL read back out of history.
+
+    `parsed_de` must be the output of normalised_success_rows. The
+    joins stay Spark; the final JSON assembly is one Arrow pass that
+    only serializes typed columns (no normalization logic in Python —
+    that all happened in the Spark plan).
 
     Left join: a failed/missing en page degrades to a de-only item with
     en_status recorded — the reference's error middleware records the
@@ -102,8 +287,15 @@ def assemble_bilingual(
         F.col("item_id").cast("long").alias("item_id"),
         F.col("status").alias("status"),
         F.col("name").alias("name_de"),
-        F.col("attributes").alias("attributes_de"),
-        F.col("trees_json").alias("trees_de"),
+        "norm_attributes",
+        "unknown_keys",
+        "ref_ids",
+        "foerderung_beginn",
+        "foerderung_ende",
+        "male_personen",
+        "female_personen",
+        "norm_trees_json",
+        "tree_error",
         "caption",
         "image_id",
         "phash",
@@ -156,27 +348,30 @@ def assemble_bilingual(
     else:
         result_col = F.lit(None).cast(_result_struct_type())
 
-    item = F.to_json(
-        F.struct(
-            F.col("name_de"),
-            F.col("name_en"),
-            F.col("attributes_de").alias("attributes"),
-            F.col("attributes_en"),
-            F.col("trees_de").alias("trees_json"),
-            F.col("caption"),
-            F.col("image_id"),
-            F.col("phash"),
-            result_col.alias("result"),
-        )
-    )
-    return joined.select(
+    joined = joined.select(
         F.col("item_id").alias("id"),
         "context",
         "url",
         "status",
         F.coalesce(F.col("en_status"), F.lit("missing")).alias("en_status"),
-        item.alias("item"),
+        "name_de",
+        "name_en",
+        "norm_attributes",
+        "unknown_keys",
+        "ref_ids",
+        "foerderung_beginn",
+        "foerderung_ende",
+        "male_personen",
+        "female_personen",
+        "norm_trees_json",
+        "tree_error",
+        "caption",
+        "image_id",
+        "phash",
+        "attributes_en",
+        result_col.alias("_result"),
     )
+    return _assemble_items_stage(joined)
 
 
 def details_chain(
@@ -242,7 +437,7 @@ def details_chain(
     result_en = parse_result(fetchparse.fetch_pages(res_cont_en, pages, broadcast_fetch))
 
     items = assemble_bilingual(
-        terminal_de.where(F.col("status") == "success"),
+        normalised_success_rows(terminal_de.where(F.col("status") == "success")),
         parsed_en,
         result_de=result_de,
         result_en=result_en,

@@ -237,8 +237,15 @@ class Frontier:
             key = "institution_id"
         else:
             raise ValueError(f"context must be person|institution, was {context!r}")
+        # the reference's moved-items query has no context filter
+        # (database.py:173-177) but its details runs are single-context,
+        # so created_at==run_id implies the spider's context; this
+        # engine batches contexts together and must filter explicitly
+        # or a moved projekt would leak into person/institution refs
         moved = history.where(
-            (F.col("created_at") == run_id) & (F.col("status") == "moved")
+            (F.col("created_at") == run_id)
+            & (F.col("status") == "moved")
+            & (F.col("context") == context)
         ).select(F.col("id").alias("_moved_id"))
         projekt_ids = (
             refs.join(F.broadcast(moved), refs[key] == F.col("_moved_id"))
@@ -265,8 +272,12 @@ class Frontier:
         hier = views.institution_hierarchy(
             views.latest_items(self.read(), history, runs)
         )
+        # same single-context-run equivalence as above: only moved
+        # INSTITUTIONS participate in the sub-institution invalidation
         moved = history.where(
-            (F.col("created_at") == run_id) & (F.col("status") == "moved")
+            (F.col("created_at") == run_id)
+            & (F.col("status") == "moved")
+            & (F.col("context") == "institution")
         ).select(F.col("id").alias("_moved_id"))
         root_ids = (
             hier.where(F.col("parent_id").isNotNull())

@@ -86,26 +86,43 @@ def latest_items(frontier: DataFrame, history: DataFrame, runs: DataFrame) -> Da
     )
 
 
-def _attributes_map(item_col: F.Column) -> F.Column:
-    """attributes as map<string, array<long>> from the item JSON."""
-    return F.from_json(
-        F.get_json_object(item_col, "$.attributes"),
-        T.MapType(T.StringType(), T.ArrayType(T.LongType())),
-    )
-
-
 def reference_edges(
     latest: DataFrame, relations: list[str], id_name: str
 ) -> DataFrame:
     """Q3 — reference explosion views (dfg-gepris.sql:99-115): projekt
     items x relation names -> (person|institution_id, projekt_id,
-    relation) edge rows. explode(map) filtered to relation keys."""
-    attrs = _attributes_map(F.col("item"))
+    relation) edge rows.
+
+    PER-KEY extraction, exactly like the reference view (which joins
+    the enum of relation names against jsonb_exists and extracts each
+    key separately): attributes in real items are mixed-typed (scalars,
+    string arrays, id arrays), so a single
+    from_json(map<string,array<long>>) of the whole object fails and
+    would silently drop every edge. One get_json_object per whitelisted
+    relation name, then explode the (relation, ids) pairs."""
+    per_relation = F.array(
+        *[
+            F.struct(
+                F.lit(rel).alias("relation"),
+                F.coalesce(
+                    F.from_json(
+                        F.get_json_object(F.col("item"), f"$.attributes.{rel}"),
+                        T.ArrayType(T.LongType()),
+                    ),
+                    F.array().cast("array<long>"),
+                ).alias("ids"),
+            )
+            for rel in relations
+        ]
+    )
     exploded = (
         latest.where(F.col("context") == "projekt")
-        .select(F.col("id").alias("projekt_id"), F.explode(attrs).alias("relation", "ids"))
-        .where(F.col("relation").isin(relations))
-        .select("projekt_id", "relation", F.explode("ids").alias(id_name))
+        .select(F.col("id").alias("projekt_id"), F.explode(per_relation).alias("e"))
+        .select(
+            "projekt_id",
+            F.col("e.relation").alias("relation"),
+            F.explode("e.ids").alias(id_name),
+        )
     )
     return exploded.select(id_name, "projekt_id", "relation")
 

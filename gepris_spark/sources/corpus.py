@@ -344,6 +344,27 @@ def gen_pages_df(spark, seeds, n_images: int = 24, seed: int = 42, languages=("d
     return res
 
 
+def ref_person_ids(projekt_id: int) -> list[int]:
+    """Person ids a projekt's Antragsteller span links to (1-2 ids from
+    a 200-id pool — larger than any test crawl's person set, so some
+    referenced persons are always undiscovered -> Q4 has work)."""
+    h = _stable_u64("refperson", projekt_id)
+    return sorted({1 + (h >> (8 * j)) % 200 for j in range(1 + h % 2)})
+
+
+def ref_institution_id(projekt_id: int) -> int:
+    """Institution id of the projekt's applicant institution link."""
+    return 1 + _stable_u64("refinst", projekt_id) % 150
+
+
+def sub_institution_ids(institution_id: int) -> list[int]:
+    """Direct children in the synthetic institution hierarchy: a binary
+    forest (children of k are 2k, 2k+1 up to a fixed 90-id pool), so
+    crawled institutions form real multi-level trees for Q6/Q8."""
+    kids = [k for k in (2 * institution_id, 2 * institution_id + 1) if k <= 90]
+    return kids
+
+
 def has_result(item_id: int) -> bool:
     """Whether a projekt carries a result tab (deterministic ~60%).
 
@@ -419,9 +440,26 @@ def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
             value = f"Förderung von {2000 + h % 20} bis {2001 + h % 21}"
         if key == "Internetseite":
             value = f"https://example.org/p/{item_id}"
+        if context == "projekt" and key == "Antragsteller":
+            # real person-reference links (live pages link applicants);
+            # key variant exercises the gendered N2 recode; ids spill
+            # past any crawled id range so Q4 discovery has work
+            key = ("Antragsteller", "Antragstellerin")[h % 3 == 1]
+            value = "".join(
+                f'<a href="/gepris/person/{pid}">Prof. Dr. Person {pid}</a>'
+                for pid in ref_person_ids(item_id)
+            )
         spans.append(
             f'<span class="name{idx}">{key}</span>'
             f'<span class="value{idx}">{value}</span>'
+        )
+    if context == "projekt":
+        iid = ref_institution_id(item_id)
+        idx = len(spans) + 1
+        spans.append(
+            f'<span class="name{idx}">Antragstellende Institution</span>'
+            f'<span class="value{idx}">'
+            f'<a href="/gepris/institution/{iid}">Institut {iid}</a></span>'
         )
     tree = (
         f'<div id="projektbaum" class="content_frame"><ul>'
@@ -429,6 +467,21 @@ def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
         f"<li>Gruppe<ul><li><a href=\"/gepris/projekt/{item_id * 10 + 2}\">Teilprojekt B</a>"
         f"</li></ul></li></ul></div>"
     )
+    if context == "institution":
+        kids = sub_institution_ids(item_id)
+        if kids:
+            grand = sub_institution_ids(kids[0])
+            nested = (
+                f'<ul><li><a href="/gepris/institution/{grand[0]}">Institut {grand[0]}</a>'
+                f"</li></ul>" if grand else ""
+            )
+            lis = f'<li><a href="/gepris/institution/{kids[0]}">Institut {kids[0]}</a>{nested}</li>'
+            for k in kids[1:]:
+                lis += f'<li><a href="/gepris/institution/{k}">Institut {k}</a></li>'
+            tree += (
+                f'<div id="untergeordneteInstitutionen" class="content_frame">'
+                f"<ul>{lis}</ul></div>"
+            )
     figure = ""
     if image_b64 is not None:
         id_attr = f' id="{image_id}"' if image_id else ""

@@ -53,12 +53,80 @@ def test_history_rows_and_latest_view(spark, crawl_out):
     assert item["name_de"] is not None
 
 
-def test_frontier_marked_checked(spark, crawl_out):
+def test_frontier_marked_checked_and_new_persons_discovered(spark, corpus_dir, crawl_out):
+    """Every scheduled id is marked checked; the close-of-run Q4 pass
+    (pipelines.py:37-38) additionally inserts the persons referenced by
+    this run's projekt items that weren't known yet — exact set
+    recomputed from the corpus primitives."""
     engine, runs, stats, scheduled = crawl_out
     frontier = Frontier(spark, engine.store).read()
-    assert frontier.count() == scheduled.count()
-    assert frontier.where(~F.col("detail_check_needed")).count() == scheduled.count()
-    assert frontier.where(F.col("last_detail_check") == 1).count() == scheduled.count()
+    rows = {(r["id"], r["context"]): r for r in frontier.collect()}
+    sched_rows = scheduled.collect()
+    sched = {(r["item_id"], r["context"]) for r in sched_rows}
+
+    # corpus-primitive oracle for the close-of-run passes -------------
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    de_status = {
+        r["url"]: r["status"]
+        for r in pages.where(F.col("language") == "de").collect()
+    }
+    ok: dict[str, set[int]] = {"projekt": set(), "person": set(), "institution": set()}
+    moved: dict[str, set[int]] = {"person": set(), "institution": set()}
+    for r in sched_rows:
+        st = de_status.get(r["url"])
+        if st == "success":
+            ok[r["context"]].add(int(r["item_id"]))
+        elif st == "moved" and r["context"] in moved:
+            moved[r["context"]].add(int(r["item_id"]))
+
+    # Q4: persons referenced by this run's success projekt items
+    expected_new = set()
+    for pid in ok["projekt"]:
+        expected_new.update(corpus.ref_person_ids(pid))
+    expected_new -= {p for p, c in sched if c == "person"}
+
+    # Q5: projekte referencing a moved person/institution get flagged
+    flagged_projekte = set()
+    for pid in ok["projekt"]:
+        if set(corpus.ref_person_ids(pid)) & moved["person"]:
+            flagged_projekte.add(pid)
+        if corpus.ref_institution_id(pid) in moved["institution"]:
+            flagged_projekte.add(pid)
+
+    # Q6: roots of trees that contain a moved institution as a child
+    flagged_roots = set()
+    for iid in ok["institution"]:
+        kids = corpus.sub_institution_ids(iid)
+        nodes = set(kids)
+        if kids:
+            nodes.update(corpus.sub_institution_ids(kids[0])[:1])
+        if nodes & moved["institution"]:
+            flagged_roots.add(iid)
+
+    # ------------------------------------------------- assertions
+    discovered = {
+        p for (p, c) in rows if c == "person" and (p, c) not in sched
+    }
+    assert discovered == expected_new
+    for p in discovered:
+        assert rows[(p, "person")]["detail_check_needed"] is True
+        assert rows[(p, "person")]["last_detail_check"] is None
+    assert len(rows) == len(sched) + len(discovered)
+
+    # the reference UPDATE matches on id only, NO context filter
+    # (database.py:183-186) — a projekt and an institution sharing an
+    # id are both flagged
+    flagged_ids = flagged_projekte | flagged_roots
+    for key in sched:
+        pid, ctx = key
+        want = pid in flagged_ids
+        assert rows[key]["detail_check_needed"] is want, (key, want)
+        assert rows[key]["last_detail_check"] == 1
+
+    # the corpus must actually exercise the invalidation paths
+    assert expected_new, "Q4 must discover new persons"
+    if moved["person"] | moved["institution"]:
+        assert flagged_ids, "a moved id must flag at least one dependent"
 
 
 def test_wrong_language_pages_became_errors(spark, corpus_dir, crawl_out):
@@ -121,3 +189,60 @@ def test_parse_executes_once_per_fetched_row(spark, corpus_dir, tmp_path, monkey
         f"parse ran over {acc.value} rows for {n_scheduled} scheduled - lineage recompute"
     )
     assert acc.value >= n_scheduled
+
+
+def test_history_items_carry_normalized_attributes(spark, corpus_dir, crawl_out):
+    """K3 items store the LOADED (normalized) shape like the reference's
+    process_item: canonical keys, relation keys as int-id arrays,
+    foerderung split into ints, gendered-key person sets — so the
+    relational views read the engine's own output (round-1 gap)."""
+    engine, runs, stats, scheduled = crawl_out
+    history = History(spark, engine.store).read()
+    items = history.where(
+        (F.col("context") == "projekt") & (F.col("status") == "success")
+    ).collect()
+    assert items
+    for r in items:
+        item = json.loads(r["item"])
+        attrs = item["attributes"]
+        pid = int(r["id"])
+        h = corpus._stable_u64("attrs", "projekt", pid)
+        want_p = corpus.ref_person_ids(pid)
+        assert attrs["antragsteller_personen"] == want_p
+        assert attrs["antragstellende_institutionen"] == [corpus.ref_institution_id(pid)]
+        assert attrs["foerderung_beginn"] == 2000 + h % 20
+        assert attrs["foerderung_ende"] == 2001 + h % 21
+        # gendered key variant routes the ids to the right set (N2)
+        if h % 3 == 1:  # Antragstellerin
+            assert attrs["female_personen"] == want_p and attrs["male_personen"] == []
+        else:
+            assert attrs["male_personen"] == want_p and attrs["female_personen"] == []
+        if 3 + h % 4 > 5:  # Internetseite span present (ATTR_KEYS[5])
+            assert attrs["webseite"] == f"https://example.org/p/{pid}"
+        # no raw German keys survive normalization
+        assert not any(k[0].isupper() or "ö" in k for k in attrs)
+        # normalized trees present with projekt leaf ids
+        assert item["trees"]["normalised_projects"]
+
+
+def test_engine_items_feed_reference_views(spark, crawl_out):
+    """Q3 view over the engine's own history: every edge recomputable
+    from corpus primitives, and the hierarchy closure is non-trivial."""
+    engine, runs, stats, scheduled = crawl_out
+    history = History(spark, engine.store).read()
+    latest = views.latest_detail_items(history, runs)
+    refs = views.person_projekt_references(latest).collect()
+    assert refs
+    for e in refs:
+        assert e["person_id"] in corpus.ref_person_ids(int(e["projekt_id"]))
+        assert e["relation"] == "antragsteller_personen"
+    hier = views.institution_hierarchy(
+        views.latest_items(Frontier(spark, engine.store).read(), history, runs)
+    ).collect()
+    children = [r for r in hier if r["parent_id"] is not None]
+    assert children, "corpus institutions must form real trees"
+    for r in children:
+        assert r["id"] in corpus.sub_institution_ids(int(r["parent_id"])) or any(
+            r["parent_id"] in corpus.sub_institution_ids(int(x["id"]))
+            for x in hier
+        )
