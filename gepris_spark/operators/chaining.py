@@ -82,7 +82,7 @@ def _result_struct_type() -> str:
 
 
 _NORM_COLS = [
-    "url", "context", "item_id", "status", "name", "caption", "image_id",
+    "url", "context", "item_id", "status", "name", "beschreibung", "caption", "image_id",
     "phash", "norm_attributes", "unknown_keys", "ref_ids",
     "foerderung_beginn", "foerderung_ende", "male_personen",
     "female_personen", "norm_trees_json", "tree_error",
@@ -205,6 +205,8 @@ def _assemble_items_stage(joined: DataFrame) -> DataFrame:
         item: dict = {
             "name_de": r["name_de"],
             "name_en": r["name_en"],
+            "beschreibung_de": r["beschreibung_de"],
+            "beschreibung_en": r["beschreibung_en"],
             "attributes": attrs,
         }
         if r["attributes_en"]:
@@ -287,6 +289,7 @@ def assemble_bilingual(
         F.col("item_id").cast("long").alias("item_id"),
         F.col("status").alias("status"),
         F.col("name").alias("name_de"),
+        F.col("beschreibung").alias("beschreibung_de"),
         "norm_attributes",
         "unknown_keys",
         "ref_ids",
@@ -305,6 +308,7 @@ def assemble_bilingual(
         F.col("item_id").cast("long").alias("item_id"),
         F.col("status").alias("en_status"),
         F.col("name").alias("name_en"),
+        F.col("beschreibung").alias("beschreibung_en"),
         F.col("attributes").alias("attributes_en"),
     )
     joined = de.join(en, ["context", "item_id"], "left")
@@ -356,6 +360,8 @@ def assemble_bilingual(
         F.coalesce(F.col("en_status"), F.lit("missing")).alias("en_status"),
         "name_de",
         "name_en",
+        "beschreibung_de",
+        "beschreibung_en",
         "norm_attributes",
         "unknown_keys",
         "ref_ids",

@@ -184,6 +184,7 @@ def _parse_one(
         "psnr_db": None,
         "pixels_ok": None,
         "result_href": None,
+        "beschreibung": None,
     }
     doc = parse_html(html)
 
@@ -242,6 +243,27 @@ def _parse_one(
         trees = extract_trees(content)
         if trees:
             out["trees_json"] = json.dumps(trees, ensure_ascii=False)
+
+        # beschreibung (details.py:66-71): projektbeschreibung >
+        # projekttext, no-abstract sentinel filtered, Join() semantics
+        desc = next(
+            (n for n in content.iter() if n.attrs.get("id") == "projektbeschreibung"),
+            None,
+        )
+        if desc is not None:
+            texts = [
+                t
+                for d in desc.child_elements()
+                if d.tag == "div" and d.attrs.get("id") == "projekttext"
+                for t in (_clean(s) for s in d.all_text())
+                if t != ""
+            ]
+            if len(texts) == 1 and texts[0] in (
+                "Keine Zusammenfassung vorhanden",
+                "No abstract available",
+            ):
+                texts = []
+            out["beschreibung"] = " ".join(texts) if texts else None
 
         # A6 stages 3-4 trigger — the result tab link; the reference
         # follows it only when EXACTLY one matches (details.py:91-96)

@@ -65,15 +65,18 @@ def projekte_table(norm: DataFrame) -> DataFrame:
 
 
 def attach_result_columns(projekte: DataFrame, items: DataFrame) -> DataFrame:
-    """The four ergebnis columns of the reference projekte table
-    (dfg-gepris.sql:310-335: item->'result'->…), extracted from the
-    bilingual item JSON and left-joined onto the typed projekte rows.
+    """The bilingual + ergebnis columns of the reference projekte table
+    (dfg-gepris.sql:317-335: item->>'name_en', beschreibung_de/en and
+    item->'result'->…), extracted from the item JSON and left-joined
+    onto the typed projekte rows.
 
-    Broadcast-safe: the result subset is a fraction of projekte (only
-    tab-carrying items), and the join key is the same id the projekte
-    table is already partitioned on."""
+    Broadcast-safe: the join key is the same id the projekte table is
+    already partitioned on."""
     res = items.where(F.col("context") == "projekt").select(
         F.col("id"),
+        F.get_json_object("item", "$.name_en").alias("name_en"),
+        F.get_json_object("item", "$.beschreibung_de").alias("beschreibung_de"),
+        F.get_json_object("item", "$.beschreibung_en").alias("beschreibung_en"),
         F.get_json_object("item", "$.result.ergebnis_zusammenfassung_de").alias(
             "ergebnis_zusammenfassung_de"
         ),

@@ -164,6 +164,9 @@ PARSED = T.StructType(
         # projekt result-tab link (spiders/details.py:91-96: exactly one
         # li#tabbutton2 > a triggers the 3rd/4th fetch of the chain)
         T.StructField("result_href", T.StringType(), True),
+        # projekt description (details.py:66-71: projektbeschreibung >
+        # projekttext, no-abstract sentinel filtered)
+        T.StructField("beschreibung", T.StringType(), True),
     ]
 )
 

@@ -461,6 +461,18 @@ def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
             f'<span class="value{idx}">'
             f'<a href="/gepris/institution/{iid}">Institut {iid}</a></span>'
         )
+    beschreibung = ""
+    if context == "projekt":
+        hb = _stable_u64("beschr", item_id, language)
+        if hb % 12 == 0:
+            text = (
+                "Keine Zusammenfassung vorhanden" if language == "de" else "No abstract available"
+            )
+        else:
+            text = f"Projektbeschreibung  {item_id}: Untersuchung und  Analyse ({language})."
+        beschreibung = (
+            f'<div id="projektbeschreibung"><div id="projekttext">{text}</div></div>'
+        )
     tree = (
         f'<div id="projektbaum" class="content_frame"><ul>'
         f'<li><a href="/gepris/projekt/{item_id * 10 + 1}">Teilprojekt A</a></li>'
@@ -500,7 +512,7 @@ def _page_html(context: str, item_id: int, language: str, image_b64: str | None,
         f'<abbr title="Deutsche Forschungsgemeinschaft">DFG</abbr>'
         f'<h2 class="h2-context-title">{context}</h2>'
         f'<h1 class="facelift">Eintrag {item_id}  ({context})</h1>'
-        f'<div class="content_inside">{tabs}{"".join(spans)}{tree}{figure}</div>'
+        f'<div class="content_inside">{tabs}{beschreibung}{"".join(spans)}{tree}{figure}</div>'
         f"</body></html>"
     )
 

@@ -246,3 +246,32 @@ def test_engine_items_feed_reference_views(spark, crawl_out):
             r["parent_id"] in corpus.sub_institution_ids(int(x["id"]))
             for x in hier
         )
+
+
+def test_items_carry_beschreibung(spark, crawl_out):
+    """details.py:66-71 + :83-87: beschreibung_de from the de page's
+    projektbeschreibung/projekttext, beschreibung_en from the en page,
+    with the no-abstract sentinel filtered to absent."""
+    engine, runs, stats, scheduled = crawl_out
+    history = History(spark, engine.store).read()
+    rows = history.where(
+        (F.col("context") == "projekt") & (F.col("status") == "success")
+    ).collect()
+    seen_de = seen_absent = 0
+    for r in rows:
+        item = json.loads(r["item"])
+        pid = int(r["id"])
+        hb = corpus._stable_u64("beschr", pid, "de")
+        if hb % 12 == 0:
+            assert "beschreibung_de" not in item
+            seen_absent += 1
+        else:
+            assert item["beschreibung_de"] == (
+                f"Projektbeschreibung {pid}: Untersuchung und Analyse (de)."
+            )
+            seen_de += 1
+        if r["en_status"] == "success" if "en_status" in r else False:
+            pass  # en side asserted via item below
+        if "beschreibung_en" in item:
+            assert item["beschreibung_en"].endswith("(en).")
+    assert seen_de > 5
