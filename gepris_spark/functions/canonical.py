@@ -13,6 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 GEPRIS_BASE_URL = "https://gepris.dfg.de/gepris"
+GOOGLE_CACHE_BASE_URL = "https://webcache.googleusercontent.com/search?q=cache:"
 
 # Python str.isprintable() is False for Unicode categories C* (Cc, Cf,
 # Cs, Co, Cn) and the separators Zl, Zp, Zs — except U+0020 itself.
@@ -208,6 +209,21 @@ def build_url(base: str, params: dict[str, Column | str]) -> Column:
 def details_url(item_id: Column, context: Column) -> Column:
     """S2 helper — canonical details URL (gepris_helper.py:86-89)."""
     return F.concat_ws("/", F.lit(GEPRIS_BASE_URL), context, item_id.cast("string"))
+
+
+def format_proxy_str(proxy: str) -> str:
+    """F15, driver-side — same rewrite for plan-literal proxy pools
+    (the pool is configuration, not data; it becomes an array literal
+    in the rotation expression)."""
+    import re
+
+    return re.sub(r"^([^:]+):([^:]+):([^:]+):([^:]+)$", r"http://\3:\4@\1:\2", proxy)
+
+
+def google_cache_url(url: Column) -> Column:
+    """S9 helper — google webcache wrapper URL for a details URL
+    (gepris_helper.py:27,44-45: GOOGLE_CACHE_BASE_URL + actual_url)."""
+    return F.concat(F.lit(GOOGLE_CACHE_BASE_URL), url)
 
 
 def format_proxy(col: Column) -> Column:

@@ -126,6 +126,53 @@ def q_entity_etl_institutionen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etl.institutionen_table(_etl_inputs(spark, "institution")).orderBy("id")
 
 
+def q_person_details_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 google-cache fallback fetch + A8 rotation end-to-end
+    (spiders/person_details.py): cache snapshots for ~65% of person
+    ids, live fetch for the rest; every id yields exactly one parsed
+    row tagged with its route and rotated UA/proxy."""
+    from gepris_spark.operators import fetchparse
+    from gepris_spark.operators.fallback import google_cache_fallback_fetch
+    from gepris_spark.sources import corpus
+
+    seeds = corpus.gen_seeds_pdf({"person": 40}, seed=42)
+    images = corpus.gen_images_pdf(8, seed=42)
+    sched = (
+        spark.createDataFrame(seeds)
+        .dropna(subset=["item_id"])
+        .where(~F.col("url").contains("?"))
+        .dropDuplicates(["url"])
+        .select("url", "context", "item_id", F.lit("de").alias("language"))
+    )
+    cache_pages = spark.createDataFrame(corpus.gen_cache_pages_pdf(seeds, images, seed=42))
+    live_pages = spark.createDataFrame(corpus.gen_pages_pdf(seeds, images, seed=42))
+    fetched = google_cache_fallback_fetch(
+        sched,
+        cache_pages,
+        live_pages,
+        user_agent_pool=["UA-A/1.0", "UA-B/2.0", "UA-C/3.0"],
+        proxy_pool=["p1.example.org:8080:u:s", "p2.example.org:8080:u:s"],
+    )
+    parsed = fetchparse.parse_stage(fetched)
+    meta = fetched.select("url", "via", "user_agent", "proxy")
+    return (
+        parsed.join(meta, "url")
+        .select(
+            "item_id",
+            "via",
+            "user_agent",
+            "proxy",
+            "status",
+            "name",
+            F.size(F.map_keys(F.coalesce(
+                F.col("attributes"),
+                F.expr("map()").cast("map<string,array<string>>"),
+            ))).alias("n_attributes"),
+        )
+        .orderBy("item_id")
+    )
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_decode_verify": q_multimodal_decode,
     "multimodal_rgb_features": q_multimodal_features,
@@ -134,4 +181,5 @@ MULTIMODAL_QUERIES = {
     "entity_etl_projekte": q_entity_etl_projekte,
     "entity_etl_personen": q_entity_etl_personen,
     "entity_etl_institutionen": q_entity_etl_institutionen,
+    "person_details_fallback": q_person_details_fallback,
 }

@@ -647,6 +647,75 @@ def gen_search_pages_pdf(
     return pd.DataFrame(rows)
 
 
+GOOGLE_CACHE_BASE_URL = "https://webcache.googleusercontent.com/search?q=cache:"
+
+
+def cache_hit(url: str, seed: int = 42, hit_rate: int = 65) -> bool:
+    """Whether google's webcache holds a snapshot for `url`
+    (deterministic ~hit_rate%). Misses are simply absent from the cache
+    page table — the connection-failure analogue that fires the
+    reference's errback (spiders/person_details.py:66-69)."""
+    return _stable_u64(seed, "gcache", url) % 100 < hit_rate
+
+
+def gen_cache_pages_pdf(
+    seeds_pdf: pd.DataFrame,
+    images_pdf: pd.DataFrame,
+    seed: int = 42,
+    hit_rate: int = 65,
+) -> pd.DataFrame:
+    """Google-webcache snapshot corpus for the S9 fallback fetch
+    (spiders/person_details.py): for ~hit_rate% of distinct person
+    seed urls, a snapshot page exists at GOOGLE_CACHE_BASE_URL+url.
+
+    The snapshot body is the same GEPRIS person page grammar (google
+    serves a byte-preserved copy modulo its own banner chrome, which
+    the parser ignores: it only reads h1.facelift / details spans /
+    trees). Snapshots are always de-language and always structurally
+    intact — a stale-but-parseable copy; the live-fetch fallback path
+    carries the usual status mix."""
+    uniq = seeds_pdf.dropna(subset=["item_id"]).drop_duplicates(subset=["url"])
+    uniq = uniq[~uniq["url"].str.contains(r"[?#]")]
+    uniq = uniq[uniq["context"] == "person"]
+    images = images_pdf.reset_index(drop=True)
+    n_images = len(images)
+    rows = []
+    for row in uniq.itertuples(index=False):
+        if not cache_hit(row.url, seed, hit_rate):
+            continue
+        h = _stable_u64(seed, "gcachepage", row.url)
+        img = images.iloc[int(row.item_id) % n_images] if n_images else None
+        b64 = base64.b64encode(img["bytes"]).decode() if img is not None else None
+        body = _page_html(
+            "person",
+            int(row.item_id),
+            "de",
+            b64,
+            img["fmt"] if img is not None else None,
+            img["caption"] if img is not None else None,
+            "success",
+            image_id=img["image_id"] if img is not None else None,
+        )
+        banner = (
+            '<div id="google-cache-hdr">This is Google\'s cache of '
+            f"{row.url}.</div>"
+        )
+        rows.append(
+            {
+                "url": GOOGLE_CACHE_BASE_URL + row.url,
+                "language": "de",
+                "status": "success",
+                "html": body.replace("<body>", "<body>" + banner, 1),
+                "embedded_image_ids": [img["image_id"]] if img is not None else [],
+                "fetch_cost_ms": int(3 + (h >> 16) % 20),
+            }
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["url", "language", "status", "html", "embedded_image_ids", "fetch_cost_ms"],
+    )
+
+
 def write_fixtures(out_dir: str, n_per_context: int = 60, n_images: int = 40, seed: int = 42) -> dict:
     """Write the t1-scale fixture parquet files; returns row counts."""
     import os
