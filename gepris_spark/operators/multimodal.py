@@ -5,12 +5,11 @@ typed metadata (schemas.IMAGES is the image instance). Every per-row
 compute here is a `mapInPandas` stage over Arrow batches with numpy
 inside — no per-row Python UDFs.
 
-Real in this container: png/qdct/jpeg decode (jpeg is the pure-numpy
-baseline JFIF codec in codecs/jpeg.py), verify, resize, rgb feature
-extraction, phash. Stubbed (library absent): audio
-decode, video frame-sampling — each raises a clearly-marked
-NotImplementedError from the same tested plumbing, so swapping a real
-decoder in changes one function, not the plan.
+All payload legs are real formats in this container, pure numpy —
+image: png/qdct/baseline-JFIF jpeg (codecs/image.py, codecs/jpeg.py);
+audio: RIFF/WAVE PCM16 + G.711 μ-law (codecs/wav.py); video:
+MJPEG-in-AVI (codecs/avi.py). Verify/resize/feature/phash/frame-sample
+stages all run over these decoders.
 """
 
 from __future__ import annotations
@@ -151,14 +150,128 @@ def rgb_feature_stage(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema)
 
 
-def audio_decode_stage(audio: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """STUB: audio decode needs a codec library this container does not
-    ship. The plumbing (binary column in, feature rows out via
-    mapInPandas) is identical to rgb_feature_stage."""
-    raise NotImplementedError("STUB: no audio codec library in this container")
+def audio_decode_stage(audio: DataFrame, ref_samples_fn=None) -> DataFrame:
+    """Audio decode + feature extraction over binary WAV payloads
+    (codecs/wav.py: real RIFF containers, PCM16 lossless / G.711 μ-law
+    lossy). Mirrors decode_verify_stage's contract: recomputed metadata
+    must match the row's, and with a reference-sample provider the
+    decoded signal must be bit-exact (lossless) or clear an SNR>=30dB
+    bound (μ-law's design SQNR is ~38dB — the codec's natural
+    fidelity, analogous to the image PSNR>=40dB invariant)."""
+    schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossing_rate", T.DoubleType()),
+            T.StructField("spectral_centroid_hz", T.DoubleType()),
+            T.StructField("samples_ok", T.BooleanType()),
+            T.StructField("snr_db", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gepris_spark.codecs import wav
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate, fmt = wav.decode(bytes(r.bytes))
+                mono = samples.mean(axis=1)
+                sgn = np.signbit(mono[:-1]) != np.signbit(mono[1:])
+                spec = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+                power = spec.sum()
+                samples_ok, snr = None, None
+                if ref_samples_fn is not None:
+                    ref = ref_samples_fn(r.audio_id)
+                    if ref.ndim == 1:
+                        ref = ref[:, None]
+                    snr = wav.snr_db(ref, samples)
+                    samples_ok = (
+                        bool(np.array_equal(samples, ref))
+                        if wav.is_lossless(fmt)
+                        else bool(snr >= 30.0)
+                    )
+                    snr = None if snr == float("inf") else round(float(snr), 3)
+                rows.append(
+                    {
+                        "audio_id": r.audio_id,
+                        "fmt": fmt,
+                        "sample_rate": int(rate),
+                        "channels": int(samples.shape[1]),
+                        "n_samples": int(samples.shape[0]),
+                        "duration_s": round(samples.shape[0] / rate, 6),
+                        "rms": round(float(np.sqrt((mono.astype(np.float64) ** 2).mean())), 6),
+                        "zero_crossing_rate": round(float(sgn.mean()), 6),
+                        "spectral_centroid_hz": round(
+                            float((freqs * spec).sum() / power) if power > 0 else 0.0, 6
+                        ),
+                        "samples_ok": samples_ok,
+                        "snr_db": snr,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return audio.select("audio_id", "bytes").mapInPandas(run, schema)
 
 
-def video_frame_sample_stage(video: DataFrame, every_n: int = 30) -> DataFrame:  # pragma: no cover
-    """STUB: video frame sampling needs ffmpeg/pyav. Plumbing identical
-    to decode_verify_stage with a 1->n row fan-out."""
-    raise NotImplementedError("STUB: no video codec library in this container")
+def video_frame_sample_stage(video: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling over binary MJPEG-AVI payloads
+    (codecs/avi.py): 1->n fan-out, one row per SAMPLED frame (every
+    `every_n`-th plus the last). The container index is probed without
+    entropy-decoding anything, then only kept frames decode — per-row
+    cost scales with sampled frames, not stored frames, which is what
+    makes frame sampling viable over 100 TB of video shards."""
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("t_seconds", T.DoubleType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gepris_spark.codecs import avi
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                meta = avi.probe(data)
+                n = meta["n_frames"]
+                keep = sorted(set(range(0, n, every_n)) | ({n - 1} if n else set()))
+                for idx in keep:
+                    off, size = meta["frames"][idx]
+                    pixels = avi.decode_frame(data, off, size)
+                    luma = (
+                        0.299 * pixels[:, :, 0]
+                        + 0.587 * pixels[:, :, 1]
+                        + 0.114 * pixels[:, :, 2]
+                    )
+                    rows.append(
+                        {
+                            "video_id": r.video_id,
+                            "frame_idx": idx,
+                            "n_frames": n,
+                            "fps": int(meta["fps"]),
+                            "w": int(meta["w"]),
+                            "h": int(meta["h"]),
+                            "t_seconds": round(idx / max(meta["fps"], 1), 6),
+                            "phash": imagecodec.phash64(pixels),
+                            "mean_luma": round(float(luma.mean()), 6),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return video.select("video_id", "bytes").mapInPandas(run, schema)

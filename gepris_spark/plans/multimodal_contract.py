@@ -126,6 +126,30 @@ def q_entity_etl_institutionen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etl.institutionen_table(_etl_inputs(spark, "institution")).orderBy("id")
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + verify (codecs/wav.py real RIFF/WAVE): PCM16 rows
+    must round-trip bit-exact, μ-law rows must clear SNR>=30dB."""
+    from gepris_spark.operators.multimodal import audio_decode_stage
+    from gepris_spark.sources import corpus
+
+    audio = spark.createDataFrame(corpus.gen_audio_pdf(24, seed=42))
+
+    def ref(audio_id: str):
+        return corpus.ref_samples(int(audio_id[3:]), seed=42)
+
+    return audio_decode_stage(audio, ref).orderBy("audio_id")
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (codecs/avi.py real MJPEG-AVI): 1->n
+    fan-out, every 4th frame plus the last, probe-then-decode."""
+    from gepris_spark.operators.multimodal import video_frame_sample_stage
+    from gepris_spark.sources import corpus
+
+    video = spark.createDataFrame(corpus.gen_video_pdf(12, seed=42))
+    return video_frame_sample_stage(video, every_n=4).orderBy("video_id", "frame_idx")
+
+
 def q_person_details_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 google-cache fallback fetch + A8 rotation end-to-end
     (spiders/person_details.py): cache snapshots for ~65% of person
@@ -182,4 +206,6 @@ MULTIMODAL_QUERIES = {
     "entity_etl_personen": q_entity_etl_personen,
     "entity_etl_institutionen": q_entity_etl_institutionen,
     "person_details_fallback": q_person_details_fallback,
+    "multimodal_audio_features": q_multimodal_audio,
+    "multimodal_video_frames": q_multimodal_video_frames,
 }

@@ -647,6 +647,87 @@ def gen_search_pages_pdf(
     return pd.DataFrame(rows)
 
 
+def ref_samples(audio_index: int, seed: int = 42) -> np.ndarray:
+    """Pre-encode reference audio for row n: seeded harmonic stack +
+    noise floor, int16 mono. The verification oracle re-derives these
+    (same contract as ref_pixels)."""
+    rng = np.random.default_rng(seed * 2_000_003 + audio_index)
+    sr = (8000, 16000, 22050)[audio_index % 3]
+    n = sr // 2  # half a second
+    t = np.arange(n) / sr
+    f0 = 110.0 * (1 + audio_index % 7)
+    sig = (
+        0.5 * np.sin(2 * np.pi * f0 * t)
+        + 0.25 * np.sin(2 * np.pi * 2 * f0 * t + 0.3)
+        + 0.1 * np.sin(2 * np.pi * 3 * f0 * t + 0.7)
+        + 0.01 * rng.standard_normal(n)
+    )
+    return np.clip(np.round(sig * 18000), -32768, 32767).astype(np.int16)
+
+
+def audio_sample_rate(audio_index: int) -> int:
+    return (8000, 16000, 22050)[audio_index % 3]
+
+
+def gen_audio_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Audio payload rows (binary WAV + typed metadata, the audio
+    analogue of the input_hint image schema). fmt alternates pcm16
+    (lossless) / mulaw (lossy, exercises the SNR>=30dB bound)."""
+    from gepris_spark.codecs import wav
+
+    rows = []
+    for i in range(n):
+        samples = ref_samples(i, seed)
+        sr = audio_sample_rate(i)
+        fmt = ("pcm16", "mulaw")[i % 2]
+        rows.append(
+            {
+                "audio_id": f"aud{i:08d}",
+                "bytes": wav.encode(samples, sr, fmt),
+                "sample_rate": sr,
+                "channels": 1,
+                "n_samples": len(samples),
+                "fmt": fmt,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def ref_frame(video_index: int, frame_idx: int, seed: int = 42) -> np.ndarray:
+    """Frame f of video n: a gradient field whose phase advances per
+    frame (smooth motion — compresses like video, unlike iid noise)."""
+    rng = np.random.default_rng(seed * 3_000_017 + video_index)
+    size = (32, 48)[video_index % 2]
+    phase = rng.uniform(0, 2 * np.pi)
+    yy, xx = np.mgrid[0:size, 0:size]
+    t = frame_idx / 8.0
+    r = 127.5 + 120 * np.sin(2 * np.pi * xx / size + phase + t)
+    g = 127.5 + 120 * np.sin(2 * np.pi * yy / size + phase - t)
+    b = 127.5 + 120 * np.sin(2 * np.pi * (xx + yy) / (2 * size) + t)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def gen_video_pdf(n: int, seed: int = 42, n_frames: int = 12, fps: int = 8) -> pd.DataFrame:
+    """Video payload rows: MJPEG-AVI containers of seeded moving-
+    gradient frames (codecs/avi.py)."""
+    from gepris_spark.codecs import avi
+
+    rows = []
+    for i in range(n):
+        frames = [ref_frame(i, f, seed) for f in range(n_frames)]
+        rows.append(
+            {
+                "video_id": f"vid{i:08d}",
+                "bytes": avi.encode(frames, fps=fps),
+                "n_frames": n_frames,
+                "fps": fps,
+                "w": frames[0].shape[1],
+                "h": frames[0].shape[0],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 GOOGLE_CACHE_BASE_URL = "https://webcache.googleusercontent.com/search?q=cache:"
 
 
