@@ -63,8 +63,15 @@ def _warm_python_workers(spark) -> None:
     cpus = spark.sparkContext.defaultParallelism
 
     def noop(batches):
+        # the engine's worker-side imports: first use costs ~200 ms per
+        # worker process (htmldom walker, normalise tables, codecs) —
+        # steady-state executors have them resident
         import numpy  # noqa: F401
         import pandas  # noqa: F401
+
+        from gepris_spark.codecs import image  # noqa: F401
+        from gepris_spark.functions import normalise  # noqa: F401
+        from gepris_spark.operators import fetchparse, htmldom  # noqa: F401
 
         yield from batches
 

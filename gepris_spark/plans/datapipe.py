@@ -34,7 +34,7 @@ def _sql_hash60(expr: str) -> str:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text); keeper = min doc_id.
     Map-side partial agg; the only shuffle is on the 128-bit digest."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return (
         docs.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -65,7 +65,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature -> 4 bands of 2 -> band-bucket self-join. The join is an
     equi-join on (band index, band hash pair): at 100 TB this is the
     standard linear-shuffle LSH plan — no pairwise scan anywhere."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).where(F.size("sh") > 0)
     big = F.lit((1 << 62)).cast("long")
 
@@ -140,7 +140,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     +1/-1 by the token hash's bit; simhash bit = majority > 0. Computed
     entirely inside array expressions per row — no explode, no shuffle
     until the final sort."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = TS.tokens(F.col("text"))
     with_hashes = docs.select(
         "doc_id",
@@ -212,7 +212,7 @@ _JACCARD_THRESHOLD = 0.5
 _PAIR_BLOCK_CAP = 4096
 
 
-def _subblocked(df, block_col: str, id_col: str, cap: int):
+def _subblocked(df, block_col: str, id_col: str, cap: int, counts=None):
     """Salted all-pairs co-grouping: split each block into
     ceil(n/cap)-doc sub-blocks by id hash and replicate every row to
     each unordered sub-block pair (i<=j) it participates in.
@@ -223,9 +223,16 @@ def _subblocked(df, block_col: str, id_col: str, cap: int):
     nsub — the inherent O(n^2/cap) all-pairs cost, now spread over
     nsub^2 bounded tasks instead of one unbounded one. For unskewed
     blocks (n <= cap) the plan collapses to one task per block with no
-    replication."""
-    counts = df.groupBy(block_col).agg(
-        F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("_nsub")
+    replication.
+
+    `counts` lets the caller supply the per-block row counts from a
+    CHEAPER lineage (e.g. the raw docs scan) — deriving them from `df`
+    evaluates df's projection twice, which matters when it carries an
+    expensive higher-order expression like shingling."""
+    if counts is None:
+        counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+    counts = counts.select(
+        block_col, F.ceil(F.col("_bn") / F.lit(cap)).cast("int").alias("_nsub")
     )
     withsub = df.join(F.broadcast(counts), block_col).withColumn(
         "_sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsub")).cast("int")
@@ -280,8 +287,12 @@ def _intersection_counts(rows_a, cols_a, n_a, rows_b, cols_b, n_b):
     pairs_a = np.repeat(a_rows_c, np.repeat(lb, la))
     # for each A posting, the full B posting segment of its col
     pairs_b = rb[_ranges(np.repeat(sb[ib], la), np.repeat(lb, la))]
-    np.add.at(C, (pairs_a, pairs_b), 1)
-    return C
+    # histogram the linearized pair keys: np.bincount is ~100x
+    # np.add.at on dense incidence streams (add.at buffers every fancy
+    # index); n_a*n_b <= cap^2 = 16.7M so the minlength alloc is
+    # bounded by the same cap that bounds the task
+    keys = pairs_a.astype(np.int64) * n_b + pairs_b
+    return np.bincount(keys, minlength=n_a * n_b).astype(np.int32).reshape(n_a, n_b)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,38 +316,41 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the oracle bit-for-bit."""
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", "source", TS.char_ngrams(F.col("text"), 3).alias("g")
-    ).where(F.size("g") > 0)
-
-    def _encode(sub: pd.DataFrame, vocab: dict):
-        import numpy as np
-
-        rows, cols = [], []
-        sizes = np.empty(len(sub), dtype=np.int64)
-        for r, g in enumerate(sub["g"]):
-            uniq = set(g)
-            sizes[r] = len(uniq)
-            for s in uniq:
-                rows.append(r)
-                cols.append(vocab.setdefault(s, len(vocab)))
-        return (
-            np.asarray(rows, dtype=np.int64),
-            np.asarray(cols, dtype=np.int64),
-            sizes,
-        )
+    docs = load(spark, sf_dir, "documents", spread=True)
+    # "has at least one 3-gram" without evaluating the shingle HOF
+    norm_len = F.length(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    eligible = docs.where(norm_len >= 3)
+    # per-block counts from the cheap raw scan — the shingle expression
+    # is evaluated exactly once, on the replicated side only
+    counts = eligible.groupBy("source").agg(F.count(F.lit(1)).alias("_bn"))
+    # shingles hashed to int64 JVM-side: the pair-task shuffle moves
+    # 8-byte words instead of 3-char strings and the task scores numpy
+    # int64 arrays with zero python string handling. An xxhash64
+    # collision would need ~2^32 distinct grams in one block to be
+    # likely (64-bit birthday bound); the 3-gram universe is far
+    # smaller, and char_ngrams pre-distincts per row so row sizes are
+    # exact.
+    grams = eligible.select(
+        "doc_id",
+        "source",
+        F.transform(TS.char_ngrams(F.col("text"), 3), lambda s: F.xxhash64(s)).alias("g"),
+    )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         si, sj = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])
         pdf = pdf.sort_values("doc_id")
-        vocab: dict[str, int] = {}
+
+        def cat(series):
+            arrs = [np.asarray(a, dtype=np.int64) for a in series]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+            return np.repeat(np.arange(len(arrs)), lens), flat, lens
+
         if si == sj:
-            sub = pdf
-            rows, cols, sizes = _encode(sub, vocab)
-            ids = sub["doc_id"].to_numpy()
+            rows, cols, sizes = cat(pdf["g"])
+            ids = pdf["doc_id"].to_numpy()
             inter = _intersection_counts(rows, cols, len(ids), rows, cols, len(ids))
             ai, bj = np.triu_indices(len(ids), k=1)
             ids_a = ids_b = ids
@@ -344,8 +358,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             A = pdf[pdf["_sub"] == si]
             B = pdf[pdf["_sub"] == sj]
-            rows_a, cols_a, sz_a = _encode(A, vocab)
-            rows_b, cols_b, sz_b = _encode(B, vocab)
+            rows_a, cols_a, sz_a = cat(A["g"])
+            rows_b, cols_b, sz_b = cat(B["g"])
             ids_a, ids_b = A["doc_id"].to_numpy(), B["doc_id"].to_numpy()
             inter = _intersection_counts(
                 rows_a, cols_a, len(ids_a), rows_b, cols_b, len(ids_b)
@@ -365,9 +379,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    scored = _subblocked(grams, "source", "doc_id", _PAIR_BLOCK_CAP).groupBy(
-        "source", "i", "j"
-    ).applyInPandas(
+    scored = _subblocked(
+        grams, "source", "doc_id", _PAIR_BLOCK_CAP, counts=counts
+    ).groupBy("source", "i", "j").applyInPandas(
         block_pairs, "doc_a long, doc_b long, n_inter long, n_a long, n_b long"
     )
     return (
@@ -434,7 +448,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    emb = load(spark, sf_dir, "embeddings", spread=True).select("vec_id", "label", "embedding")
 
     def _mat(sub: pd.DataFrame):
         m = np.stack([np.asarray(e, dtype=np.float64) for e in sub["embedding"]])
@@ -508,7 +522,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay internal so the oracle compare is integer-exact)."""
     from pyspark.sql.window import Window
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     queries = emb.where(F.col("vec_id") < 3).select(
@@ -546,7 +560,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss is observable by diffing against ann_topk_cosine."""
     from pyspark.sql.window import Window
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     # centroids: element-wise mean per label (posexplode -> avg — one
@@ -646,7 +660,7 @@ ORDER BY query_id, rank
 
 # ------------------------------------------------------------ text analysis
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", TS.langid(F.col("text")).alias("pred_lang")).orderBy("doc_id")
 
 
@@ -676,7 +690,7 @@ SQL_LANGID = f"SELECT doc_id, {_sql_langid()} AS pred_lang FROM documents ORDER 
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         TS.token_count(F.col("text")).alias("n_tokens"),
@@ -707,7 +721,7 @@ FROM t ORDER BY doc_id
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return (
         docs.select("source", TS.token_count(F.col("text")).alias("n"))
         .groupBy("source")
@@ -729,7 +743,7 @@ FROM documents GROUP BY source ORDER BY source
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", TS.fingerprint(F.col("text")).alias("fingerprint")).orderBy("doc_id")
 
 

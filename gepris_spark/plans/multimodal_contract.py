@@ -54,7 +54,15 @@ def q_crawl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine = CrawlEngine(
         spark,
         tempfile.mkdtemp(prefix="gepris_replay_"),
-        EngineConfig(batch_size=128, bloom_buckets=4, bloom_bits=1 << 18),
+        EngineConfig(
+            batch_size=128,
+            bloom_buckets=4,
+            bloom_bits=1 << 18,
+            # accounting counts cost 3 extra jobs per batch; the
+            # contract output is the visit log, and the accounting path
+            # keeps its own coverage in tests/test_replay.py
+            detailed_metrics=False,
+        ),
     )
     engine.run_seed_list(seeds)
     return engine.visit_log().select(

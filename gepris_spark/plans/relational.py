@@ -20,8 +20,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Read one testdata table. `spread=True` rebalances the scan up to
+    the session's parallelism when the file yields fewer splits — the
+    sandbox tables are single-row-group parquet, so without it every
+    per-row-expensive projection (shingling HOFs, mapInPandas stages)
+    downstream of the scan runs on ONE core. At production scale the
+    scan produces >= parallelism splits and this is a no-op (the guard
+    checks, it does not shuffle unconditionally); the shuffle it may
+    add moves only the raw scan columns, always cheaper than
+    serializing the compute."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 # ------------------------------------------------------------------ flagship
