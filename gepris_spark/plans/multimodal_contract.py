@@ -158,6 +158,58 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_sample_stage(video, every_n=4).orderBy("video_id", "frame_idx")
 
 
+def q_stateful_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-host politeness sequencing whose host_seq state survives
+    micro-batches in the streaming state store. Two arrival files ->
+    two micro-batches (maxFilesPerTrigger=1); the output proves
+    cross-batch sequence continuity per host."""
+    import glob
+    import os
+    import shutil
+
+    from gepris_spark.sources import corpus
+    from gepris_spark.streaming.statefulschedule import stateful_schedule
+
+    root = tempfile.mkdtemp(prefix="gepris_sched_")
+    src = os.path.join(root, "arrivals")
+    os.makedirs(src)
+    for i, seed in enumerate((42, 99)):
+        pdf = corpus.gen_seeds_pdf(20, seed=seed)
+        pdf = pdf.drop_duplicates(subset=["url"])
+        pdf = pdf[~pdf["url"].str.contains(r"[?#]")].dropna(subset=["item_id"])
+        pdf = pdf.astype({"item_id": "int64", "priority_type": "int64"})
+        if i == 1:  # second batch: disjoint url space (scheduler != url-seen)
+            pdf = pdf.copy()
+            pdf["url"] = pdf["url"] + "777"
+            pdf["item_id"] = pdf["item_id"] * 10000 + 777
+        cols = ["url", "host", "context", "item_id", "priority_type", "recency_ts"]
+        spark.createDataFrame(pdf[cols]).coalesce(1).write.parquet(src + "/tmp")
+        for p in glob.glob(src + "/tmp/*.parquet"):
+            shutil.move(p, f"{src}/arrival_{i}.parquet")
+        shutil.rmtree(src + "/tmp")
+    frontier = (
+        spark.readStream.schema(
+            "url string, host string, context string, item_id long,"
+            " priority_type long, recency_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "contract_sched"
+    q = (
+        stateful_schedule(frontier)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("host", "host_seq")
+
+
 def q_person_details_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 google-cache fallback fetch + A8 rotation end-to-end
     (spiders/person_details.py): cache snapshots for ~65% of person
@@ -216,4 +268,5 @@ MULTIMODAL_QUERIES = {
     "person_details_fallback": q_person_details_fallback,
     "multimodal_audio_features": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "stateful_schedule_stream": q_stateful_schedule,
 }
