@@ -1,0 +1,118 @@
+"""Automated physical-plan audit: the README's plan table as
+assertions, so a regression that silently de-optimizes a plan (lost
+filter pushdown, broadcast flipped to sort-merge, a sneaky cartesian
+product) fails CI instead of surviving until someone re-reads an
+explain by hand.
+
+These assert on `explain("formatted")` / queryExecution text — plan
+SHAPE, not timings, so they are stable across machines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    from gepris_spark.plans.relational import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    # column pruning: the scan schema must not contain unused wide columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+
+
+def test_priority_topk_avoids_full_sort(spark):
+    from gepris_spark.plans.relational import q_priority_topk
+
+    plan = _plan(q_priority_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_antijoin_discovery_broadcasts(spark):
+    from gepris_spark.plans.relational import q_antijoin_discovery
+
+    plan = _plan(q_antijoin_discovery(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_aggregates_are_partial(spark):
+    """Every groupBy compiles to partial (map-side) + final
+    HashAggregate around the exchange."""
+    from gepris_spark.plans.relational import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_fetch_join_broadcasts_scheduled_not_pages(spark):
+    """The fetch plan must broadcast the (bounded) scheduled side and
+    stream the html side — broadcasting pages would ship the corpus."""
+    from gepris_spark.operators import fetchparse
+    from gepris_spark.sources import corpus
+
+    seeds = spark.createDataFrame(corpus.gen_seeds_pdf(10, seed=42))
+    sched = (
+        seeds.dropna(subset=["item_id"])
+        .where(~F.col("url").contains("?"))
+        .select("url", F.lit("de").alias("language"))
+        .distinct()
+    )
+    images = corpus.gen_images_pdf(4, seed=42)
+    pages = spark.createDataFrame(corpus.gen_pages_pdf(corpus.gen_seeds_pdf(10, seed=42), images))
+    plan = _plan(fetchparse.fetch_pages(sched, pages))
+    assert "BroadcastHashJoin" in plan
+    # the completeness anti-join pass must read only the key columns
+    assert "html" not in plan.split("ReadSchema:")[-1].splitlines()[0] if "ReadSchema:" in plan else True
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No contract query may compile to a CartesianProduct or
+    BroadcastNestedLoopJoin on its hot path (ann_topk's tiny
+    query-side NLJ against a 3-row broadcast is the allowed
+    exception — it is the textbook broadcast pattern)."""
+    import __spark_entry__ as entry
+
+    allowed_nlj = {"ann_topk_cosine", "ann_topk_ivf"}
+    offenders = []
+    for name, fn in entry.queries().items():
+        if name in ("crawl_replay_visit_log", "stateful_schedule_stream"):
+            continue  # engine/stream drivers, not single plans
+        df = fn(spark, SF)
+        plan = _plan(df)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
+            offenders.append((name, "nlj"))
+    assert not offenders, offenders
+
+
+def test_window_functions_always_partitioned(spark):
+    """No contract query may run a window over a single-partition
+    exchange — the classic global `row_number() OVER (ORDER BY ...)`
+    scalability bug. Detection: an `Exchange SinglePartition` feeding
+    a Window/Sort pair in the same plan."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        if name in ("crawl_replay_visit_log", "stateful_schedule_stream"):
+            continue
+        plan = _plan(fn(spark, SF))
+        if "Window" in plan and "Exchange SinglePartition" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
