@@ -76,6 +76,20 @@ def _warm_python_workers(spark) -> None:
         yield from batches
 
     spark.range(0, cpus * 4, 1, cpus).mapInPandas(noop, "id long").count()
+    # scalar pandas UDFs run in a distinct worker eval type — warm it too
+    from pyspark.sql import functions as F
+
+    def ident(s):
+        return s
+
+    import pandas as pd
+
+    ident.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    (
+        spark.range(0, cpus * 4, 1, cpus)
+        .select(F.pandas_udf(ident, "long")(F.col("id")))
+        .count()
+    )
 
 
 def run_replay(spark, n_per_context: int, batch_size: int, seed_path: str | None = None) -> dict:
