@@ -114,6 +114,10 @@ def _etl_inputs(spark: SparkSession, context: str):
     fetched = (
         spark.createDataFrame(pages)
         .join(meta, "url")
+        # push the context predicate BELOW the parse UDF: each entity
+        # query parses only its third of the corpus (normalised_items
+        # re-filters on the parsed column, which is then a no-op)
+        .where(F.col("context") == context)
         .select("url", "language", "html", "context", "item_id")
     )
     parsed = fetchparse.parse_stage(fetched)
