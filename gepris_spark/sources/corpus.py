@@ -51,11 +51,18 @@ def _stable_u64(*parts) -> int:
     return int.from_bytes(digest[:8], "big")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def ref_pixels(image_index: int, seed: int = 42) -> np.ndarray:
     """The pre-encode reference pixels for image n: seeded gradient+noise.
 
     The verification oracle re-derives these to check decoded-pixel
-    allclose / PSNR without storing a companion table.
+    allclose / PSNR without storing a companion table. Cached (the
+    derivation is deterministic and verify paths re-ask per row); the
+    returned array is marked read-only so a cache hit can never be
+    mutated in place.
     """
     rng = np.random.default_rng(seed * 1_000_003 + image_index)
     size = (32, 48, 64)[image_index % 3]
@@ -69,7 +76,9 @@ def ref_pixels(image_index: int, seed: int = 42) -> np.ndarray:
         axis=-1,
     ).astype(np.float64)
     noise = rng.normal(0, 12, size=(size, size, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    out = np.clip(base + noise, 0, 255).astype(np.uint8)
+    out.flags.writeable = False
+    return out
 
 
 def caption_for(image_index: int) -> str:
