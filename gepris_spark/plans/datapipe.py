@@ -782,6 +782,80 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full training-data curation pipeline as ONE plan —
+    quality gate -> exact dedup (keep min doc_id per md5) -> near-dup
+    removal (drop every doc that appears as the higher id of a
+    MinHash-LSH candidate pair) -> per-language survivor stats.
+
+    Composition of the already-verified primitives; everything stays in
+    built-ins, the near-dup side reuses the linear LSH bucket join, and
+    the two removal joins are anti-joins on doc_id (broadcast-able:
+    the removal sets are duplicates, a small fraction of the corpus).
+    The per-doc quality/langid expressions are single-pass; the only
+    shuffles are the dedup groupBy, the LSH band join, and the final
+    tiny per-language agg."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TS.langid(F.col("text")).alias("lang"),
+        TS.quality_score(F.col("text")).alias("q"),
+        TS.token_count(F.col("text")).alias("n_tokens"),
+    ).where(F.col("q") >= _CURATION_QUALITY_MIN)
+    keepers = scored.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = scored.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    near_dup_bs = (
+        q_dedup_minhash(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    survivors = exact.join(near_dup_bs, "doc_id", "left_anti")
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CURATION_QUALITY_MIN = 0.35
+
+SQL_CORPUS_CURATION = f"""
+WITH tt AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np
+  FROM documents),
+scored AS (
+  SELECT doc_id, text,
+         {_sql_langid()} AS lang,
+         round(
+           0.4 * least(greatest(len(toks) / 100.0, 0), 1)
+           + 0.4 * least(greatest(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, tk -> tk IN ({_ALL_STOP}))) * 1.0 / len(toks)
+               ELSE 0 END * 5, 0), 1)
+           + 0.2 * (1 - least(greatest(CASE WHEN length(text) > 0
+               THEN np * 1.0 / length(text) ELSE 0 END * 20, 0), 1)), 6) AS q,
+         len(toks) AS n_tokens
+  FROM tt),
+passed AS (SELECT * FROM scored WHERE q >= {_CURATION_QUALITY_MIN}),
+keepers AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY md5(text)),
+pairs AS ({{MINHASH}}),
+near_b AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+survivors AS (
+  SELECT p.* FROM passed p
+  JOIN keepers k USING (doc_id)
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM near_b))
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 4) AS avg_quality
+FROM survivors GROUP BY lang ORDER BY lang
+""".replace("{MINHASH}", SQL_DEDUP_MINHASH)
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -794,4 +868,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
 }
