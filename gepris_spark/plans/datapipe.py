@@ -201,6 +201,78 @@ ORDER BY sh.doc_id
 """
 
 
+_SIMHASH_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # 8 bits each; d<=3 differing bits leave >=1 band intact
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: banded hamming search.
+
+    Pigeonhole: two 32-bit simhashes within hamming distance 3 agree
+    exactly on at least one of 4 disjoint 8-bit bands, so the candidate
+    generation is an equi-join on (band index, band byte) — the same
+    linear-shuffle LSH shape as the minhash plan, never an all-pairs
+    scan — and the exact hamming verify is one bit_count(xor) per
+    candidate. Everything stays in built-ins on both engines.
+
+    The signature table is persisted: both sides of the band self-join
+    consume it, and without the persist each side re-runs the 8-way
+    md5 fold over the token arrays (Spark does not ReuseExchange across
+    the differing band projections). At 100 TB this is the materialized
+    signature table every simhash deployment keeps anyway."""
+    sig = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash").persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= _SIMHASH_HAMMING_MAX
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH sig AS ({{SIMHASH}}),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash >> (8 * b.b)) & 255 AS key
+  FROM sig, UNNEST(range(0, {_SIMHASH_BANDS})) AS b(b))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+""".replace("{SIMHASH}", SQL_DEDUP_SIMHASH)
+
+
 # ---------------------------------------------------------- ngram jaccard
 _JACCARD_THRESHOLD = 0.5
 
@@ -869,4 +941,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
 }
