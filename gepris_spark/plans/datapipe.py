@@ -928,6 +928,66 @@ FROM survivors GROUP BY lang ORDER BY lang
 """.replace("{MINHASH}", SQL_DEDUP_MINHASH)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-LSH candidate graph, so every member of a near-dup chain
+    maps to one canonical id (a -> b and b -> c collapse to one
+    cluster even when (a, c) never collided in any band).
+
+    Distributed shape: iterative min-label propagation to fixpoint —
+    per round, every vertex takes min(own label, neighbors' labels);
+    one groupBy-min + one join per round, lineage cut with
+    localCheckpoint (the Q8 hierarchy-loop pattern). Rounds needed =
+    graph diameter; near-dup components are chains of a few docs, and
+    the loop exits at the first fixpoint round. (Adversarial-diameter
+    graphs would want large-star/small-star; dedup graphs are not
+    that.)"""
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()  # both direction-unions and every round consume it
+    )
+    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    labels = und.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(16):
+        neigh = (
+            und.join(labels, und["b"] == labels["doc_id"])
+            .groupBy(F.col("a"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neigh, labels["doc_id"] == F.col("a"), "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = stepped.where(F.col("_chg")).isEmpty()
+        labels = stepped.drop("_chg")
+        if done:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_root")).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE pairs AS ({MINHASH}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(s, t) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t)
+SELECT s AS doc_id, min(t) AS cluster_root
+FROM reach GROUP BY s ORDER BY doc_id
+""".replace("{MINHASH}", SQL_DEDUP_MINHASH)
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -942,4 +1002,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }
