@@ -64,6 +64,29 @@ def windowed_rate(
     )
 
 
+RUN_METRICS_SCHEMA = (
+    "run_id long, spider string, context string, scraped_items long,"
+    " moved_items long, expected_items long, had_error boolean,"
+    " old_version string, new_version string"
+)
+
+
+def alert_stream(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """K7's decision matrix applied to a STREAM of run-metric rows
+    (pipelines.py:91-126 semantics via monitor.alert_decision — pure
+    column expressions, so the same operator serves batch and stream):
+    each completed run appends a metrics file; alert rows emerge with
+    status + subject, non-alert runs are filtered out."""
+    from gepris_spark.operators.monitor import alert_decision
+
+    raw = (
+        spark.readStream.schema(RUN_METRICS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(metrics_dir)
+    )
+    return alert_decision(raw).where(F.col("alert_status").isNotNull())
+
+
 def run_to_memory_sink(stream: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain all currently-available input into an in-memory table
     (Trigger.AvailableNow -> processes everything then stops); returns

@@ -55,3 +55,46 @@ def test_windowed_rate_totals_match(spark, crawled_store):
     # windows are real: the hot host spans multiple politeness windows
     hot = got.where(F.col("host") == "gepris.dfg.de")
     assert hot.count() > 1
+
+
+def test_alert_stream_matches_batch_decision(spark, tmp_path):
+    """K7 as a stream: the same decision matrix the batch path uses,
+    over appended run-metric files; only alert rows pass."""
+    import pandas as pd
+
+    from gepris_spark.operators.monitor import alert_decision
+
+    rows = pd.DataFrame(
+        [
+            # error -> Error alert
+            (1, "details", "projekt", 100, 0, 200, True, None, None),
+            # count mismatch -> Warning
+            (2, "search_results", "person", 90, 5, 100, False, None, None),
+            # clean run, counts match, small -> no alert
+            (3, "details", "person", 50, 0, 50, False, None, None),
+            # data_monitor version change -> Warning
+            (4, "data_monitor", None, 1, 0, 1, False, "v1", "v2"),
+            # details big success -> Success
+            (5, "details", "projekt", 20000, 0, 20000, False, None, None),
+        ],
+        columns=[
+            "run_id", "spider", "context", "scraped_items", "moved_items",
+            "expected_items", "had_error", "old_version", "new_version",
+        ],
+    )
+    metrics_dir = str(tmp_path / "metrics")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(metrics_dir)
+    stream = visitstream.alert_stream(spark, metrics_dir)
+    assert stream.isStreaming
+    visitstream.run_to_memory_sink(stream, "alerts")
+    got = spark.table("alerts").toPandas().sort_values("run_id")
+    assert list(got["run_id"]) == [1, 2, 4, 5]
+    assert list(got["alert_status"]) == ["Error", "Warning", "Warning", "Success"]
+    # stream rows equal the batch operator's decisions on the same input
+    batch = (
+        alert_decision(spark.createDataFrame(rows))
+        .where("alert_status is not null")
+        .toPandas()
+        .sort_values("run_id")
+    )
+    assert list(got["alert_subject"]) == list(batch["alert_subject"])
