@@ -51,6 +51,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop blocks persisted inside the query (several queries
+        # legitimately persist self-join inputs); without this the
+        # leftovers accumulate across 40 queries and later queries
+        # measure GC pressure, not their own plan
+        spark.catalog.clearCache()
     return timings
 
 
