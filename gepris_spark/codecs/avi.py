@@ -81,19 +81,28 @@ def probe(data: bytes) -> dict:
         raise ValueError("not a RIFF/AVI stream")
     fps = w = h = None
     frames: list[tuple[int, int]] = []
+    # stream type of the strh most recently seen in the current strl:
+    # a strf's layout depends on it (BITMAPINFOHEADER only for 'vids'),
+    # so an audio strl preceding the video one must not donate its strf
+    # bytes as "dimensions"
+    cur_stream = None
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps, w, h
+        nonlocal fps, w, h, cur_stream
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
             body_at = pos + 8
             if cid == b"LIST":
+                if data[body_at : body_at + 4] == b"strl":
+                    cur_stream = None  # each strl carries its own strh
                 walk(body_at + 4, body_at + size)
-            elif cid == b"strh" and data[body_at : body_at + 4] == b"vids":
-                scale, rate = struct.unpack("<II", data[body_at + 20 : body_at + 28])
-                fps = rate // max(scale, 1)
-            elif cid == b"strf" and w is None:
+            elif cid == b"strh":
+                cur_stream = data[body_at : body_at + 4]
+                if cur_stream == b"vids":
+                    scale, rate = struct.unpack("<II", data[body_at + 20 : body_at + 28])
+                    fps = rate // max(scale, 1)
+            elif cid == b"strf" and cur_stream == b"vids" and w is None:
                 w, h = struct.unpack("<ii", data[body_at + 4 : body_at + 12])
             elif cid in (b"00dc", b"00db"):
                 frames.append((body_at, size))

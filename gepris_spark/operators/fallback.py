@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gepris_spark import cacheutil
 from gepris_spark.functions import canonical as C
 from gepris_spark.operators import fetchparse
 
@@ -105,9 +106,14 @@ def google_cache_fallback_fetch(
         "item_id",
         "language",
     )
-    fetched_cache = fetchparse.fetch_pages(
-        cache_sched, cache_pages, broadcast_scheduled=broadcast_fetch
-    ).persist()
+    # tracked persist: both the hit and miss branches of the returned
+    # lazy plan consume stage 1, so release is the caller's via
+    # cacheutil.release_caches() (bench.py calls it per query)
+    fetched_cache = cacheutil.track(
+        fetchparse.fetch_pages(
+            cache_sched, cache_pages, broadcast_scheduled=broadcast_fetch
+        ).persist()
+    )
     hits = (
         fetched_cache.where(F.col("fetch_status").isNotNull())
         .withColumn("url", F.col("origin_url"))

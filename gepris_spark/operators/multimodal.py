@@ -250,6 +250,11 @@ def video_frame_sample_stage(video: DataFrame, every_n: int = 30) -> DataFrame:
                 data = bytes(r.bytes)
                 meta = avi.probe(data)
                 n = meta["n_frames"]
+                # externally-produced AVIs may omit the vids strh/strf:
+                # fall back to the MJPEG-AVI defaults instead of
+                # crashing the task (frame dims still come from the
+                # decoded pixels below when the header lied/omitted)
+                fps = int(meta["fps"]) if meta["fps"] else 30
                 keep = sorted(set(range(0, n, every_n)) | ({n - 1} if n else set()))
                 for idx in keep:
                     off, size = meta["frames"][idx]
@@ -264,10 +269,10 @@ def video_frame_sample_stage(video: DataFrame, every_n: int = 30) -> DataFrame:
                             "video_id": r.video_id,
                             "frame_idx": idx,
                             "n_frames": n,
-                            "fps": int(meta["fps"]),
-                            "w": int(meta["w"]),
-                            "h": int(meta["h"]),
-                            "t_seconds": round(idx / max(meta["fps"], 1), 6),
+                            "fps": fps,
+                            "w": int(meta["w"] if meta["w"] else pixels.shape[1]),
+                            "h": int(meta["h"] if meta["h"] else pixels.shape[0]),
+                            "t_seconds": round(idx / max(fps, 1), 6),
                             "phash": imagecodec.phash64(pixels),
                             "mean_luma": round(float(luma.mean()), 6),
                         }

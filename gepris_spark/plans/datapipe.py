@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gepris_spark import cacheutil
 from gepris_spark.functions import textstats as TS
 from gepris_spark.plans.relational import load
 
@@ -219,8 +220,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume it, and without the persist each side re-runs the 8-way
     md5 fold over the token arrays (Spark does not ReuseExchange across
     the differing band projections). At 100 TB this is the materialized
-    signature table every simhash deployment keeps anyway."""
-    sig = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash").persist()
+    signature table every simhash deployment keeps anyway. The persist
+    is registered with cacheutil: it cannot be released before the
+    caller executes the returned lazy plan, so callers free it with
+    `cacheutil.release_caches()` when done (bench.py does, per query)."""
+    sig = cacheutil.track(
+        q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash").persist()
+    )
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -508,10 +514,13 @@ def _norm2(a: Column) -> Column:
 def _cosine_batch(a: Column, b: Column) -> Column:
     """Vectorized cosine over two array columns: one Arrow batch ->
     one numpy einsum, ~100x the interpreted per-element HOF fold.
-    Used where only the RANKING of cosines surfaces (ANN top-k):
+    Used where only the RANKING of cosines surfaces (ANN top-k).
     numpy's pairwise summation and the oracle's sequential fold agree
-    to ~1 ulp, and exact ties (identical vectors) are equal under
-    both, so integer ranks are unaffected."""
+    only to ~1 ulp — distinct near-tie cosines could flip rank order
+    between engines — so every ranking consumer rounds the score to
+    _COS_RANK_DECIMALS first (mirrored in the oracle SQL): values
+    within the tolerance become exact ties and the deterministic
+    neighbor_id tiebreak decides identically on both engines."""
     import pandas as pd
 
     def cos(pa, pb):
@@ -609,6 +618,10 @@ ORDER BY vec_a, vec_b
 
 # ------------------------------------------------------------- ANN top-k
 _ANN_K = 5
+# rank-order tolerance: coarse enough that a ~1e-16 engine-summation
+# difference cannot straddle a rounding boundary in practice, fine
+# enough that genuinely distinct neighbors keep distinct scores
+_COS_RANK_DECIMALS = 9
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,7 +643,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cosine_batch(F.col("qv"), F.col("v")).alias("_cos"),
+            F.round(_cosine_batch(F.col("qv"), F.col("v")), _COS_RANK_DECIMALS).alias("_cos"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
@@ -693,7 +706,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cosine_batch(F.col("qv"), F.col("v")).alias("_cos"),
+        F.round(_cosine_batch(F.col("qv"), F.col("v")), _COS_RANK_DECIMALS).alias("_cos"),
     )
     win = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -725,8 +738,9 @@ probed AS (
   WHERE pr <= {_IVF_NPROBE}),
 scored AS (
   SELECT p.query_id, v.vec_id AS neighbor_id,
-         list_dot_product(p.qe, v.e) /
-           (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(v.e, v.e))) AS cos
+         round(list_dot_product(p.qe, v.e) /
+           (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(v.e, v.e))),
+           {_COS_RANK_DECIMALS}) AS cos
   FROM probed p JOIN v ON v.label = p.label AND v.vec_id <> p.query_id)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -742,8 +756,9 @@ WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
-         list_dot_product(q.qe, v.e) /
-           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))) AS cos
+         round(list_dot_product(q.qe, v.e) /
+           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))),
+           {_COS_RANK_DECIMALS}) AS cos
   FROM q JOIN v ON v.vec_id <> q.query_id)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -928,6 +943,9 @@ FROM survivors GROUP BY lang ORDER BY lang
 """.replace("{MINHASH}", SQL_DEDUP_MINHASH)
 
 
+_CC_MAX_ROUNDS = 32
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the
     MinHash-LSH candidate graph, so every member of a near-dup chain
@@ -953,7 +971,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    for _ in range(16):
+    # min-label propagation halves the longest unresolved path only in
+    # the worst case, but converges in <= diameter rounds; the cap is a
+    # SAFETY assert, not an exit: a component whose diameter exceeds it
+    # would get a wrong cluster_root, so running out of rounds without
+    # a fixpoint is an error, never a silent partial answer.
+    converged = False
+    for _ in range(_CC_MAX_ROUNDS):
         neigh = (
             und.join(labels, und["b"] == labels["doc_id"])
             .groupBy(F.col("a"))
@@ -971,7 +995,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         done = stepped.where(F.col("_chg")).isEmpty()
         labels = stepped.drop("_chg")
         if done:
+            converged = True
             break
+    # labels is localCheckpoint-materialized -> the pair table is no
+    # longer an input of the returned plan; release it here instead of
+    # leaking it to the caller (the per-round intermediates are freed
+    # by ContextCleaner as the loop rebinds `labels`).
+    pairs.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint after {_CC_MAX_ROUNDS} rounds — "
+            "component diameter exceeds the cap; raise _CC_MAX_ROUNDS or "
+            "switch to the large-star/small-star variant"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_root")).orderBy("doc_id")
 
 

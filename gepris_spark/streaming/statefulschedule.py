@@ -57,8 +57,13 @@ def stateful_schedule(frontier: DataFrame, delay_ms: int = 1000) -> DataFrame:
         (host,) = key
         (base,) = state.get if state.exists else (0,)
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # na_position='first' matches the batch scheduler's
+        # asc_nulls_first ordering (politeness.assign_schedule) — the
+        # pandas default ('last') would diverge on null priority/recency
         batch = batch.sort_values(
-            ["priority_type", "recency_ts", "url"], kind="mergesort"
+            ["priority_type", "recency_ts", "url"],
+            kind="mergesort",
+            na_position="first",
         ).reset_index(drop=True)
         batch["host_seq"] = base + batch.index.to_numpy()
         batch["scheduled_ms"] = batch["host_seq"] * delay_ms
