@@ -43,20 +43,41 @@ def _materialize(df) -> int:
     return 0
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Time every contract query COLD (first run in this JVM: pays
+    whole-stage-codegen compile, broadcast build, worker fork) and WARM
+    (second run, steady-state plan cost). Returns (warm, cold).
+
+    The warm number is the one that is comparable across rounds — the
+    round-2 postmortem showed single cold runs measure JVM state, not
+    plans (a query ran 27 s in-suite and 5 s isolated-warm). On a real
+    cluster executors are long-running, so warm IS the deployment
+    number; cold is reported alongside for first-touch latency."""
     import __spark_entry__ as entrymod
 
-    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
-        t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop blocks persisted inside the query (several queries
-        # legitimately persist self-join inputs); without this the
-        # leftovers accumulate across 40 queries and later queries
-        # measure GC pressure, not their own plan
-        spark.catalog.clearCache()
-    return timings
+        for target in (cold, warm):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            target[name] = round(time.perf_counter() - t0, 3)
+            _release_query_state(spark)
+    return warm, cold
+
+
+def _release_query_state(spark) -> None:
+    """Drop blocks persisted inside a query (several queries
+    legitimately persist self-join inputs); without this the leftovers
+    accumulate across 40 queries and later queries measure GC
+    pressure, not their own plan. cacheutil releases the tracked
+    persists AND forces a GC so localCheckpoint RDDs (dedup_clusters)
+    are reclaimed by the ContextCleaner — clearCache alone would not
+    free those."""
+    from gepris_spark import cacheutil
+
+    cacheutil.release_caches()
+    spark.catalog.clearCache()
 
 
 def _warm_python_workers(spark) -> None:
@@ -187,41 +208,67 @@ def run_crawl(spark, n_per_context: int, batch_size: int, data_path: str | None 
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _fresh_jvm(extra: list[str]) -> dict:
+    """Run this script in a fresh subprocess (fresh JVM, fresh Python
+    workers) and parse its JSON line. The round-2 postmortem showed
+    replay throughput measured AFTER the 40-query suite in the same JVM
+    reports suite heap/GC contamination, not frontier cost (3,641 vs
+    8,598 urls/s fresh) — so the default bench now measures replay and
+    crawl the way --scaling always did: subprocess-isolated."""
+    proc = subprocess.run(
+        [sys.executable, __file__] + extra, capture_output=True, text=True, check=True
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def bench_once(args) -> dict:
     from gepris_spark.session import get_spark
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    result: dict = {"sf": _sf_of(sf_dir), "cpus": cpus}
+    if args.crawl_only or args.replay_only:
+        spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+        try:
+            if args.crawl_only:
+                result.update(
+                    run_crawl(spark, args.crawl_seeds, args.replay_batch_size, args.data_path)
+                )
+                result.update(metric="crawl_seconds", value=result["crawl_sec"], unit="sec")
+            else:
+                result.update(
+                    run_replay(spark, args.replay_seeds, args.replay_batch_size, args.seed_path)
+                )
+                result.update(
+                    metric="frontier_replay_seconds", value=result["replay_sec"], unit="sec"
+                )
+            return result
+        finally:
+            spark.stop()
+    # full mode: query suite in this JVM (cold + warm per query), then
+    # replay and crawl each in their OWN fresh JVM after this one stops
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     try:
-        result: dict = {"sf": _sf_of(sf_dir), "cpus": cpus}
-        if args.crawl_only:
-            result.update(
-                run_crawl(spark, args.crawl_seeds, args.replay_batch_size, args.data_path)
-            )
-            result.update(
-                metric="crawl_seconds", value=result["crawl_sec"], unit="sec"
-            )
-            return result
-        if not args.replay_only:
-            _warm_python_workers(spark)
-            t0 = time.perf_counter()
-            result["queries"] = run_queries(spark, sf_dir)
-            result["value"] = round(time.perf_counter() - t0, 3)
-            result["metric"] = "total_query_wall_seconds"
-            result["unit"] = "sec"
-        result.update(
-            run_replay(spark, args.replay_seeds, args.replay_batch_size, args.seed_path)
-        )
-        if not args.replay_only:
-            result.update(run_crawl(spark, args.crawl_seeds, args.replay_batch_size))
-        if args.replay_only:
-            result.update(
-                metric="frontier_replay_seconds", value=result["replay_sec"], unit="sec"
-            )
-        return result
+        _warm_python_workers(spark)
+        warm, cold = run_queries(spark, sf_dir)
+        result["queries"] = warm
+        result["queries_cold"] = cold
+        result["value"] = round(sum(warm.values()), 3)
+        result["total_cold_sec"] = round(sum(cold.values()), 3)
+        result["metric"] = "total_query_wall_seconds_warm"
+        result["unit"] = "sec"
     finally:
         spark.stop()
+    common = ["--replay-batch-size", str(args.replay_batch_size), "--cpus", str(cpus)]
+    replay = _fresh_jvm(
+        ["--replay-only", "--replay-seeds", str(args.replay_seeds)]
+        + common
+        + (["--seed-path", args.seed_path] if args.seed_path else [])
+    )
+    result.update({k: v for k, v in replay.items() if k.startswith(("replay", "frontier", "n_batches"))})
+    crawl = _fresh_jvm(["--crawl-only", "--crawl-seeds", str(args.crawl_seeds)] + common)
+    result.update({k: v for k, v in crawl.items() if k.startswith("crawl")})
+    return result
 
 
 def _sf_of(sf_dir: str) -> float:
