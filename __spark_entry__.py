@@ -33,10 +33,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _oracle_checked() -> dict[str, tuple]:
     from gepris_spark.plans.contract_extra import CONTRACT_EXTRA_QUERIES
+    from gepris_spark.plans.contract_truth import TRUTH_QUERIES
     from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
     from gepris_spark.plans.relational import RELATIONAL_QUERIES
 
-    return {**RELATIONAL_QUERIES, **DATAPIPE_QUERIES, **CONTRACT_EXTRA_QUERIES}
+    return {
+        **RELATIONAL_QUERIES,
+        **DATAPIPE_QUERIES,
+        **CONTRACT_EXTRA_QUERIES,
+        **TRUTH_QUERIES,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

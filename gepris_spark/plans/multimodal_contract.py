@@ -1,11 +1,11 @@
-"""Engine-native driver-contract queries with no SQL form (the driver
-runs its weaker rows-only check on these; SURVEY §2 marks them as
-non-SQL-expressible: crawl replay state machine, binary image
-plumbing).
+"""Engine-native driver-contract queries.
 
-Both are fully deterministic: inputs come from the seeded corpus
+All are fully deterministic: inputs come from the seeded corpus
 generator, not from sf_dir (the testdata tables carry no binary/image
-columns)."""
+columns). Most get full fixture-backed DuckDB oracles via
+plans/contract_truth.py; only the four binary multimodal paths stay on
+the driver's rows-only check (their correctness lives in per-row
+decode invariants instead — see MULTIMODAL_QUERIES below)."""
 
 from __future__ import annotations
 
@@ -261,16 +261,14 @@ def q_person_details_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Only the binary image/audio/video paths stay rows-only: their
+# correctness story is per-row decode invariants (bit-exact PCM,
+# PSNR>=40dB, phash match) enforced inside the stage + pytest, which a
+# value-hash against a SQL engine can't express. Everything else that
+# used to live here is now fixture-oracled in plans/contract_truth.py.
 MULTIMODAL_QUERIES = {
     "multimodal_decode_verify": q_multimodal_decode,
     "multimodal_rgb_features": q_multimodal_features,
-    "crawl_replay_visit_log": q_crawl_replay,
-    "search_results_parse": q_search_results_parse,
-    "entity_etl_projekte": q_entity_etl_projekte,
-    "entity_etl_personen": q_entity_etl_personen,
-    "entity_etl_institutionen": q_entity_etl_institutionen,
-    "person_details_fallback": q_person_details_fallback,
     "multimodal_audio_features": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video_frames,
-    "stateful_schedule_stream": q_stateful_schedule,
 }

@@ -1,0 +1,315 @@
+"""Independent expected-output generators for the engine-native
+contract queries (the round-2 VERDICT's #1 ask: real oracles for the
+rows-only surface).
+
+Every function here derives the EXPECTED result of a contract query
+directly from the corpus generator's ground-truth formulas
+(sources/corpus.py embeds items it constructs from (seed, index)
+hashes) or from the independent single-threaded replay oracle
+(replay.py) — never through the engine's HTML parser, normaliser, or
+Spark operators. tools/gen_truth_fixtures.py materializes these to
+`fixtures/*.parquet`; the oracle SQL for each query is then a plain
+`SELECT ... FROM read_parquet(fixture)` the driver's DuckDB gate can
+execute, turning seven formerly rows-only checks into full
+rows+schema+hash oracles.
+
+Reference parity targets are the same as the queries under test:
+spiders/search_results.py (search parse), database/init/dfg-gepris.sql
+:233-339 (entity ETL), spiders/person_details.py (fallback routing).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from gepris_spark import replay
+from gepris_spark.sources import corpus
+
+UA_POOL = ["UA-A/1.0", "UA-B/2.0", "UA-C/3.0"]
+PROXY_POOL = ["p1.example.org:8080:u:s", "p2.example.org:8080:u:s"]
+
+
+def seed_host(context: str, item_id: int, seed: int = 42, n_extra_hosts: int = 3) -> str:
+    """Mirror of gen_seeds_pdf's host assignment formula."""
+    h = corpus._stable_u64(seed, context, item_id)
+    return (
+        corpus.GEPRIS_HOST if h % 10 < 7 else f"mirror{h % n_extra_hosts}.example.org"
+    )
+
+
+def page_status(url: str, language: str, seed: int = 42) -> str:
+    """Mirror of gen_pages_pdf's status route formula (94/2/2/2)."""
+    p = corpus._stable_u64(seed, "page", url, language) % 100
+    if p < 94:
+        return "success"
+    if p < 96:
+        return "moved"
+    if p < 98:
+        return "bad_structure"
+    return "wrong_language"
+
+
+def _compact(obj) -> str:
+    return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+
+
+# ------------------------------------------------------- search results
+def search_results_truth(
+    context: str = "institution",
+    n_items: int = 80,
+    page_size: int = 40,
+    seed: int = 42,
+    null_rate: float = 0.02,
+) -> pd.DataFrame:
+    """Expected parse_search_stage output for the seeded search corpus:
+    one row per embedded non-null result (the generator decides which
+    rows are /null warn-links), plus one row per embedded
+    subInstitution (P7 exploder) carrying the parent id."""
+    out: list[dict] = []
+    for start in range(0, n_items, page_size):
+        ids = range(start + 1, min(start + page_size, n_items) + 1)
+        url = f"https://{corpus.GEPRIS_HOST}/search/{context}?index={start}"
+        items: list[dict] = []
+        n_null = 0
+        for i in ids:
+            h = corpus._stable_u64(seed, "search", context, i)
+            if (h % 10_000) / 10_000 < null_rate:
+                n_null += 1
+                continue
+            items.append(
+                {
+                    "url": url,
+                    "context": context,
+                    "item_id": i,
+                    "name_de": f"Eintrag {i} ({context})",
+                    "addresse": None,
+                    "attributes": None,
+                    "uebergeordnete_institution": None,
+                }
+            )
+            if context == "institution":
+                for j in range(h % 3):
+                    sid = i * 100 + j
+                    items.append(
+                        {
+                            "url": url,
+                            "context": context,
+                            "item_id": sid,
+                            "name_de": f"Unterinstitut {sid}",
+                            "addresse": f"Nebenstraße {j}",
+                            "attributes": None,
+                            "uebergeordnete_institution": i,
+                        }
+                    )
+        for it in items:
+            it["total_result_count"] = n_items
+            it["n_loaded_on_page"] = len(items)
+            it["n_null_links"] = n_null
+        out.extend(items)
+    return pd.DataFrame(out)
+
+
+# ----------------------------------------------------------- entity ETL
+def _success_count(context: str, item_id: int, seed: int = 42) -> int:
+    """How many of the (de, en) detail pages for this item parse to
+    status=success — the ETL emits one typed row per success page."""
+    url = f"https://{seed_host(context, item_id, seed)}/gepris/{context}/{item_id}"
+    return sum(
+        1 for lang in ("de", "en") if page_status(url, lang, seed) == "success"
+    )
+
+
+def projekte_truth(n: int = 25, seed: int = 42) -> pd.DataFrame:
+    """Expected projekte_table rows: every field re-derived from the
+    generator's attribute formulas (_page_html), not from parsing."""
+    rows = []
+    for i in range(1, n + 1):
+        n_success = _success_count("projekt", i, seed)
+        if n_success == 0:
+            continue
+        h = corpus._stable_u64("attrs", "projekt", i)
+        nk = 3 + h % 4  # number of ATTR_KEYS emitted on the page
+        female = h % 3 == 1  # Antragstellerin key variant
+        pids = corpus.ref_person_ids(i)
+        row = {
+            "id": i,
+            "name": f"Eintrag{i} (projekt)",
+            "dfg_verfahren": f"Wert {i}-5 für DFG-Verfahren" if nk >= 5 else None,
+            "fachrichtungen": _compact([f"Wert {i}-2 für Fachliche Zuordnung"]),
+            "foerderung_beginn": 2000 + h % 20,
+            "foerderung_ende": 2001 + h % 21,
+            "internationaler_bezug": None,
+            "webseite": f"example.org/p/{i}" if nk >= 6 else None,
+            # projektbaum leaves: only the numeric leaf survives the
+            # rlike filter; the Gruppe branch serializes as an object
+            "teil_projekte": _compact([i * 10 + 1]),
+            "male_personen": _compact([] if female else pids),
+            "female_personen": _compact(pids if female else []),
+            "n_unknown_keys": 0,
+        }
+        rows.extend([dict(row)] * n_success)
+    return pd.DataFrame(rows)
+
+
+def personen_truth(n: int = 25, seed: int = 42) -> pd.DataFrame:
+    rows = []
+    for i in range(1, n + 1):
+        n_success = _success_count("person", i, seed)
+        row = {
+            "id": i,
+            "name": f"Eintrag{i} (person)",
+            "verstorben": False,
+            "gender": "unknown",
+            # person pages carry only the generic ATTR_KEYS, none of
+            # which are in PERSON_KEY_MAP -> all normalized attrs null
+            "adresse": None,
+            "mail": None,
+            "internet": None,
+        }
+        rows.extend([dict(row)] * n_success)
+    return pd.DataFrame(rows)
+
+
+def _subinstitutions_json(i: int) -> str | None:
+    kids = corpus.sub_institution_ids(i)
+    if not kids:
+        return None
+    grand = corpus.sub_institution_ids(kids[0])
+    first = {str(kids[0]): [grand[0]]} if grand else kids[0]
+    return _compact([first] + kids[1:])
+
+
+def institutionen_truth(n: int = 25, seed: int = 42) -> pd.DataFrame:
+    rows = []
+    for i in range(1, n + 1):
+        n_success = _success_count("institution", i, seed)
+        row = {
+            "id": i,
+            "name": f"Eintrag{i} (institution)",
+            "adresse": None,
+            "internet": None,
+            "subinstitutions_json": _subinstitutions_json(i),
+        }
+        rows.extend([dict(row)] * n_success)
+    return pd.DataFrame(rows)
+
+
+# ------------------------------------------------- fallback fetch (S9)
+GOOGLE_CACHE_USER_AGENT = (
+    "Mozilla/5.0 (Windows NT 6.1; WOW64; rv:77.0) Gecko/20190101 Firefox/77.0"
+)
+
+
+def _xxhash64_picks(spark, urls: list[str], tag: str, n: int) -> dict[str, int]:
+    """Rotation indices pmod(xxhash64(tag, url), n). xxhash64 is a
+    public Spark builtin, evaluated here directly over the url list —
+    the rotation RULE (pool[h % n]) is re-stated independently; only
+    the hash primitive is shared, by necessity (it has no portable
+    re-implementation in this environment)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url", F.pmod(F.xxhash64(F.lit(tag), F.col("url")), F.lit(n)).cast("int").alias("i")
+    ).collect()
+    return {r["url"]: r["i"] for r in rows}
+
+
+def fallback_truth(spark, n: int = 40, seed: int = 42) -> pd.DataFrame:
+    """Expected q_person_details_fallback rows: route (cache hit vs
+    live), rotated UA/proxy, parse status and attribute count — all
+    from generator formulas."""
+    from gepris_spark.functions.canonical import format_proxy_str
+
+    seeds = corpus.gen_seeds_pdf({"person": n}, seed=seed)
+    uniq = seeds.dropna(subset=["item_id"])
+    uniq = uniq[~uniq["url"].str.contains("?", regex=False)]
+    uniq = uniq.drop_duplicates(subset=["url"])
+    urls = list(uniq["url"])
+    ua_idx = _xxhash64_picks(spark, urls, "user_agent", len(UA_POOL))
+    proxies = [format_proxy_str(p) for p in PROXY_POOL]
+    px_idx = _xxhash64_picks(spark, urls, "proxy", len(proxies))
+    rows = []
+    for r in uniq.itertuples(index=False):
+        i = int(r.item_id)
+        hit = corpus.cache_hit(r.url, seed)
+        if hit:
+            status = "success"
+            ua = GOOGLE_CACHE_USER_AGENT
+        else:
+            route = page_status(r.url, "de", seed)
+            status = {
+                "success": "success",
+                "moved": "moved",
+                "bad_structure": "error",
+                "wrong_language": "retry",
+            }[route]
+            ua = UA_POOL[ua_idx[r.url]]
+        success = status == "success"
+        h = corpus._stable_u64("attrs", "person", i)
+        rows.append(
+            {
+                "item_id": i,
+                "via": "google_cache" if hit else "gepris",
+                "user_agent": ua,
+                "proxy": proxies[px_idx[r.url]],
+                "status": status,
+                "name": f"Eintrag{i} (person)" if success else None,
+                "n_attributes": (3 + h % 4) if success else 0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# -------------------------------------------------------- crawl replay
+def crawl_replay_truth(n: int = 30, seed: int = 42, batch_size: int = 128) -> pd.DataFrame:
+    """Expected visit log from the independent single-threaded replay
+    oracle (replay.py) — the same oracle the pytest suite diffs the
+    micro-batch engine against."""
+    seeds = corpus.gen_seeds_pdf(n, seed=seed)
+    res = replay.replay(seeds.to_dict("records"), batch_size=batch_size)
+    return pd.DataFrame(
+        res.visits,
+        columns=["seq", "url", "host", "context", "item_id", "scheduled_ms", "batch_id"],
+    )
+
+
+# -------------------------------------------- stateful schedule stream
+def stateful_schedule_truth(delay_ms: int = 1000) -> pd.DataFrame:
+    """Expected stateful_schedule output for the two-arrival-file
+    contract stream: per (batch, host), rows ordered by the A2/A3
+    priority key; host_seq continues across batches. Pure pandas
+    restatement of the scheduling contract — no Spark state store."""
+    host_next: dict[str, int] = {}
+    out: list[dict] = []
+    for i, seed in enumerate((42, 99)):
+        pdf = corpus.gen_seeds_pdf(20, seed=seed)
+        pdf = pdf.drop_duplicates(subset=["url"])
+        pdf = pdf[~pdf["url"].str.contains(r"[?#]")].dropna(subset=["item_id"])
+        pdf = pdf.astype({"item_id": "int64", "priority_type": "int64"})
+        if i == 1:
+            pdf = pdf.copy()
+            pdf["url"] = pdf["url"] + "777"
+            pdf["item_id"] = pdf["item_id"] * 10000 + 777
+        for host, grp in pdf.groupby("host", sort=False):
+            g = grp.sort_values(
+                ["priority_type", "recency_ts", "url"],
+                kind="mergesort",
+                na_position="first",
+            )
+            base = host_next.get(host, 0)
+            for k, r in enumerate(g.itertuples(index=False)):
+                out.append(
+                    {
+                        "url": r.url,
+                        "host": host,
+                        "context": r.context,
+                        "item_id": int(r.item_id),
+                        "host_seq": base + k,
+                        "scheduled_ms": (base + k) * delay_ms,
+                    }
+                )
+            host_next[host] = base + len(g)
+    return pd.DataFrame(out)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Materialize the truth frames (gepris_spark/sources/truth.py) to
+`fixtures/*.parquet` — the DuckDB side of the fixture-backed oracles
+in gepris_spark/plans/contract_truth.py.
+
+Deterministic: every frame derives from fixed seeds; explicit arrow
+schemas pin the column types to exactly what the Spark contract
+queries produce through toPandas (int64 for widened counters, string
+for serialized JSON, nullable int64 where the Spark side is a nullable
+long). Re-running must reproduce the committed fixtures bit-for-bit in
+VALUES (tests/test_truth_fixtures.py enforces frame equality; parquet
+bytes may differ across pyarrow versions).
+
+Usage: python tools/gen_truth_fixtures.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+
+S, I, B = pa.string(), pa.int64(), pa.bool_()
+
+SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
+    "search_results_parse": [
+        ("url", S), ("context", S), ("item_id", I), ("name_de", S),
+        ("addresse", S), ("attributes", S), ("uebergeordnete_institution", I),
+        ("total_result_count", I), ("n_loaded_on_page", I), ("n_null_links", I),
+    ],
+    "entity_etl_projekte": [
+        ("id", I), ("name", S), ("dfg_verfahren", S), ("fachrichtungen", S),
+        ("foerderung_beginn", I), ("foerderung_ende", I),
+        ("internationaler_bezug", S), ("webseite", S), ("teil_projekte", S),
+        ("male_personen", S), ("female_personen", S), ("n_unknown_keys", I),
+    ],
+    "entity_etl_personen": [
+        ("id", I), ("name", S), ("verstorben", B), ("gender", S),
+        ("adresse", S), ("mail", S), ("internet", S),
+    ],
+    "entity_etl_institutionen": [
+        ("id", I), ("name", S), ("adresse", S), ("internet", S),
+        ("subinstitutions_json", S),
+    ],
+    "person_details_fallback": [
+        ("item_id", I), ("via", S), ("user_agent", S), ("proxy", S),
+        ("status", S), ("name", S), ("n_attributes", I),
+    ],
+    "crawl_replay_visit_log": [
+        ("seq", I), ("url", S), ("host", S), ("context", S), ("item_id", I),
+        ("scheduled_ms", I), ("batch_id", I),
+    ],
+    "stateful_schedule_stream": [
+        ("url", S), ("host", S), ("context", S), ("item_id", I),
+        ("host_seq", I), ("scheduled_ms", I),
+    ],
+}
+
+
+def truth_frames(spark) -> dict:
+    """name -> truth pandas frame, fixed contract seeds throughout."""
+    from gepris_spark.sources import truth
+
+    return {
+        "search_results_parse": truth.search_results_truth(),
+        "entity_etl_projekte": truth.projekte_truth(),
+        "entity_etl_personen": truth.personen_truth(),
+        "entity_etl_institutionen": truth.institutionen_truth(),
+        "person_details_fallback": truth.fallback_truth(spark),
+        "crawl_replay_visit_log": truth.crawl_replay_truth(),
+        "stateful_schedule_stream": truth.stateful_schedule_truth(),
+    }
+
+
+def write_fixtures(out_dir: str | Path, spark) -> dict[str, int]:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    counts: dict[str, int] = {}
+    for name, pdf in truth_frames(spark).items():
+        schema = pa.schema(SCHEMAS[name])
+        table = pa.Table.from_pandas(
+            pdf[[f[0] for f in SCHEMAS[name]]], schema=schema, preserve_index=False
+        )
+        pq.write_table(table, out / f"{name}.parquet")
+        counts[name] = len(pdf)
+    return counts
+
+
+if __name__ == "__main__":
+    from gepris_spark.session import get_spark
+
+    dest = sys.argv[1] if len(sys.argv) > 1 else str(_REPO / "fixtures")
+    spark = get_spark("gen_truth_fixtures", master="local[2]", shuffle_partitions=2)
+    try:
+        for name, n in write_fixtures(dest, spark).items():
+            print(f"{name}: {n} rows")
+    finally:
+        spark.stop()
