@@ -61,11 +61,15 @@ def _shingles(text: Column) -> Column:
     return TS.word_shingles(text, 3)
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 3-word shingles -> K=8 minhash
-    signature -> 4 bands of 2 -> band-bucket self-join. The join is an
-    equi-join on (band index, band hash pair): at 100 TB this is the
-    standard linear-shuffle LSH plan — no pairwise scan anywhere."""
+def minhash_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized LSH signature/band table every minhash
+    deployment keeps: 3-word shingles -> K=8 minhash signature -> 4
+    exploded (band, hash pair) rows per doc. PERSISTED (tracked via
+    cacheutil, released by the caller when done): the band self-join
+    and every composition (curation removal, jaccard candidates,
+    cluster edges) consume it more than once, and without the persist
+    each consumer re-runs the 8-way md5 fold over the shingle arrays —
+    Spark does not ReuseExchange across the differing projections."""
     docs = load(spark, sf_dir, "documents", spread=True)
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).where(F.size("sh") > 0)
     big = F.lit((1 << 62)).cast("long")
@@ -94,8 +98,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.h0", "bb.h1")
+    return cacheutil.track(bands.persist())
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (unordered output — the
+    compositional form). The join is an equi-join on (band index, band
+    hash pair) over the persisted band table: at 100 TB this is the
+    standard linear-shuffle LSH plan — no pairwise scan anywhere."""
+    bands = minhash_band_table(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -105,9 +118,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
-    return pairs
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract form of minhash_pairs (deterministic presentation
+    order)."""
+    return minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 SQL_DEDUP_MINHASH = f"""
@@ -373,13 +390,17 @@ def _intersection_counts(rows_a, cols_a, n_a, rows_b, cols_b, n_b):
     return np.bincount(keys, minlength=n_a * n_b).astype(np.int32).reshape(n_a, n_b)
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-3-gram Jaccard near-dup pairs: blocked exact verification.
+def ngram_jaccard_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard near-dup pairs: blocked exact ALL-PAIRS
+    verification within a block key.
 
-    Scale design: this operator is the *exact verifier* that pairs with
-    a linear candidate generator (the LSH plan in q_dedup_minhash) —
-    blocks (here `source`; at 100 TB an LSH bucket id) are scored
-    pairwise, and TWO bounds make that safe under arbitrary skew:
+    This is the library form for corpora where a natural block key
+    exists and every within-block pair must be scored (audit jobs,
+    small curated blocks). The CONTRACT query q_dedup_ngram_jaccard
+    does NOT use it — per-block all-pairs is O(n^2/cap) total work
+    under a hot key, so the contract composes LSH candidates with the
+    per-pair verifier instead. Blocks are scored pairwise here, and TWO
+    bounds make that safe under arbitrary skew:
 
     1. plan-level sub-block + merge (`_subblocked`): a block bigger
        than _PAIR_BLOCK_CAP docs is salted into sub-blocks and every
@@ -475,7 +496,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_NGRAM_JACCARD = f"""
+SQL_DEDUP_NGRAM_JACCARD_BLOCKED = f"""
 WITH norm AS (
   SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents),
@@ -495,6 +516,75 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= {_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard near-dups: LSH candidates -> exact verify.
+
+    Round-2 verdict #3: the old contract form blocked on `source` —
+    per-block memory was capped but total work per block was
+    O(n^2/cap), quadratic in a hot key. This composition makes verify
+    work LINEAR in candidates: the MinHash band equi-join (linear
+    shuffle) proposes pairs, and each candidate pair is verified
+    exactly once by intersecting the two docs' hashed 3-gram arrays —
+    `array_intersect` on int64 arrays, JVM-side, no Python and no
+    within-block fan-out anywhere.
+
+    Shuffle shape at 100 TB: band join (linear), then two equi-joins
+    attaching each side's gram array to the candidate list (each doc's
+    array moves once per candidate pair it appears in — bounded by the
+    duplicate incidence, not by any block size). The gram arrays hash
+    to int64 JVM-side so the verify shuffle moves 8-byte words, not
+    3-char strings; char_ngrams pre-distincts per row so |array| =
+    |gram set| exactly. The same xxhash64-collision bound as the
+    blocked verifier applies (would need ~2^32 distinct grams in one
+    doc pair). Jaccard arithmetic + threshold stay in built-ins so
+    rounding matches the oracle bit-for-bit."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    cands = minhash_pairs(spark, sf_dir)
+    norm_len = F.length(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    grams = docs.where(norm_len >= 3).select(
+        "doc_id",
+        F.transform(TS.char_ngrams(F.col("text"), 3), lambda s: F.xxhash64(s)).alias("g"),
+    )
+    scored = (
+        cands.join(grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("_ga")), "doc_a")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("_gb")), "doc_b")
+        .withColumn("_ni", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_ni") / (F.size("_ga") + F.size("_gb") - F.col("_ni")), 4),
+        )
+    )
+    return (
+        scored.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH cands AS ({{MINHASH}}),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, i, 3) AS gram
+  FROM norm, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN grams a ON a.doc_id = c.doc_a
+  JOIN grams b ON b.doc_id = c.doc_b AND b.gram = a.gram
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""".replace("{MINHASH}", SQL_DEDUP_MINHASH)
 
 
 # ------------------------------------------------------ embedding near-dup
@@ -894,8 +984,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     exact = scored.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    # minhash_pairs reads the PERSISTED band table, so the 8-way
+    # signature fold runs once here (round-2 verdict #6), and no
+    # ordering is wasted mid-plan
     near_dup_bs = (
-        q_dedup_minhash(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+        minhash_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
     )
     survivors = exact.join(near_dup_bs, "doc_id", "left_anti")
     return (
@@ -961,7 +1054,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs would want large-star/small-star; dedup graphs are not
     that.)"""
     pairs = (
-        q_dedup_minhash(spark, sf_dir)
+        minhash_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .persist()  # both direction-unions and every round consume it
     )

@@ -91,8 +91,10 @@ def _rows(df):
 def test_hot_block_ngram_jaccard_subblocked_exact(spark, hot_dir, monkeypatch):
     sf_dir, con = hot_dir
     monkeypatch.setattr(datapipe, "_PAIR_BLOCK_CAP", 32)  # 220 docs -> 7 subs, 28 tasks
-    got = _rows(datapipe.q_dedup_ngram_jaccard(spark, sf_dir))
-    want = sorted(tuple(r) for r in con.execute(datapipe.SQL_DEDUP_NGRAM_JACCARD).fetchall())
+    got = _rows(datapipe.ngram_jaccard_pairs_blocked(spark, sf_dir))
+    want = sorted(
+        tuple(r) for r in con.execute(datapipe.SQL_DEDUP_NGRAM_JACCARD_BLOCKED).fetchall()
+    )
     assert len(got) > 50, "hot block must actually produce near-dup pairs"
     assert got == want
 
