@@ -32,6 +32,34 @@ from pyspark.sql import types as T
 
 DEFAULT_DELAY_MS = 2000  # AutoThrottle start delay (settings.py:121)
 
+# AIMD latency feedback (reference AutoThrottle, settings.py:119-126:
+# start 2 s, max 30 s, target concurrency 1.0). Wall-clock AutoThrottle
+# updates per response; a micro-batch engine assigns a batch's whole
+# schedule BEFORE any of its fetches run, so the batch is the only
+# observation unit that exists — the deterministic translation is
+# per-(host, batch) feedback:
+#
+#   observed_b(h) = sum(fetch_cost_ms) DIV count  over h's batch-b
+#                   fetches with a measured cost (integer mean, exact)
+#   delay_{b+1}(h) = clamp((delay_b(h) + observed_b(h)) DIV 2,
+#                          lo(h), AIMD_MAX_DELAY_MS)
+#
+# with lo(h) = the robots crawl-delay override when present else the
+# 2 s start delay (target concurrency 1.0 makes the target delay equal
+# the observed latency, as in the reference). All-integer arithmetic so
+# the single-threaded replay oracle reproduces it bit-for-bit.
+AIMD_MIN_DELAY_MS = 2000
+AIMD_MAX_DELAY_MS = 30000
+
+
+def aimd_next_delay(delay_ms, observed_ms, lo_ms):
+    """Next per-host delay column: NULL observed (no measured fetch for
+    the host this batch) leaves the delay unchanged."""
+    stepped = F.floor((delay_ms + observed_ms) / F.lit(2)).cast("long")
+    return F.when(
+        observed_ms.isNull(), delay_ms
+    ).otherwise(F.least(F.greatest(stepped, lo_ms), F.lit(AIMD_MAX_DELAY_MS).cast("long")))
+
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),

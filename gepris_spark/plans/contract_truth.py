@@ -84,4 +84,5 @@ TRUTH_QUERIES: dict[str, tuple] = {
         mc.q_stateful_schedule,
         _fixture_sql("stateful_schedule_stream"),
     ),
+    "crawl_aimd_schedule": (mc.q_crawl_aimd, _fixture_sql("crawl_aimd_schedule")),
 }

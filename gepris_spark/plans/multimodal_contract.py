@@ -70,6 +70,40 @@ def q_crawl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq")
 
 
+def q_crawl_aimd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic AutoThrottle (reference settings.py:119-126, round-2
+    verdict #4) as a contract query: the same seeded seed list replayed
+    in TWO micro-batches with the AIMD latency feedback on — batch 1's
+    per-host delays evolve from batch 0's synthetic latency feed, and
+    the visit log's scheduled_ms trajectory must equal the independent
+    replay oracle's (fixture crawl_aimd_schedule). Two batches keeps
+    the engine's fixed per-batch job cost out of the bench; the full
+    3-batch trajectory (incl. clamps and resume) lives in
+    tests/test_replay.py."""
+    from gepris_spark.sources import corpus
+    from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
+
+    seeds_pdf = corpus.gen_seeds_pdf(30, seed=42)
+    latencies = spark.createDataFrame(corpus.gen_latencies_pdf(seeds_pdf, seed=42))
+    engine = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="gepris_aimd_"),
+        EngineConfig(
+            batch_size=46,
+            aimd=True,
+            bloom_buckets=4,
+            bloom_bits=1 << 18,
+            detailed_metrics=False,
+        ),
+    )
+    engine.run_seed_list(spark.createDataFrame(seeds_pdf), latencies=latencies)
+    return (
+        engine.visit_log()
+        .select("seq", "url", "host", "context", "item_id", "scheduled_ms", "batch_id")
+        .orderBy("seq")
+    )
+
+
 def q_search_results_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/P7 search-results parse (1->n mapInPandas) over the seeded
     paginated search corpus — institution pages include the

@@ -25,6 +25,15 @@ The contract, stated once (both implementations compute it):
 
 Politeness budget: delay_ms(h) = robots crawl-delay override or the
 2000 ms AutoThrottle start delay (settings.py:121).
+
+AIMD mode (aimd=True, reference AutoThrottle settings.py:119-126,
+deterministic batch-granularity translation — see
+operators/politeness.py AIMD notes): per host, the batch's requests
+are spaced by the host's CURRENT delay starting at its next_ms
+watermark; after the batch, delay' = clamp((delay + observed) // 2,
+lo, 30000) where observed = integer mean fetch cost of the host's
+measured fetches this batch and lo = robots override or 2000. All
+integer arithmetic — bit-identical to the engine.
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ import re
 from dataclasses import dataclass, field
 
 DEFAULT_DELAY_MS = 2000
+AIMD_MAX_DELAY_MS = 30000
 
 _URL_RE = re.compile(r"^(https?://[^/]*)([^?#]*)", re.IGNORECASE)
 
@@ -72,13 +82,20 @@ def replay(
     batch_size: int = 0,
     robots_delay_ms: dict[str, int] | None = None,
     disallow_prefixes: dict[str, list[str]] | None = None,
+    aimd: bool = False,
+    latency_ms: dict[str, int] | None = None,
 ) -> ReplayResult:
     """Run the oracle over seed rows (dicts with url, priority_type,
-    recency_ts). batch_size=0 means one batch."""
+    recency_ts). batch_size=0 means one batch. aimd=True enables the
+    deterministic AutoThrottle delay (latency_ms: url -> observed
+    fetch cost in ms)."""
     robots_delay_ms = robots_delay_ms or {}
     disallow_prefixes = disallow_prefixes or {}
+    latency_ms = latency_ms or {}
     res = ReplayResult()
     host_seq: dict[str, int] = {}
+    host_delay: dict[str, int] = {}
+    host_next_ms: dict[str, int] = {}
     if batch_size <= 0:
         batch_size = len(seed_rows) or 1
 
@@ -125,8 +142,18 @@ def replay(
         for c in candidates:
             k = host_seq.get(c["host"], 0)
             host_seq[c["host"]] = k + 1
-            delay = robots_delay_ms.get(c["host"], DEFAULT_DELAY_MS)
-            c["scheduled_ms"] = k * delay
+            lo = robots_delay_ms.get(c["host"], DEFAULT_DELAY_MS)
+            if aimd:
+                # batch-constant delay: the evolved AIMD delay, never
+                # below the robots/start floor (floor can rise between
+                # batches, hence the re-clamp)
+                delay = max(host_delay.get(c["host"], lo), lo)
+                host_delay[c["host"]] = delay
+                base = host_next_ms.get(c["host"], 0)
+                c["scheduled_ms"] = base
+                host_next_ms[c["host"]] = base + delay
+            else:
+                c["scheduled_ms"] = k * lo
         # 6: visit order
         candidates.sort(
             key=lambda c: (
@@ -149,4 +176,22 @@ def replay(
             )
             res.url_seen.add(c["url"])
             seq += 1
+        if aimd:
+            # end-of-batch delay update: integer mean of the host's
+            # measured fetch costs this batch, folded into the delay
+            # (engine mirror: politeness.aimd_next_delay). Hosts with
+            # no measured fetch keep their current delay.
+            sums: dict[str, int] = {}
+            counts: dict[str, int] = {}
+            for c in candidates:
+                cost = latency_ms.get(c["url"])
+                if cost is not None:
+                    sums[c["host"]] = sums.get(c["host"], 0) + cost
+                    counts[c["host"]] = counts.get(c["host"], 0) + 1
+            for h, n in counts.items():
+                lo = robots_delay_ms.get(h, DEFAULT_DELAY_MS)
+                obs = sums[h] // n
+                host_delay[h] = min(
+                    max((host_delay[h] + obs) // 2, lo), AIMD_MAX_DELAY_MS
+                )
     return res

@@ -806,6 +806,28 @@ def gen_cache_pages_pdf(
     )
 
 
+def fetch_latency_ms(canon_url: str, seed: int = 42) -> int:
+    """Deterministic synthetic fetch latency for the AIMD politeness
+    contract (operators/politeness.py AIMD notes): wide spread
+    (50..16049 ms) so the per-host AutoThrottle delay actually evolves
+    instead of pinning to the 2 s floor; keyed on (seed, canonical
+    url)."""
+    return 50 + _stable_u64(seed, "latency", canon_url) % 16000
+
+
+def gen_latencies_pdf(seeds_pdf: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
+    """(url, fetch_cost_ms) over the seed list's canonical urls — the
+    latency feed the AIMD engine joins against each visit batch; the
+    replay oracle consumes the identical formula via
+    fetch_latency_ms."""
+    from gepris_spark.replay import canonicalize
+
+    canon = sorted({c for c in (canonicalize(u) for u in seeds_pdf["url"]) if c})
+    return pd.DataFrame(
+        {"url": canon, "fetch_cost_ms": [fetch_latency_ms(u, seed) for u in canon]}
+    )
+
+
 def write_fixtures(out_dir: str, n_per_context: int = 60, n_images: int = 40, seed: int = 42) -> dict:
     """Write the t1-scale fixture parquet files; returns row counts."""
     import os

@@ -276,6 +276,24 @@ def crawl_replay_truth(n: int = 30, seed: int = 42, batch_size: int = 128) -> pd
     )
 
 
+def crawl_aimd_truth(n: int = 30, seed: int = 42, batch_size: int = 46) -> pd.DataFrame:
+    """Expected AIMD visit log: the replay oracle in aimd mode over the
+    same seed list and the same deterministic latency formula
+    (corpus.fetch_latency_ms) the engine contract query joins in."""
+    seeds = corpus.gen_seeds_pdf(n, seed=seed)
+    lat = {
+        r["url"]: int(r["fetch_cost_ms"])
+        for _, r in corpus.gen_latencies_pdf(seeds, seed=seed).iterrows()
+    }
+    res = replay.replay(
+        seeds.to_dict("records"), batch_size=batch_size, aimd=True, latency_ms=lat
+    )
+    return pd.DataFrame(
+        res.visits,
+        columns=["seq", "url", "host", "context", "item_id", "scheduled_ms", "batch_id"],
+    )
+
+
 # -------------------------------------------- stateful schedule stream
 def stateful_schedule_truth(delay_ms: int = 1000) -> pd.DataFrame:
     """Expected stateful_schedule output for the two-arrival-file

@@ -45,6 +45,12 @@ HOST_STATE = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("next_seq", T.LongType(), False),
+        # AIMD latency feedback (politeness.py AIMD notes): the host's
+        # current token-bucket delay and the logical send time of its
+        # next request. NULL when the engine runs with aimd off — the
+        # fixed-delay schedule derives scheduled_ms from host_seq alone.
+        T.StructField("delay_ms", T.LongType(), True),
+        T.StructField("next_ms", T.LongType(), True),
     ]
 )
 
@@ -66,6 +72,11 @@ class EngineConfig:
     # extra count jobs per batch; throughput-critical deployments can
     # turn it off — visit counts and stage timings are always kept
     detailed_metrics: bool = True
+    # deterministic AutoThrottle (politeness.py AIMD notes): per-host
+    # delay evolves from the previous batch's observed fetch costs.
+    # Off by default — the fixed-delay replay contract stays the
+    # round-1/2 byte-identical one unless a latency feed is wired in.
+    aimd: bool = False
 
 
 class CrawlEngine:
@@ -147,7 +158,13 @@ class CrawlEngine:
             "_arrivals",
         )
 
-    def run_batch(self, batch_id: int, batch: DataFrame, robots: DataFrame) -> dict:
+    def run_batch(
+        self,
+        batch_id: int,
+        batch: DataFrame,
+        robots: DataFrame,
+        latencies: DataFrame | None = None,
+    ) -> dict:
         import time as _time
 
         timings: dict[str, float] = {}
@@ -174,13 +191,38 @@ class CrawlEngine:
         allowed = politeness.apply_robots(fresh, robots)
 
         # per-host token-bucket sequence carried across batches
-        state = self.host_state().withColumnRenamed("next_seq", "_base_seq")
-        scheduled = politeness.assign_schedule(
-            allowed.join(F.broadcast(state), "host", "left"), n_salts=self.config.n_salts
+        state = self.host_state().select(
+            "host",
+            F.col("next_seq").alias("_base_seq"),
+            F.col("delay_ms").alias("_state_delay"),
+            F.col("next_ms").alias("_base_ms"),
         )
+        joined = allowed.join(F.broadcast(state), "host", "left")
+        if self.config.aimd:
+            # delay_ms from apply_robots is the FLOOR (robots crawl-delay
+            # override or the 2 s start delay); the evolved AIMD delay
+            # replaces it for this batch, never dropping below the floor
+            joined = joined.withColumn("_lo_ms", F.col("delay_ms")).withColumn(
+                "delay_ms",
+                F.greatest(F.coalesce(F.col("_state_delay"), F.col("delay_ms")), F.col("delay_ms")),
+            )
+        scheduled = politeness.assign_schedule(joined, n_salts=self.config.n_salts)
         scheduled = scheduled.withColumn(
             "host_seq", F.col("host_seq") + F.coalesce(F.col("_base_seq"), F.lit(0))
-        ).withColumn("scheduled_ms", F.col("host_seq") * F.col("delay_ms"))
+        )
+        if self.config.aimd:
+            # logical send time continues from the host's next_ms with
+            # this batch's (possibly re-throttled) delay as the spacing
+            scheduled = scheduled.withColumn(
+                "scheduled_ms",
+                F.coalesce(F.col("_base_ms"), F.lit(0)).cast("long")
+                + (F.col("host_seq") - F.coalesce(F.col("_base_seq"), F.lit(0)))
+                * F.col("delay_ms"),
+            )
+        else:
+            scheduled = scheduled.withColumn(
+                "scheduled_ms", F.col("host_seq") * F.col("delay_ms")
+            )
 
         prior = self.committed_batches()
         first_seq = max((r["first_seq"] + r["n_visited"] for r in prior.values()), default=0)
@@ -206,12 +248,54 @@ class CrawlEngine:
             "bloom_update",
             lambda: self.bloom.add_urls(visits.select("url"), assume_distinct=True),
         )
-        batch_state = ordered.groupBy("host").agg((F.max("host_seq") + 1).alias("next_seq"))
+        if self.config.aimd:
+            # observed latency per (host, batch): integer mean over the
+            # batch's measured fetches — DIV keeps it exact so the
+            # replay oracle reproduces the same delay trajectory
+            if latencies is not None:
+                obs = (
+                    visits.join(
+                        F.broadcast(latencies.select("url", "fetch_cost_ms")), "url"
+                    )
+                    .groupBy("host")
+                    .agg(F.expr("sum(fetch_cost_ms) DIV count(1)").alias("_obs"))
+                )
+            else:
+                obs = None
+            batch_state = ordered.groupBy("host").agg(
+                (F.max("host_seq") + 1).alias("next_seq"),
+                F.first("delay_ms").alias("_d"),
+                F.first("_lo_ms").alias("_lo"),
+                (F.max("scheduled_ms") + F.first("delay_ms")).alias("next_ms"),
+            )
+            if obs is not None:
+                batch_state = batch_state.join(obs, "host", "left")
+            else:
+                batch_state = batch_state.withColumn("_obs", F.lit(None).cast("long"))
+            batch_state = batch_state.select(
+                "host",
+                "next_seq",
+                politeness.aimd_next_delay(
+                    F.col("_d"), F.col("_obs"), F.col("_lo")
+                ).alias("delay_ms"),
+                "next_ms",
+            )
+        else:
+            batch_state = (
+                ordered.groupBy("host")
+                .agg((F.max("host_seq") + 1).alias("next_seq"))
+                .withColumn("delay_ms", F.lit(None).cast("long"))
+                .withColumn("next_ms", F.lit(None).cast("long"))
+            )
+        # hosts visited this batch have a strictly larger next_seq, so a
+        # struct-max keeps the batch row and leaves untouched hosts on
+        # their prior (next_seq, delay, next_ms) — one groupBy, no join
         merged_state = (
             self.host_state()
             .unionByName(batch_state)
             .groupBy("host")
-            .agg(F.max("next_seq").alias("next_seq"))
+            .agg(F.max(F.struct("next_seq", "delay_ms", "next_ms")).alias("_s"))
+            .select("host", "_s.next_seq", "_s.delay_ms", "_s.next_ms")
         )
         timed(
             "state_commit",
@@ -375,6 +459,7 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         arrival_col: str = "arrival_seq",
         max_arrival: int | None = None,
+        latencies: DataFrame | None = None,
     ) -> list[dict]:
         """Replay a seed list in arrival-order micro-batches, resuming
         past already-committed batches.
@@ -401,5 +486,5 @@ class CrawlEngine:
             batch = seeds.where(
                 (F.col(arrival_col) >= start) & (F.col(arrival_col) < start + batch_size)
             )
-            results.append(self.run_batch(batch_id, batch, robots))
+            results.append(self.run_batch(batch_id, batch, robots, latencies=latencies))
         return results

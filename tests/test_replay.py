@@ -125,6 +125,115 @@ def test_bloom_urlseen_no_false_negatives(spark, tmp_path):
     assert new.count() == 700  # exact path fixes all false positives
 
 
+def _two_host_pdf(n_per_host=12):
+    """Deterministic 2-host seed list: slow.example and fast.example
+    interleaved in arrival order."""
+    import pandas as pd
+
+    rows = []
+    for i in range(n_per_host):
+        for host in ("slow.example", "fast.example"):
+            rows.append(
+                {
+                    "url": f"https://{host}/gepris/projekt/{i + 1}",
+                    "priority_type": i % 3,
+                    "recency_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["arrival_seq"] = range(len(pdf))
+    return pdf
+
+
+def test_aimd_slow_host_stretches_schedule(spark, tmp_path):
+    """VERDICT r02 #4: deterministic AutoThrottle. A slow host's
+    schedule stretches batch over batch, identically in engine and
+    oracle; a fast host stays clamped at the 2 s floor."""
+    pdf = _two_host_pdf(12)
+    latency = {
+        r.url: 10_000 if "slow" in r.url else 100 for r in pdf.itertuples(index=False)
+    }
+    lat_df = spark.createDataFrame(
+        [(u, c) for u, c in latency.items()], "url string, fetch_cost_ms long"
+    )
+    engine = CrawlEngine(spark, str(tmp_path / "aimd"), EngineConfig(batch_size=8, aimd=True))
+    engine.run_seed_list(spark.createDataFrame(pdf), latencies=lat_df)
+    oracle = replay(_seed_rows(pdf), batch_size=8, aimd=True, latency_ms=latency)
+    _assert_match(engine, oracle)
+
+    # delay trajectory: slow host 2000 -> 6000 -> 8000 -> 9000 (one
+    # (d+10000)//2 step per batch); fast host re-clamps to the 2000 ms
+    # floor every batch ((2000+100)//2=1050 < lo)
+    state = {r["host"]: r for r in engine.host_state().collect()}
+    assert state["slow.example"]["delay_ms"] == 9000
+    assert state["fast.example"]["delay_ms"] == 2000
+
+    # per-batch spacing on the slow host uses the evolved delay: the
+    # within-batch gap is 2000 in batch 0, 6000 in batch 1, 8000 in 2
+    slow = (
+        engine.visit_log()
+        .where(F.col("host") == "slow.example")
+        .orderBy("seq")
+        .collect()
+    )
+    by_batch: dict[int, list[int]] = {}
+    for r in slow:
+        by_batch.setdefault(r["batch_id"], []).append(r["scheduled_ms"])
+    gaps = {
+        b: {t2 - t1 for t1, t2 in zip(ms, ms[1:])} for b, ms in by_batch.items() if len(ms) > 1
+    }
+    assert gaps[0] == {2000} and gaps[1] == {6000} and gaps[2] == {8000}
+
+
+def test_aimd_oracle_clamps_and_holds():
+    """Pure-oracle AIMD properties: the delay ceiling (30 s) binds, a
+    robots floor overrides the 2 s start, and a host with no measured
+    fetch keeps its delay."""
+    rows = [
+        {"url": f"https://h/gepris/projekt/{i}", "priority_type": 0, "recency_ts": None}
+        for i in range(1, 7)
+    ]
+    # huge latencies: (2000+1e6)//2 overshoots -> clamp to the 30 s
+    # ceiling from batch 1 on
+    lat = {r["url"]: 1_000_000 for r in rows}
+    res = replay(rows, batch_size=2, aimd=True, latency_ms=lat)
+    sched = [v["scheduled_ms"] for v in res.visits]
+    assert sched == [0, 2000, 4000, 34000, 64000, 94000]
+    # robots floor: crawl-delay 5000 is the lo even when latency is tiny
+    res2 = replay(
+        rows,
+        batch_size=3,
+        aimd=True,
+        latency_ms={r["url"]: 10 for r in rows},
+        robots_delay_ms={"h": 5000},
+    )
+    assert [v["scheduled_ms"] for v in res2.visits] == [0, 5000, 10000, 15000, 20000, 25000]
+    # no measured fetch -> delay unchanged across batches
+    res3 = replay(rows, batch_size=2, aimd=True, latency_ms={})
+    assert [v["scheduled_ms"] for v in res3.visits] == [0, 2000, 4000, 6000, 8000, 10000]
+
+
+def test_aimd_resume_byte_identical(spark, tmp_path):
+    """The AIMD host state (delay_ms, next_ms) survives the snapshot
+    store: killed-after-1-batch + resume == uninterrupted run."""
+    pdf = _two_host_pdf(9)
+    lat_df = spark.createDataFrame(
+        [(r.url, 7_000) for r in pdf.itertuples(index=False)],
+        "url string, fetch_cost_ms long",
+    )
+    seeds = spark.createDataFrame(pdf)
+    full = CrawlEngine(spark, str(tmp_path / "afull"), EngineConfig(batch_size=6, aimd=True))
+    full.run_seed_list(seeds, latencies=lat_df)
+
+    killed = CrawlEngine(spark, str(tmp_path / "akill"), EngineConfig(batch_size=6, aimd=True))
+    from gepris_spark.operators.politeness import empty_robots
+
+    killed.run_batch(0, seeds.where(F.col("arrival_seq") < 6), empty_robots(spark), latencies=lat_df)
+    resumed = CrawlEngine(spark, str(tmp_path / "akill"), EngineConfig(batch_size=6, aimd=True))
+    resumed.run_seed_list(seeds, latencies=lat_df)
+    assert _engine_visits(resumed) == _engine_visits(full)
+
+
 @pytest.mark.parametrize("corpus_seed", [7, 1337])
 def test_exact_match_on_other_corpora(spark, tmp_path, corpus_seed):
     """The exact-match contract is corpus-independent: different random

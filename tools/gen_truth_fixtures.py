@@ -59,6 +59,10 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("url", S), ("host", S), ("context", S), ("item_id", I),
         ("host_seq", I), ("scheduled_ms", I),
     ],
+    "crawl_aimd_schedule": [
+        ("seq", I), ("url", S), ("host", S), ("context", S), ("item_id", I),
+        ("scheduled_ms", I), ("batch_id", I),
+    ],
 }
 
 
@@ -74,6 +78,7 @@ def truth_frames(spark) -> dict:
         "person_details_fallback": truth.fallback_truth(spark),
         "crawl_replay_visit_log": truth.crawl_replay_truth(),
         "stateful_schedule_stream": truth.stateful_schedule_truth(),
+        "crawl_aimd_schedule": truth.crawl_aimd_truth(),
     }
 
 
