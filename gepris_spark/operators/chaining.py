@@ -387,12 +387,20 @@ def details_chain(
     max_retries: int = 2,
     parse_result=None,
     broadcast_fetch: bool = True,
+    fetch=None,
 ) -> dict[str, DataFrame]:
     """Run the full two-language details chain over a scheduled batch.
 
     `parse` is the parse stage callable (fetched -> parsed), injected so
     tests can pass a corpus-backed fetch; `pages` is the page source
     for operators.fetchparse.fetch_pages.
+
+    `fetch` overrides the fetch stage itself (scheduled -> fetched rows
+    with fetch_status/html/fetch_cost_ms): pass e.g.
+    `lambda s: fetchparse.http_fetch_stage(s, fetchparse.urllib_fetcher())`
+    to run the chain against live HTTP (S7 real leg) — every de/en/
+    result continuation then fetches through the same hook, and `pages`
+    may be None. Default is the corpus join (fetch_pages).
 
     Returns {'items': bilingual items, 'retry': rows needing re-fetch,
     'terminal_nonsuccess': moved/error de rows}. Retries here cover the
@@ -405,8 +413,11 @@ def details_chain(
 
     if parse_result is None:
         parse_result = fetchparse.parse_result_stage
+    if fetch is None:
+        def fetch(sched):
+            return fetchparse.fetch_pages(sched, pages, broadcast_fetch)
 
-    parsed_de = parse(fetchparse.fetch_pages(scheduled_de, pages, broadcast_fetch))
+    parsed_de = parse(fetch(scheduled_de))
     if "attempt" in scheduled_de.columns:
         # the parse stage emits only the PARSED schema — re-attach the
         # retry budget so route_statuses can exhaust it (urls are
@@ -427,20 +438,18 @@ def details_chain(
     terminal_de = routed["terminal"]
 
     cont = continuation_rows(terminal_de)
-    parsed_en = parse(fetchparse.fetch_pages(cont, pages, broadcast_fetch)).persist()
+    parsed_en = parse(fetch(cont)).persist()
 
     # A6 stages 3-4: projekt result pages, de then en, keyed off the
     # en page's result tab (details.py:91-117). Both stages touch only
     # the projekt-with-result subset — the fetch join prunes everything
     # else before any html moves.
     res_cont_de = result_continuation_rows(parsed_en)
-    result_de = parse_result(
-        fetchparse.fetch_pages(res_cont_de, pages, broadcast_fetch)
-    ).persist()
+    result_de = parse_result(fetch(res_cont_de)).persist()
     res_cont_en = result_de.where(F.col("status") == "success").select(
         "url", "context", "item_id", F.lit("en").alias("language")
     )
-    result_en = parse_result(fetchparse.fetch_pages(res_cont_en, pages, broadcast_fetch))
+    result_en = parse_result(fetch(res_cont_en))
 
     items = assemble_bilingual(
         normalised_success_rows(terminal_de.where(F.col("status") == "success")),

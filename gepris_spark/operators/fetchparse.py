@@ -3,8 +3,10 @@
 "Fetch" against the synthetic corpus is a JOIN (scheduled batch ⨝
 pages on url+language) — the idiomatic Spark form of a read-through
 page cache (the reference's DBM HTTPCACHE, middlewares.py:118-138).
-A real-HTTP deployment swaps the join for an HTTP call inside the same
-mapInPandas stage; everything downstream is unchanged.
+A real-HTTP deployment swaps the join for `http_fetch_stage` — an
+injectable fetcher inside a mapInPandas stage with the identical
+output contract (tests/test_http_fetch.py proves the downstream
+parse/validate/chain path is unchanged against a loopback server).
 
 Parse runs as ONE `mapInPandas` stage over Arrow batches (input_hint:
 vectorized pandas/Arrow UDFs, no per-row Python UDF serde):
@@ -498,6 +500,92 @@ def fetch_pages(
     return found.unionByName(missing.select(*found.columns))
 
 
+def http_fetch_stage(scheduled: DataFrame, http_fetch_fn: Callable) -> DataFrame:
+    """S7 with a REAL fetcher: same output contract as fetch_pages
+    (scheduled columns + fetch_status/html/fetch_cost_ms), but the page
+    body comes from `http_fetch_fn(url, language) -> (fetch_status,
+    html, cost_ms)` executed INSIDE the mapInPandas partition —
+    executor-side, no driver round-trip, html never shuffled. The
+    corpus join (fetch_pages) stays the deterministic default/test
+    double; this stage is the swap-in the module docstring promises,
+    and tests/test_http_fetch.py drives the UNCHANGED downstream
+    parse/validate/chain path through it against a loopback server.
+
+    Scale: one fetch call per row inside the Arrow batch loop.
+    Politeness is enforced upstream by the logical schedule — the stage
+    consumes salted_fetch_partitions output, so a host's requests
+    arrive in scheduled order within each salt shard, and the measured
+    fetch_cost_ms feeds the AIMD delay loop (politeness.py AIMD notes).
+    Reference parity: gepris_helper.py:58-83 (the live fetcher) behind
+    the same stage boundary as the cache read-through
+    (middlewares.py:118-138)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(scheduled.schema.fields)
+        + [
+            T.StructField("fetch_status", T.StringType(), True),
+            T.StructField("html", T.StringType(), True),
+            T.StructField("fetch_cost_ms", T.IntegerType(), True),
+        ]
+    )
+    in_cols = [f.name for f in scheduled.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            statuses, bodies, costs = [], [], []
+            for url, lang in zip(pdf["url"], pdf["language"]):
+                s, b, c = http_fetch_fn(url, lang)
+                statuses.append(s)
+                bodies.append(b)
+                costs.append(c)
+            out = pdf[in_cols].copy()
+            out["fetch_status"] = pd.array(statuses, dtype="string")
+            out["html"] = pd.array(bodies, dtype="string")
+            out["fetch_cost_ms"] = pd.array(costs, dtype="Int32")
+            yield out
+
+    return scheduled.mapInPandas(run, out_schema)
+
+
+def urllib_fetcher(
+    timeout_s: float = 10.0,
+    user_agent: str | None = None,
+    headers: dict[str, str] | None = None,
+) -> Callable:
+    """Factory for a stdlib real-HTTP `http_fetch_fn`.
+
+    2xx (after redirects) -> ('success', body, cost_ms); any HTTP error
+    status or network failure -> (None, None, cost_ms) — the same
+    connection-failure row fetch_pages emits for a missing corpus page,
+    which the parse stage routes to status='error'. moved /
+    bad_structure / wrong_language remain CONTENT-level outcomes
+    detected by the P9-P11 validators, exactly as in the reference
+    (middlewares.py:78-114): GEPRIS serves HTTP 200 with a
+    not-found page for vanished ids."""
+
+    def fetch(url: str, language: str | None):
+        import time
+        import urllib.error
+        import urllib.request
+
+        req_headers = {"Accept-Language": language or "de"}
+        if user_agent:
+            req_headers["User-Agent"] = user_agent
+        if headers:
+            req_headers.update(headers)
+        t0 = time.perf_counter()
+        try:
+            req = urllib.request.Request(url, headers=req_headers)
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read().decode("utf-8", "replace")
+            return "success", body, int((time.perf_counter() - t0) * 1000)
+        except (urllib.error.URLError, OSError, ValueError):
+            return None, None, int((time.perf_counter() - t0) * 1000)
+
+    return fetch
+
+
 def parse_stage(
     fetched: DataFrame,
     ref_pixels_fn: Callable[[str], np.ndarray] | None = None,
@@ -527,6 +615,13 @@ def parse_stage(
                 for r in pdf.itertuples(index=False)
             ]
             out = pd.DataFrame(rows, columns=[f.name for f in schemas.PARSED.fields])
+            # pandas promotes an int column to float64 when the batch
+            # mixes image and no-image rows (None -> NaN) — float64 has
+            # a 53-bit mantissa, so the 64-bit phash silently loses its
+            # low bits depending on HOW ROWS HAPPEN TO BATCH. Nullable
+            # Int64 keeps it exact (caught by the http-vs-join fetch
+            # parity test, which batches the same rows differently).
+            out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
             yield out
 
     cols = ["url", "language", "html"]
