@@ -6,8 +6,11 @@ row iteration, German label -> canonical key via a synonym map that
 includes mojibake variants, gepris_helper.py:10-26), pipelines.py:60-142
 (email decision: Error > count-mismatch Warning > version-change
 Warning > big-success, with the exact subject format). The engine has
-no SMTP — the decision matrix emits alert rows into the metrics table
-instead (the driver of a real deployment tails them)."""
+no SMTP — the decision matrix emits alert rows, and the sandbox
+analogue of sending mail is the durable alerts.jsonl ledger
+(append_alert_ledger / alert_ledger_sink below: one JSON line per
+alerting run, idempotent on run_id; a real deployment's mailer tails
+it)."""
 
 from __future__ import annotations
 
@@ -154,4 +157,81 @@ def alert_decision(
     )
     return runs.withColumn("alert_status", status).withColumn(
         "alert_subject", F.when(status.isNotNull(), subject)
+    )
+
+
+ALERT_LEDGER_FILE = "alerts.jsonl"
+
+
+def _append_alert_rows(rows, root: str) -> list[dict]:
+    """Idempotent append of decided alert rows to root/alerts.jsonl —
+    the engine's durable analogue of the reference's one-mail-per-
+    alerting-run (pipelines.py:108-142): same subject line, body
+    carrying the run's summary stats (the run row itself, sorted keys,
+    standing in for pprint(crawler.stats)). Keyed on run_id so a
+    resumed/replayed run never double-notifies, mirroring the engine's
+    run-ledger idempotence."""
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, ALERT_LEDGER_FILE)
+    seen: set = set()
+    try:
+        with open(path) as fh:
+            for line in fh:
+                seen.add(json.loads(line)["run_id"])
+    except OSError:
+        pass
+    written: list[dict] = []
+    with open(path, "a") as fh:
+        for r in sorted(rows, key=lambda r: (r["run_id"] is None, r["run_id"])):
+            d = r.asDict() if hasattr(r, "asDict") else dict(r)
+            if d["run_id"] in seen:
+                continue
+            seen.add(d["run_id"])
+            stats = {
+                k: v for k, v in sorted(d.items()) if k not in ("alert_status", "alert_subject")
+            }
+            rec = {
+                "run_id": d["run_id"],
+                "status": d["alert_status"],
+                "subject": d["alert_subject"],
+                "spider": d.get("spider"),
+                "context": d.get("context"),
+                "body": "Summary stats from crawl run:\n\n"
+                + json.dumps(stats, ensure_ascii=False, indent=2, default=str),
+            }
+            fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
+            written.append(rec)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return written
+
+
+def append_alert_ledger(
+    runs: DataFrame, root: str, detail_success_min_items: int = 10_000
+) -> list[dict]:
+    """K7 end-to-end (batch): decision matrix -> alert rows -> durable
+    alerts.jsonl. Alert volume is one row per completed spider run, so
+    the collect is O(runs) driver-side metadata, not data."""
+    decided = alert_decision(runs, detail_success_min_items).where(
+        F.col("alert_status").isNotNull()
+    )
+    return _append_alert_rows(decided.collect(), root)
+
+
+def alert_ledger_sink(decided_stream: DataFrame, root: str, checkpoint_dir: str):
+    """K7 end-to-end (streaming): attach the ledger append to an
+    already-decided alert stream (streaming/visitstream.alert_stream)
+    via foreachBatch. The append's run_id dedup makes the sink
+    effectively exactly-once even when a killed query replays its last
+    micro-batch."""
+    return (
+        decided_stream.writeStream.foreachBatch(
+            lambda df, _bid: _append_alert_rows(df.collect(), root)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -86,6 +86,83 @@ def test_alert_decision_matrix(spark):
     assert quiet["alert_status"] is None and quiet["alert_subject"] is None
 
 
+def _metric_rows():
+    # (run_id, spider, context, scraped, moved, expected, err, old_v, new_v)
+    return [
+        (1, "details", "projekt", 5, 0, 5, True, None, None),
+        (2, "search_results", "projekt", 90, 0, 100, False, None, None),
+        (3, "data_monitor", None, 1, 0, 1, False, "1.0", "2.0"),
+        (4, "details", "person", 5, 0, 5, False, None, None),  # quiet
+    ]
+
+
+_METRICS_SCHEMA = (
+    "run_id long, spider string, context string, scraped_items long, moved_items long, "
+    "expected_items long, had_error boolean, old_version string, new_version string"
+)
+
+
+def test_alert_ledger_end_to_end(spark, tmp_path):
+    """K7 completed (round-2 VERDICT #8): metric rows -> decision
+    matrix -> durable alerts.jsonl with the reference's subject format
+    and a stats body; quiet runs write nothing; a re-run of the same
+    metrics (resume) appends nothing."""
+    import json
+
+    runs = spark.createDataFrame(_metric_rows(), _METRICS_SCHEMA)
+    root = str(tmp_path / "alerts")
+    written = monitor.append_alert_ledger(runs, root)
+    assert [w["run_id"] for w in written] == [1, 2, 3]
+    with open(f"{root}/alerts.jsonl") as fh:
+        recs = [json.loads(line) for line in fh]
+    assert len(recs) == 3
+    by_id = {r["run_id"]: r for r in recs}
+    assert by_id[2]["subject"] == (
+        "Warning - GeprisCrawler - Spider 'search_results' - context 'projekt'"
+        " - 90 (-10) items"
+    )
+    assert by_id[1]["status"] == "Error"
+    assert "scraped_items" in by_id[3]["body"] and "2.0" in by_id[3]["body"]
+    # idempotent resume: same metrics again -> no new lines
+    assert monitor.append_alert_ledger(runs, root) == []
+    with open(f"{root}/alerts.jsonl") as fh:
+        assert len(fh.readlines()) == 3
+
+
+def test_alert_ledger_streaming_sink(spark, tmp_path):
+    """The same ledger as a foreachBatch sink on the K7 alert stream:
+    two metric files -> one ledger; restarting the query over the same
+    source duplicates nothing (run_id dedup = effectively
+    exactly-once)."""
+    import json
+    import os
+
+    from gepris_spark.streaming.visitstream import alert_stream
+
+    metrics_dir = str(tmp_path / "metrics")
+    os.makedirs(metrics_dir)
+    rows = _metric_rows()
+    for i, chunk in enumerate((rows[:2], rows[2:])):
+        spark.createDataFrame(chunk, _METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(metrics_dir)
+    root = str(tmp_path / "aledger")
+    q = monitor.alert_ledger_sink(
+        alert_stream(spark, metrics_dir), root, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    with open(f"{root}/alerts.jsonl") as fh:
+        recs = [json.loads(line) for line in fh]
+    assert sorted(r["run_id"] for r in recs) == [1, 2, 3]
+    # fresh checkpoint, same source: replayed batches dedup on run_id
+    q2 = monitor.alert_ledger_sink(
+        alert_stream(spark, metrics_dir), root, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    with open(f"{root}/alerts.jsonl") as fh:
+        assert len(fh.readlines()) == 3
+
+
 def test_latest_stat(spark):
     df = spark.createDataFrame(
         [(1, "1.0", 100), (2, "1.1", 200)],
