@@ -1104,6 +1104,82 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_root")).orderBy("doc_id")
 
 
+_STAR_MAX_ROUNDS = 64  # safety assert; convergence is O(log^2 n) rounds
+
+
+def cc_large_small_star(edges: DataFrame, max_rounds: int = _STAR_MAX_ROUNDS) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) over an (u, v) edge DataFrame. Unlike min-label
+    propagation (rounds = graph diameter), star contraction converges
+    in O(log^2 n) rounds regardless of diameter — the variant to use
+    for adversarial chain-shaped duplicate graphs.
+
+    Each round is two groupBy-min + join steps, edges kept oriented
+    large->small; lineage cut per round with localCheckpoint. Returns
+    (doc_id, cluster_root) with root = the component's minimum id,
+    identical to the label-propagation contract.
+
+    large-star: from each center u, every larger neighbor v re-points
+    to m = min(N(u) + {u}).  small-star: from each center u of the
+    large->small edge set, u and all its (smaller) neighbors re-point
+    to the minimum neighbor. Fixpoint <=> the edge set is a disjoint
+    union of stars child->root."""
+    cur = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_rounds):
+        und = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = und.groupBy("u").agg(F.min("v").alias("nmin"))
+        ls = (
+            und.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.least("nmin", F.col("u")).alias("v"))
+            .distinct()
+        )
+        smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ls.join(smin, "u")
+        nxt = (
+            joined.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"cc_large_small_star: no fixpoint after {max_rounds} rounds"
+        )
+    return cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_root")).unionByName(
+        cur.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_root"))
+    ).distinct()
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_clusters` computed by large-star/small-star contraction
+    instead of min-label propagation: same (doc_id, cluster_root)
+    contract and the same recursive-CTE oracle, but round count is
+    O(log^2 n) — immune to long near-dup chains whose diameter would
+    exhaust the propagation loop's round cap."""
+    pairs = minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = cc_large_small_star(pairs)
+    # the band table minhash_pairs persisted is cacheutil-tracked and
+    # released by the caller (bench does, per query) — labels itself is
+    # localCheckpoint-materialized and no longer reads it.
+    return labels.orderBy("doc_id")
+
+
 SQL_DEDUP_CLUSTERS = """
 WITH RECURSIVE pairs AS ({MINHASH}),
 und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -1132,4 +1208,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
 }
