@@ -840,6 +840,181 @@ WHERE rank <= {_ANN_K}
 ORDER BY query_id, rank
 """
 
+_PQ_M = 16  # subspaces (64-dim embeddings -> 4 dims each)
+_PQ_K = 32  # codewords per subspace
+_PQ_ITERS = 2  # Lloyd iterations, unrolled identically in the oracle
+_PQ_MEAN_DECIMALS = 12  # codebook means rounded -> engine-order-proof
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): the _PQ_M subspace slices of each vector.
+    Subspace m covers 0-based dims [ceil(m*d/M), ceil((m+1)*d/M)) —
+    the EXACT set the oracle's floor(dim0*M/d) = m assigns, so both
+    engines agree for any d, not just d % M == 0."""
+    d = F.size("v")
+    slices = []
+    for m in range(_PQ_M):
+        lo = F.ceil(d * m / _PQ_M)
+        hi = F.ceil(d * (m + 1) / _PQ_M)
+        slices.append(F.slice("v", (lo + 1).cast("int"), (hi - lo).cast("int")))
+    return emb.select("vec_id", F.posexplode(F.array(*slices)).alias("m", "sv"))
+
+
+def _pq_d2(svs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, cw, d2): rounded squared distance from every
+    subvector to every codeword of its subspace. Sequential zip_with
+    fold keeps summation order deterministic; rounding to
+    _COS_RANK_DECIMALS absorbs the oracle's group-sum ordering (same
+    ulp contract as _cosine_batch)."""
+    fold = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return svs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "cw", F.round(fold, _COS_RANK_DECIMALS).alias("d2")
+    )
+
+
+def _pq_assign(d2: DataFrame) -> DataFrame:
+    """argmin codeword per (vec, subspace); ties -> smallest cw via
+    lexicographic struct-min (oracle: row_number ORDER BY d2, cw)."""
+    return (
+        d2.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cw")).alias("_best"))
+        .select("vec_id", "m", F.col("_best.cw").alias("cw"))
+    )
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: the memory-scale path. Per subspace, a
+    _PQ_K-codeword codebook is trained by _PQ_ITERS Lloyd iterations
+    (deterministic init: subvectors of the _PQ_K smallest vec_ids;
+    empty clusters keep their previous codeword), then every vector is
+    encoded as _PQ_M small codes. Queries score candidates by
+    asymmetric distance: a broadcast LUT of query-subvector ->
+    codeword distances joined to the code table and summed — query
+    cost is O(n * M) lookup-row joins, no vector math, and the corpus
+    holds only M codes per vector, not floats. At 100 TB the training
+    runs on a sample and the (vec_id, m, code) table is materialized
+    once; here both run inline so the oracle can mirror them.
+
+    Recall vs the exact baseline is observable by diffing against
+    ann_topk_cosine (tests/test_ann_pq.py pins the floor; ~0.4 recall@5
+    on the near-random synthetic embeddings). Deterministic end to
+    end: distances rounded before every argmin/rank (ties -> smallest
+    cw / neighbor_id), codebook means rounded to _PQ_MEAN_DECIMALS —
+    oracle-exact vs DuckDB with the training loop unrolled in SQL."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    svs = _pq_subvectors(emb).localCheckpoint(eager=True)  # reused every iteration
+    # init: subvectors of the _PQ_K smallest vec_ids (orderBy+limit is
+    # a per-partition top-K merge, so the rank window runs on K rows)
+    init = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .withColumn("cw", F.row_number().over(Window.orderBy("vec_id")) - 1)
+    )
+    cb = (
+        svs.join(F.broadcast(init), "vec_id")
+        .select("m", "cw", F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PQ_ITERS):
+        assign = _pq_assign(_pq_d2(svs, cb))
+        means = (
+            assign.join(svs, ["vec_id", "m"])
+            .select("m", "cw", F.posexplode("sv").alias("j", "x"))
+            .groupBy("m", "cw", "j")
+            .agg(F.round(F.avg("x"), _PQ_MEAN_DECIMALS).alias("cx"))
+            .groupBy("m", "cw")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "cx"))).alias("_s"))
+            .select("m", "cw", F.transform("_s", lambda s: s["cx"]).alias("cv_new"))
+        )
+        cb = (
+            cb.join(means, ["m", "cw"], "left")
+            .select("m", "cw", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint(eager=True)  # tiny (M*K rows); cuts per-iteration lineage
+        )
+    d2f = _pq_d2(svs, cb)
+    codes = _pq_assign(d2f)
+    lut = d2f.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("lm"),
+        F.col("cw").alias("lcw"), F.col("d2").alias("qsq"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), (codes["m"] == lut["lm"]) & (codes["cw"] == lut["lcw"]))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qsq"), _COS_RANK_DECIMALS).alias("_ad"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("_ad").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _ANN_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_pq_iteration(i: int) -> str:
+    """One unrolled Lloyd iteration: assignment vs cb{i-1}, per-dim
+    means over the assigned subvectors, empty clusters keep cb{i-1}."""
+    return f"""
+d{i} AS (
+  SELECT s.vec_id, s.m, c.cw, round(sum((s.x - c.cx) * (s.x - c.cx)), {_COS_RANK_DECIMALS}) AS d2
+  FROM sv s JOIN cb{i - 1} c ON c.m = s.m AND c.dim = s.dim
+  GROUP BY s.vec_id, s.m, c.cw),
+a{i} AS (
+  SELECT vec_id, m, cw
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cw ASC) AS rn
+        FROM d{i})
+  WHERE rn = 1),
+m{i} AS (
+  SELECT a.m, a.cw, s.dim, round(avg(s.x), {_PQ_MEAN_DECIMALS}) AS cx
+  FROM a{i} a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.cw, s.dim),
+cb{i} AS (
+  SELECT c.m, c.cw, c.dim, coalesce(n.cx, c.cx) AS cx
+  FROM cb{i - 1} c LEFT JOIN m{i} n ON n.m = c.m AND n.cw = c.cw AND n.dim = c.dim)"""
+
+
+SQL_ANN_TOPK_PQ = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vx AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS dim, len(e) AS d FROM v),
+sv AS (SELECT vec_id, CAST(floor((dim - 1) * {_PQ_M} / d) AS INT) AS m, dim, x FROM vx),
+init AS (
+  SELECT vec_id, cw FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cw FROM v)
+  WHERE cw < {_PQ_K}),
+cb0 AS (SELECT s.m, i.cw, s.dim, s.x AS cx FROM sv s JOIN init i USING (vec_id)),
+{",".join(_sql_pq_iteration(i) for i in range(1, _PQ_ITERS + 1))},
+dfin AS (
+  SELECT s.vec_id, s.m, c.cw, round(sum((s.x - c.cx) * (s.x - c.cx)), {_COS_RANK_DECIMALS}) AS d2
+  FROM sv s JOIN cb{_PQ_ITERS} c ON c.m = s.m AND c.dim = s.dim
+  GROUP BY s.vec_id, s.m, c.cw),
+codes AS (
+  SELECT vec_id, m, cw
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cw ASC) AS rn
+        FROM dfin)
+  WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, m, cw, d2 AS qsq FROM dfin WHERE vec_id < 3),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, round(sum(l.qsq), {_COS_RANK_DECIMALS}) AS ad
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cw = c.cw
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ad ASC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {_ANN_K}
+ORDER BY query_id, rank
+"""
+
 
 SQL_ANN_TOPK = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1201,6 +1376,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_topk_cosine": (q_ann_topk, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
+    "ann_topk_pq": (q_ann_topk_pq, SQL_ANN_TOPK_PQ),
     "text_langid": (q_langid, SQL_LANGID),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
