@@ -38,6 +38,11 @@ from pyspark.sql import types as T
 from gepris_spark import schemas
 from gepris_spark.functions import canonical as C
 from gepris_spark.operators import politeness
+
+# target rows per range partition of the per-batch global visit order —
+# enough to amortize task launch, small enough that a partition's sort
+# fits comfortably in executor memory at any batch size
+_ORDER_ROWS_PER_PARTITION = 8192
 from gepris_spark.operators.urlseen import BloomUrlSeen
 from gepris_spark.store.table import SnapshotStore
 
@@ -226,10 +231,24 @@ class CrawlEngine:
 
         prior = self.committed_batches()
         first_seq = max((r["first_seq"] + r["n_visited"] for r in prior.values()), default=0)
+        # size the global-order range partitions to the batch bound:
+        # candidates never outnumber the batch's arrivals (canonicalize
+        # + dedup only shrinks), so a micro-batch of B rows needs
+        # ceil(B / _ORDER_ROWS_PER_PARTITION) sort partitions, capped at
+        # the cluster parallelism. Small batches collapse to ONE range
+        # partition, which skips the range-sampling job entirely — the
+        # same seq contract, minus two fixed per-batch jobs.
+        n_order_parts = max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                -(-self.config.batch_size // _ORDER_ROWS_PER_PARTITION),
+            ),
+        )
         ordered, n_visited = timed(
             "schedule_order",
             lambda: (lambda df, n: (df.persist(), n))(
-                *politeness.visit_order_with_count(scheduled)
+                *politeness.visit_order_with_count(scheduled, num_partitions=n_order_parts)
             ),
         )
 
