@@ -74,6 +74,59 @@ def assign_rotation(
     return df.withColumn(out_col, F.element_at(F.array([F.lit(p) for p in pool]), idx + 1))
 
 
+# ban detection + cooldown: the deterministic stand-in for
+# rotating_proxies' BanDetectionMiddleware + backoff reanimation
+# (settings.py:51-55). The default BanDetectionPolicy treats these
+# statuses as a ban; a banned proxy sits out PROXY_COOLDOWN_BATCHES
+# micro-batches (the replayable analogue of the wall-clock exponential
+# backoff) and is then re-checked.
+PROXY_BAN_STATUSES = (403, 429)
+PROXY_COOLDOWN_BATCHES = 2
+
+
+def detect_proxy_bans(fetched: DataFrame, batch_id: int) -> DataFrame:
+    """Ban rows (proxy, banned_in_batch) from a fetched batch: any
+    request through a proxy that answered with a ban status marks that
+    proxy dead (rotating_proxies bans on the single response, not a
+    quorum). One distinct over the bounded proxy pool — O(pool) rows."""
+    return (
+        fetched.where(F.col("fetch_status").isin(*PROXY_BAN_STATUSES))
+        .where(F.col("proxy").isNotNull())
+        .select("proxy")
+        .distinct()
+        .withColumn("banned_in_batch", F.lit(int(batch_id)).cast("long"))
+    )
+
+
+def alive_proxies(
+    pool: list[str],
+    bans: DataFrame | None,
+    batch_id: int,
+    cooldown: int = PROXY_COOLDOWN_BATCHES,
+) -> list[str]:
+    """The pool minus proxies still cooling down at `batch_id`, in the
+    original pool order (so rotation hashing stays stable for the
+    survivors). A fully-banned pool reanimates everyone — the same
+    fail-open rotating_proxies uses when no alive proxy remains.
+
+    The collect is O(pool) rows (the ban table never outgrows the
+    proxy list), so driver traffic is bounded by config size, not data."""
+    if not pool or bans is None:
+        return list(pool)
+    banned = {
+        r["proxy"]
+        for r in bans.where(
+            (F.col("banned_in_batch") < F.lit(int(batch_id)))
+            & (F.col("banned_in_batch") >= F.lit(int(batch_id) - cooldown))
+        )
+        .select("proxy")
+        .distinct()
+        .collect()
+    }
+    alive = [p for p in pool if p not in banned]
+    return alive or list(pool)
+
+
 def google_cache_fallback_fetch(
     scheduled: DataFrame,
     cache_pages: DataFrame,
