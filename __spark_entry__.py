@@ -35,11 +35,13 @@ def _oracle_checked() -> dict[str, tuple]:
     from gepris_spark.plans.contract_extra import CONTRACT_EXTRA_QUERIES
     from gepris_spark.plans.contract_truth import TRUTH_QUERIES
     from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
+    from gepris_spark.plans.imagepipe import IMAGEPIPE_QUERIES
     from gepris_spark.plans.relational import RELATIONAL_QUERIES
 
     return {
         **RELATIONAL_QUERIES,
         **DATAPIPE_QUERIES,
+        **IMAGEPIPE_QUERIES,
         **CONTRACT_EXTRA_QUERIES,
         **TRUTH_QUERIES,
     }

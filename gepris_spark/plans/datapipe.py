@@ -1134,6 +1134,104 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- stratified sampling
+# per-mille keep rates per language: downsample the dominant English,
+# keep the tail intact — the classic rebalance before training. The
+# keep decision is a deterministic integer compare (no RNG, no floats):
+# keep iff hash60('sample:' || doc_id) < rate_permille * (2^60 // 1000),
+# identical arithmetic on both engines and reproducible run-over-run.
+_SAMPLE_RATES_PERMILLE = {"en": 350, "de": 900, "es": 900, "fr": 900, "zh": 1000}
+_SAMPLE_DEFAULT_PERMILLE = 1000
+_PERMILLE_UNIT = (1 << 60) // 1000
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) corpus sampling.
+
+    Map-only: no shuffle, no RNG state — the hash of the stable doc_id
+    decides membership, so the sample is reproducible across runs,
+    cluster sizes and retries (rerunning a failed partition keeps the
+    same rows), and composable with any downstream op. At 100 TB this
+    is a scan with the filter pushed onto it; expected kept fraction
+    per stratum equals its rate by hash uniformity."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    threshold = F.create_map(
+        *[
+            x
+            for lang, permille in sorted(_SAMPLE_RATES_PERMILLE.items())
+            for x in (F.lit(lang), F.lit(permille * _PERMILLE_UNIT))
+        ]
+    )
+    return (
+        docs.withColumn(
+            "_thr",
+            F.coalesce(
+                F.element_at(threshold, F.col("lang")),
+                F.lit(_SAMPLE_DEFAULT_PERMILLE * _PERMILLE_UNIT),
+            ),
+        )
+        .where(TS.hash60(F.concat(F.lit("sample:"), F.col("doc_id"))) < F.col("_thr"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SAMPLE_CASE = " ".join(
+    f"WHEN '{lang}' THEN {permille * _PERMILLE_UNIT}"
+    for lang, permille in sorted(_SAMPLE_RATES_PERMILLE.items())
+)
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_sql_hash60("'sample:' || doc_id")}
+      < CASE lang {_SQL_SAMPLE_CASE} ELSE {_SAMPLE_DEFAULT_PERMILLE * _PERMILLE_UNIT} END
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- deterministic shuffle
+_SHUFFLE_SHARDS = 8
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc gets
+    a hash-derived shuffle key; shard = key mod #shards; position =
+    rank of the key within the shard. The output (shard, pos) order is
+    the batch order a trainer would consume, reproducible bit-for-bit.
+
+    Scale shape: the only shuffle is the repartition implied by the
+    per-shard window, and shard count is the tunable that bounds
+    partition size (a 100 TB corpus shuffles into ~10k shards, each a
+    sorted file; here 8 keeps the fixture readable). No global window,
+    no driver collect."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        TS.hash60(F.concat(F.lit("shuf:"), F.col("doc_id"))).alias("shuffle_key"),
+    ).withColumn("shard", (F.col("shuffle_key") % _SHUFFLE_SHARDS).cast("int"))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id", "shuffle_key")
+        .orderBy("shard", "pos")
+    )
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH keyed AS (
+  SELECT doc_id, {_sql_hash60("'shuf:' || doc_id")} AS shuffle_key
+  FROM documents)
+SELECT CAST(shuffle_key % {_SHUFFLE_SHARDS} AS INT) AS shard,
+       row_number() OVER (PARTITION BY shuffle_key % {_SHUFFLE_SHARDS}
+                          ORDER BY shuffle_key, doc_id) AS pos,
+       doc_id, shuffle_key
+FROM keyed
+ORDER BY shard, pos
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the full training-data curation pipeline as ONE plan —
     quality gate -> exact dedup (keep min doc_id per md5) -> near-dup
@@ -1381,6 +1479,8 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "corpus_sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "corpus_shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

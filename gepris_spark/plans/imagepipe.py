@@ -1,0 +1,239 @@
+"""Image-catalog pipeline operators (the image half of a multimodal
+training-data pipeline), each with a full DuckDB oracle SQL mirror.
+
+The input is the image+caption catalog of the input_hint schema
+(image_id, w, h, fmt, caption, phash) WITHOUT the bytes column: these
+operators are catalog-scale — perceptual-hash dedup and LAION-style
+caption/dimension curation run over metadata, never touching pixels,
+which is exactly what makes them viable at 100 TB (the binary decode
+paths live in operators/multimodal.py). Both engines read the SAME
+committed fixture parquet (fixtures/image_catalog.parquet, regen-
+guarded against gepris_spark/sources/corpus.py:gen_image_catalog_pdf),
+so the oracle compare exercises the operators, not the generator.
+
+Scale notes:
+
+* phash near-dup is the same banded pigeonhole shape as
+  datapipe.q_dedup_simhash_pairs: 4 disjoint 16-bit bands over the
+  64-bit hash guarantee every pair within hamming distance 3 collides
+  on at least one band, so candidate generation is a band equi-join
+  (linear shuffle, never all-pairs) and the exact verify is one
+  bit_count(xor) per candidate.
+* curation is filters + one window (min image_id per phash) — a single
+  shuffle on phash, which is uniformly distributed by construction.
+
+No reference counterpart: the reference crawler has no image tables at
+all; the catalog schema comes from BASELINE.json's input_hint.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXTURE_DIR = Path(__file__).resolve().parents[2] / "fixtures"
+CATALOG_PATH = str(FIXTURE_DIR / "image_catalog.parquet")
+
+_PHASH_HAMMING_MAX = 3
+_PHASH_BANDS = 4  # disjoint 16-bit bands; d<=3 leaves >=1 band intact
+_MIN_SIDE = 48  # LAION-style min dimension
+_MAX_ASPECT = 3  # drop if w > 3h or h > 3w
+_MIN_CAPTION_TOKENS = 3
+
+_SQL_CATALOG = f"SELECT * FROM read_parquet('{CATALOG_PATH}')"
+# identical tokenization contract as datapipe/textstats
+_SQL_CAPTION_TOKENS = "len(regexp_extract_all(lower(caption), '[a-z0-9]+'))"
+
+
+def load_catalog(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(CATALOG_PATH)
+
+
+def _caption_tokens(caption: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(caption), F.lit("[a-z0-9]+"), F.lit(0)))
+
+
+# -------------------------------------------------------- phash near-dup
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: 4x16-bit banded hamming
+    search over the 64-bit pHash (pigeonhole-complete for d<=3), exact
+    bit_count(xor) verify per candidate. Cross-format re-encodes land
+    at hamming 0; mild noise variants at 1-3; unrelated images in this
+    catalog are never closer than 14 bits, so the pair set is exactly
+    the planted duplicates the banding can see."""
+    cat = load_catalog(spark).select("image_id", "phash")
+    bands = cat.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", 16 * b).bitwiseAND(F.lit(65535)).alias("key"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("image_id", "phash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .where(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            <= _PHASH_HAMMING_MAX
+        )
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .distinct()
+        .orderBy("image_a", "image_b")
+    )
+
+
+SQL_IMAGE_PHASH_NEARDUP = f"""
+WITH bands AS (
+  SELECT image_id, phash, b.b AS band,
+         (phash >> (16 * b.b)) & 65535 AS key
+  FROM ({_SQL_CATALOG}), UNNEST(range(0, {_PHASH_BANDS})) AS b(b))
+SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_HAMMING_MAX}
+ORDER BY image_a, image_b
+"""
+
+
+# --------------------------------------------------------- curation
+def _staged(spark: SparkSession) -> DataFrame:
+    """Catalog rows + the sequential drop-reason column (the funnel
+    order is part of the contract: size -> aspect -> caption -> dedup)."""
+    cat = load_catalog(spark)
+    return cat.select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        "phash",
+        _caption_tokens(F.col("caption")).alias("n_caption_tokens"),
+    ).withColumn(
+        "drop_reason",
+        F.when(F.least("w", "h") < _MIN_SIDE, "too_small")
+        .when(
+            (F.col("w") > _MAX_ASPECT * F.col("h"))
+            | (F.col("h") > _MAX_ASPECT * F.col("w")),
+            "bad_aspect",
+        )
+        .when(F.col("n_caption_tokens") < _MIN_CAPTION_TOKENS, "short_caption"),
+    )
+
+
+_SQL_STAGED = f"""
+  SELECT image_id, fmt, w, h, phash,
+         CAST({_SQL_CAPTION_TOKENS} AS INT) AS n_caption_tokens,
+         CASE WHEN least(w, h) < {_MIN_SIDE} THEN 'too_small'
+              WHEN w > {_MAX_ASPECT} * h OR h > {_MAX_ASPECT} * w THEN 'bad_aspect'
+              WHEN {_SQL_CAPTION_TOKENS} < {_MIN_CAPTION_TOKENS} THEN 'short_caption'
+              END AS drop_reason
+  FROM ({_SQL_CATALOG})
+"""
+
+
+def _with_dedup_reason(staged: DataFrame) -> DataFrame:
+    """Adds the final funnel stage: among filter-survivors, the keeper
+    per phash is the min image_id; later ids get reason 'phash_dup'.
+    One window over phash — the only shuffle in the plan."""
+    from pyspark.sql import Window
+
+    keeper = F.min(
+        F.when(F.col("drop_reason").isNull(), F.col("image_id"))
+    ).over(Window.partitionBy("phash"))
+    return staged.withColumn(
+        "reason",
+        F.coalesce(
+            F.col("drop_reason"),
+            F.when(F.col("image_id") != keeper, "phash_dup"),
+        ),
+    )
+
+
+_SQL_REASONED = f"""
+  SELECT *, coalesce(
+           drop_reason,
+           CASE WHEN image_id <> min(CASE WHEN drop_reason IS NULL THEN image_id END)
+                                 OVER (PARTITION BY phash)
+                THEN 'phash_dup' END) AS reason
+  FROM ({_SQL_STAGED})
+"""
+
+
+def q_image_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image+caption curation, survivors row-level: drop
+    undersized images, extreme aspect ratios, too-short captions, then
+    exact-pHash dedup (keeper = min image_id). The output is the kept
+    catalog a caption-training pipeline would feed downstream."""
+    return (
+        _with_dedup_reason(_staged(spark))
+        .where(F.col("reason").isNull())
+        .select("image_id", "fmt", "w", "h", "n_caption_tokens", "phash")
+        .orderBy("image_id")
+    )
+
+
+SQL_IMAGE_CAPTION_CURATION = f"""
+SELECT image_id, fmt, w, h, n_caption_tokens, phash
+FROM ({_SQL_REASONED})
+WHERE reason IS NULL
+ORDER BY image_id
+"""
+
+
+def q_image_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same curation pipeline as a per-format funnel report:
+    how many rows each stage dropped and how many survive — the
+    dataset-card numbers a curation run publishes."""
+    reasons = ("too_small", "bad_aspect", "short_caption", "phash_dup")
+    reasoned = _with_dedup_reason(_staged(spark))
+    aggs = [
+        F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).alias(f"n_{r}")
+        for r in reasons
+    ]
+    return (
+        reasoned.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            *aggs,
+            F.sum(F.when(F.col("reason").isNull(), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("fmt")
+    )
+
+
+SQL_IMAGE_CURATION_FUNNEL = f"""
+SELECT fmt, count(*) AS n_input,
+       count(*) FILTER (reason = 'too_small') AS n_too_small,
+       count(*) FILTER (reason = 'bad_aspect') AS n_bad_aspect,
+       count(*) FILTER (reason = 'short_caption') AS n_short_caption,
+       count(*) FILTER (reason = 'phash_dup') AS n_phash_dup,
+       count(*) FILTER (reason IS NULL) AS n_kept
+FROM ({_SQL_REASONED})
+GROUP BY fmt ORDER BY fmt
+"""
+
+
+IMAGEPIPE_QUERIES: dict[str, tuple] = {
+    "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
+    "image_caption_curation": (q_image_caption_curation, SQL_IMAGE_CAPTION_CURATION),
+    "image_curation_funnel": (q_image_curation_funnel, SQL_IMAGE_CURATION_FUNNEL),
+}

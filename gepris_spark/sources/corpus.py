@@ -112,6 +112,73 @@ def gen_images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _wide_pixels(image_index: int, seed: int = 42) -> np.ndarray:
+    """A 4:1 aspect-ratio gradient strip (48x192) — aspect-filter fodder
+    for the image-catalog curation queries (tall enough to clear the
+    min-size filter, so the aspect predicate is what drops it)."""
+    rng = np.random.default_rng(seed * 2_000_003 + image_index)
+    yy, xx = np.mgrid[0:48, 0:192]
+    base = np.stack(
+        [xx % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.float64)
+    out = np.clip(base + rng.normal(0, 8, base.shape), 0, 255).astype(np.uint8)
+    out.flags.writeable = False
+    return out
+
+
+def gen_image_catalog_pdf(n_base: int = 160, seed: int = 42) -> pd.DataFrame:
+    """Image-catalog metadata table (input_hint schema minus `bytes`)
+    for the image-pipeline contract queries (plans/imagepipe.py).
+
+    Deterministic mix, all derived from (seed, index) formulas:
+
+    * one base row per index (ref_pixels sizes cycle 32/48/64 — the
+      32px rows are min-size-filter fodder);
+    * index % 7 == 3: the base caption degrades to a single token
+      (caption-length-filter fodder);
+    * index % 4 == 1: a noise variant (sigma 1.5) — a near-duplicate
+      whose phash lands 0-6 bits from the base (most within the d<=3
+      banding guarantee, some legitimately outside it);
+    * index % 5 == 2: a cross-format re-encode — identical pre-encode
+      pixels, so an EXACT phash duplicate under a different image_id;
+    * index % 11 == 4: a 4:1 wide strip (aspect-filter fodder).
+
+    The catalog is materialized once to fixtures/image_catalog.parquet
+    (tools/gen_truth_fixtures.py) and BOTH engines read that same file,
+    so the oracle compare checks the operators, not the generator; a
+    regen-guard test pins the fixture to these formulas."""
+    rows = []
+
+    def add(image_id: str, pixels: np.ndarray, fmt: str, caption: str) -> None:
+        rows.append(
+            {
+                "image_id": image_id,
+                "w": int(pixels.shape[1]),
+                "h": int(pixels.shape[0]),
+                "fmt": fmt,
+                "caption": caption,
+                "phash": imagecodec.phash64(pixels),
+            }
+        )
+
+    fmts = ("png", "qdct", "jpeg")
+    for i in range(n_base):
+        pixels = ref_pixels(i, seed)
+        caption = "img" if i % 7 == 3 else caption_for(i)
+        add(f"cat{i:06d}-a", pixels, fmts[i % 3], caption)
+        if i % 4 == 1:
+            rng = np.random.default_rng(seed * 9_999_991 + i)
+            variant = np.clip(
+                pixels.astype(np.float64) + rng.normal(0, 1.5, pixels.shape), 0, 255
+            ).astype(np.uint8)
+            add(f"cat{i:06d}-v", variant, fmts[(i + 1) % 3], caption + "  (Variante)")
+        if i % 5 == 2:
+            add(f"cat{i:06d}-r", pixels, fmts[(i + 2) % 3], caption)
+        if i % 11 == 4:
+            add(f"cat{i:06d}-w", _wide_pixels(i, seed), fmts[i % 3], caption_for(i))
+    return pd.DataFrame(rows)
+
+
 def gen_seeds_pdf(
     n_per_context: dict[str, int] | int,
     seed: int = 42,

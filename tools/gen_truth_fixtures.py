@@ -63,12 +63,20 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("seq", I), ("url", S), ("host", S), ("context", S), ("item_id", I),
         ("scheduled_ms", I), ("batch_id", I),
     ],
+    # INPUT fixture (not a truth frame): the image+caption catalog both
+    # engines read for the plans/imagepipe.py queries — the oracle SQL
+    # recomputes the operators from this same file, so the compare
+    # checks the plans, not the generator
+    "image_catalog": [
+        ("image_id", S), ("w", I), ("h", I), ("fmt", S), ("caption", S),
+        ("phash", I),
+    ],
 }
 
 
 def truth_frames(spark) -> dict:
     """name -> truth pandas frame, fixed contract seeds throughout."""
-    from gepris_spark.sources import truth
+    from gepris_spark.sources import corpus, truth
 
     return {
         "search_results_parse": truth.search_results_truth(),
@@ -79,6 +87,7 @@ def truth_frames(spark) -> dict:
         "crawl_replay_visit_log": truth.crawl_replay_truth(),
         "stateful_schedule_stream": truth.stateful_schedule_truth(),
         "crawl_aimd_schedule": truth.crawl_aimd_truth(),
+        "image_catalog": corpus.gen_image_catalog_pdf(),
     }
 
 
