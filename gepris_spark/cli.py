@@ -29,13 +29,17 @@ import time
 
 
 def _spark(args):
-    from gepris_spark.session import get_spark
+    from gepris_spark.session import get_spark, warm_up
 
-    return get_spark(
+    spark = get_spark(
         app_name=f"gepris-{args.cmd}",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    # absorb fresh-JVM first-touch cost (codegen infra, python worker
+    # fork) before user work starts — see session.warm_up docstring
+    warm_up(spark)
+    return spark
 
 
 def cmd_crawl(args) -> int:

@@ -232,8 +232,42 @@ GROUP BY fmt ORDER BY fmt
 """
 
 
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate clusters: connected components over the pHash
+    near-dup pair graph, by the same large-star/small-star contraction
+    the document path uses (datapipe.cc_large_small_star, O(log² n)
+    rounds regardless of component diameter) — a base image, its noise
+    variant and its re-encode all collapse to one canonical image_id
+    even when not every pair collided in a band. Oracle: recursive-CTE
+    reachability over the identical pair SQL."""
+    from gepris_spark.plans.datapipe import cc_large_small_star
+
+    pairs = q_image_phash_neardup(spark, sf_dir).select(
+        F.col("image_a").alias("u"), F.col("image_b").alias("v")
+    )
+    return (
+        cc_large_small_star(pairs)
+        .select(F.col("doc_id").alias("image_id"), "cluster_root")
+        .orderBy("image_id")
+    )
+
+
+SQL_IMAGE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_IMAGE_PHASH_NEARDUP}),
+und AS (SELECT image_a AS a, image_b AS b FROM pairs
+        UNION ALL SELECT image_b, image_a FROM pairs),
+reach(s, t) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t)
+SELECT s AS image_id, min(t) AS cluster_root
+FROM reach GROUP BY s ORDER BY image_id
+"""
+
+
 IMAGEPIPE_QUERIES: dict[str, tuple] = {
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
     "image_caption_curation": (q_image_caption_curation, SQL_IMAGE_CAPTION_CURATION),
     "image_curation_funnel": (q_image_curation_funnel, SQL_IMAGE_CURATION_FUNNEL),
+    "image_dedup_clusters": (q_image_dedup_clusters, SQL_IMAGE_DEDUP_CLUSTERS),
 }

@@ -53,3 +53,34 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def warm_up(spark: SparkSession, python_workers: bool = True) -> None:
+    """Absorb the fresh-JVM first-touch costs before latency-sensitive
+    work: the first job in a new JVM pays ~6 s of one-time overhead
+    (whole-stage-codegen infrastructure, class loading, broadcast
+    machinery) and the first Arrow stage forks the Python workers
+    (~1.5 s + imports). On a long-running cluster these are paid once
+    per executor lifetime; paying them inside a timed or interactive
+    first query misreports the engine (round-2 postmortem). Measured
+    effect: entity_etl_institutionen fresh-JVM first run 12.2 s ->
+    4.3 s after warm_up (BASELINE.md round-3 notes)."""
+    from pyspark.sql import functions as F
+
+    cpus = spark.sparkContext.defaultParallelism
+    (
+        spark.range(100)
+        .groupBy((F.col("id") % 5).alias("k"))
+        .agg(F.sum("id").alias("s"))
+        .join(spark.range(5).withColumnRenamed("id", "k"), "k")
+        .count()
+    )
+    if python_workers:
+
+        def noop(batches):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+
+            yield from batches
+
+        spark.range(0, cpus * 4, 1, cpus).mapInPandas(noop, "id long").count()

@@ -93,6 +93,27 @@ def test_survivors_are_unique_by_phash_and_pass_all_filters(spark):
     assert (surv["n_caption_tokens"] >= imagepipe._MIN_CAPTION_TOKENS).all()
 
 
+def test_dedup_clusters_collapse_variant_chains(spark, neardup):
+    """a~v and a~r pairs must land in one component rooted at the base
+    id even when (v, r) never collided in a band — transitivity is what
+    the CC stage adds over the raw pair list."""
+    clusters = imagepipe.q_image_dedup_clusters(spark, "unused").toPandas()
+    root = dict(zip(clusters["image_id"], clusters["cluster_root"]))
+    # membership: exactly the vertices of the pair graph
+    assert set(root) == set(neardup["image_a"]) | set(neardup["image_b"])
+    by_base: dict[str, set] = {}
+    for img in root:
+        by_base.setdefault(img[:9], set()).add(img)
+    multi = 0
+    for base, members in by_base.items():
+        if len(members) > 1:
+            multi += 1
+            assert {root[m] for m in members} == {min(members)}, (
+                f"{base}: members {sorted(members)} roots {[root[m] for m in members]}"
+            )
+    assert multi >= 10
+
+
 def test_neardup_plan_has_no_cartesian(spark):
     """The banded self-join must plan as an equi-join (hash/sort-merge),
     never BroadcastNestedLoop/CartesianProduct — the property that keeps
