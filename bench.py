@@ -260,13 +260,37 @@ def bench_once(args) -> dict:
     finally:
         spark.stop()
     common = ["--replay-batch-size", str(args.replay_batch_size), "--cpus", str(cpus)]
-    replay = _fresh_jvm(
-        ["--replay-only", "--replay-seeds", str(args.replay_seeds)]
-        + common
-        + (["--seed-path", args.seed_path] if args.seed_path else [])
-    )
+    # best-of-N fresh JVMs over ONE pre-materialized corpus: the box
+    # shows heavy noisy-neighbor variance (an identical crawl measured
+    # 177/448/660 urls/s across a day — BASELINE.md round-3 notes), so
+    # a single sample is noise; the fastest run is the least-contended
+    # estimate, same protocol --scaling has always used
+    tmp = tempfile.mkdtemp(prefix="bench_data_")
+    try:
+        seed_path = args.seed_path
+        if seed_path is None:
+            subprocess.run(
+                [sys.executable, __file__, "--gen-seeds-to", os.path.join(tmp, "seeds"),
+                 "--replay-seeds", str(args.replay_seeds)],
+                capture_output=True, text=True, check=True,
+            )
+            seed_path = os.path.join(tmp, "seeds")
+        subprocess.run(
+            [sys.executable, __file__, "--gen-crawl-to", tmp,
+             "--crawl-seeds", str(args.crawl_seeds)],
+            capture_output=True, text=True, check=True,
+        )
+        replay = crawl = None
+        for _rep in range(max(1, args.bench_reps)):
+            r = _fresh_jvm(["--replay-only", "--seed-path", seed_path] + common)
+            if replay is None or r["frontier_urls_per_sec"] > replay["frontier_urls_per_sec"]:
+                replay = r
+            c = _fresh_jvm(["--crawl-only", "--data-path", tmp] + common)
+            if crawl is None or c["crawl_urls_per_sec"] > crawl["crawl_urls_per_sec"]:
+                crawl = c
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     result.update({k: v for k, v in replay.items() if k.startswith(("replay", "frontier", "n_batches"))})
-    crawl = _fresh_jvm(["--crawl-only", "--crawl-seeds", str(args.crawl_seeds)] + common)
     result.update({k: v for k, v in crawl.items() if k.startswith("crawl")})
     return result
 
@@ -361,6 +385,9 @@ def main() -> None:
                     help="seeds per context for the scaling run")
     ap.add_argument("--scale-reps", type=int, default=3,
                     help="repetitions per level; best run is reported")
+    ap.add_argument("--bench-reps", type=int, default=2,
+                    help="fresh-JVM repetitions for the replay/crawl legs "
+                         "of the full bench; best run is reported")
     args = ap.parse_args()
     if args.gen_seeds_to or args.gen_crawl_to:
         from gepris_spark.session import get_spark

@@ -85,4 +85,5 @@ TRUTH_QUERIES: dict[str, tuple] = {
         _fixture_sql("stateful_schedule_stream"),
     ),
     "crawl_aimd_schedule": (mc.q_crawl_aimd, _fixture_sql("crawl_aimd_schedule")),
+    "image_dedup_stream": (mc.q_image_dedup_stream, _fixture_sql("image_dedup_stream")),
 }

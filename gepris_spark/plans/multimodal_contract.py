@@ -248,6 +248,50 @@ def q_stateful_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("host", "host_seq")
 
 
+def q_image_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental pHash dedup (streaming/imagestream.py):
+    the image catalog arrives as THREE micro-batch files in generation
+    order; each batch dedups against the accumulating accepted store
+    with exact sequential-arrival semantics. The decision ledger must
+    equal the independent single-threaded oracle
+    (truth.image_dedup_stream_truth, fixture image_dedup_stream) —
+    and is invariant to the batch cut (tests/test_imagestream.py)."""
+    import glob
+    import os
+    import shutil
+
+    from gepris_spark.sources import corpus
+    from gepris_spark.streaming.imagestream import IncrementalPhashDedup
+
+    root = tempfile.mkdtemp(prefix="gepris_imgdedup_")
+    src = os.path.join(root, "arrivals")
+    os.makedirs(src)
+    cat = corpus.gen_image_catalog_pdf().reset_index(drop=True)
+    cat["arrival_seq"] = cat.index.astype("int64")
+    slices = [cat.iloc[:80], cat.iloc[80:170], cat.iloc[170:]]
+    for i, pdf in enumerate(slices):
+        spark.createDataFrame(
+            pdf[["arrival_seq", "image_id", "phash"]]
+        ).coalesce(1).write.parquet(src + "/tmp")
+        for p in glob.glob(src + "/tmp/*.parquet"):
+            shutil.move(p, f"{src}/arrival_{i}.parquet")
+        shutil.rmtree(src + "/tmp")
+    dedup = IncrementalPhashDedup(spark, os.path.join(root, "state"))
+    stream = (
+        spark.readStream.schema("arrival_seq long, image_id string, phash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup.dedup_sink())
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dedup.ledger().orderBy("arrival_seq")
+
+
 def q_person_details_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 google-cache fallback fetch + A8 rotation end-to-end
     (spiders/person_details.py): cache snapshots for ~65% of person

@@ -331,3 +331,36 @@ def stateful_schedule_truth(delay_ms: int = 1000) -> pd.DataFrame:
                 )
             host_next[host] = base + len(g)
     return pd.DataFrame(out)
+
+
+# -------------------------------------------- incremental image dedup
+def image_dedup_stream_truth() -> pd.DataFrame:
+    """Expected ledger of the streaming incremental pHash dedup
+    (streaming/imagestream.py) over the image catalog in generation
+    order: a row is rejected iff it is within hamming distance 3 of an
+    EARLIER-ACCEPTED row, duplicate_of = the earliest such accept.
+    Pure-python sequential scan — no banding, no Spark; the 4x16-bit
+    pigeonhole makes the engine's banded candidate generation complete
+    for d<=3, so the two must agree exactly."""
+    cat = corpus.gen_image_catalog_pdf()
+    accepted: list[tuple[int, str, int]] = []  # (arrival_seq, image_id, phash)
+    out: list[dict] = []
+    for seq, (image_id, phash) in enumerate(zip(cat["image_id"], cat["phash"])):
+        match = None
+        for a_seq, a_id, a_hash in accepted:  # arrival order
+            d = bin((int(phash) ^ a_hash) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= 3:
+                match = (a_id, d)
+                break
+        if match is None:
+            accepted.append((seq, image_id, int(phash)))
+        out.append(
+            {
+                "arrival_seq": seq,
+                "image_id": image_id,
+                "accepted": match is None,
+                "duplicate_of": None if match is None else match[0],
+                "hamming": None if match is None else match[1],
+            }
+        )
+    return pd.DataFrame(out)

@@ -63,6 +63,10 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("seq", I), ("url", S), ("host", S), ("context", S), ("item_id", I),
         ("scheduled_ms", I), ("batch_id", I),
     ],
+    "image_dedup_stream": [
+        ("arrival_seq", I), ("image_id", S), ("accepted", B),
+        ("duplicate_of", S), ("hamming", I),
+    ],
     # INPUT fixture (not a truth frame): the image+caption catalog both
     # engines read for the plans/imagepipe.py queries — the oracle SQL
     # recomputes the operators from this same file, so the compare
@@ -88,6 +92,7 @@ def truth_frames(spark) -> dict:
         "stateful_schedule_stream": truth.stateful_schedule_truth(),
         "crawl_aimd_schedule": truth.crawl_aimd_truth(),
         "image_catalog": corpus.gen_image_catalog_pdf(),
+        "image_dedup_stream": truth.image_dedup_stream_truth(),
     }
 
 
