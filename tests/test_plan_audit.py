@@ -116,3 +116,37 @@ def test_window_functions_always_partitioned(spark):
         if "Window" in plan and "Exchange SinglePartition" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_image_neardup_is_shuffle_equijoin_with_pruned_scan(spark):
+    """The banded pHash self-join must be an equi-join (hash or
+    sort-merge, never nested-loop) and the catalog scan must read only
+    (image_id, phash) — at 100 TB the caption/dims columns stay on
+    disk."""
+    from gepris_spark.plans.imagepipe import q_image_phash_neardup
+
+    plan = _plan(q_image_phash_neardup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "caption" not in read_schema and "image_id" in read_schema
+
+
+def test_sample_stratified_is_scan_plus_filter_no_shuffle(spark):
+    """Stratified sampling must compile to scan+filter+sort only: no
+    Exchange other than the output ordering's range partitioning."""
+    from gepris_spark.plans.datapipe import q_sample_stratified
+
+    plan = _plan(q_sample_stratified(spark, SF))
+    assert "Join" not in plan
+    body = plan.split("rangepartitioning")[0]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_shuffle_shards_window_is_per_shard_not_global(spark):
+    from gepris_spark.plans.datapipe import q_shuffle_shards
+
+    plan = _plan(q_shuffle_shards(spark, SF))
+    assert "Window" in plan
+    # the window must partition by shard, never a single global partition
+    assert "SinglePartition" not in plan.split("Window")[0]
