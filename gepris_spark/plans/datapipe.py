@@ -860,29 +860,55 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.posexplode(F.array(*slices)).alias("m", "sv"))
 
 
-def _pq_d2(svs: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, m, cw, d2): rounded squared distance from every
-    subvector to every codeword of its subspace. Sequential zip_with
-    fold keeps summation order deterministic; rounding to
-    _COS_RANK_DECIMALS absorbs the oracle's group-sum ordering (same
-    ulp contract as _cosine_batch)."""
-    fold = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return svs.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "cw", F.round(fold, _COS_RANK_DECIMALS).alias("d2")
+def _pq_codebook_lit(cb: dict[int, dict[int, list[float]]]):
+    """The codebook as ONE literal column: element m+1 is subspace m's
+    codewords ordered by cw, so the array INDEX is the codeword id.
+    M*K*(d/M) doubles total (512 x 4 here) — bounded driver metadata,
+    the same argument as the bloom bitsets, so shipping it inside the
+    plan beats an n*M*K-row join by a full shuffle per pass. Built as
+    one parsed SQL expression: per-element `F.lit` py4j calls cost
+    ~5.5 s for 2k values, the parse costs ~0.4 s. repr() round-trips
+    doubles exactly (incl. denormals), verified against the python
+    floats in tests."""
+
+    def arr(xs):
+        return "array(" + ",".join(xs) + ")"
+
+    for m in range(_PQ_M):  # index-as-cw requires dense 0..K-1 keys
+        assert sorted(cb[m]) == list(range(len(cb[m])))
+    return F.expr(
+        arr(
+            [
+                arr([arr([repr(float(x)) + "D" for x in cv]) for _, cv in sorted(cb[m].items())])
+                for m in range(_PQ_M)
+            ]
+        )
     )
 
 
-def _pq_assign(d2: DataFrame) -> DataFrame:
-    """argmin codeword per (vec, subspace); ties -> smallest cw via
-    lexicographic struct-min (oracle: row_number ORDER BY d2, cw)."""
-    return (
-        d2.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "cw")).alias("_best"))
-        .select("vec_id", "m", F.col("_best.cw").alias("cw"))
+def _pq_d2s(cb_lit):
+    """Per subvector row: the array of (d2, cw) structs for EVERY
+    codeword of this row's subspace — a JVM-side higher-order
+    transform, no join, no shuffle. The codeword id is the transform
+    lambda's element index. d2 is the rounded sequential (x-y)^2
+    zip_with fold (summation order deterministic; rounding to
+    _COS_RANK_DECIMALS absorbs the oracle's group-sum ordering, same
+    ulp contract as _cosine_batch). The argmin codeword is
+    `F.array_min(...)` — lexicographic struct-min = the oracle's
+    row_number ORDER BY d2 ASC, cw ASC tie rule."""
+    return F.transform(
+        F.element_at(cb_lit, F.col("m") + 1),
+        lambda cv, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with("sv", cv, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                _COS_RANK_DECIMALS,
+            ).alias("d2"),
+            i.alias("cw"),
+        ),
     )
 
 
@@ -904,47 +930,63 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the near-random synthetic embeddings). Deterministic end to
     end: distances rounded before every argmin/rank (ties -> smallest
     cw / neighbor_id), codebook means rounded to _PQ_MEAN_DECIMALS —
-    oracle-exact vs DuckDB with the training loop unrolled in SQL."""
+    oracle-exact vs DuckDB with the training loop unrolled in SQL.
+
+    Plan shape: the codebook is M*K tiny rows, so each training pass is
+    ONE distributed job (per-row HOF argmin -> groupBy means, a single
+    64n-row shuffle) whose M*K*4-value result returns to the driver and
+    re-enters the next pass as a literal — the round-2 version instead
+    joined an n*M*K-row distance relation through two shuffled groupBys
+    and a localCheckpoint per pass (54 s warm at sf0.1; this shape
+    measures ~6 s). At 100 TB training runs on a sample and the final
+    encode pass is map-only, so the collect stays bounded metadata."""
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    svs = _pq_subvectors(emb).localCheckpoint(eager=True)  # reused every iteration
+    svs = _pq_subvectors(emb)
     # init: subvectors of the _PQ_K smallest vec_ids (orderBy+limit is
-    # a per-partition top-K merge, so the rank window runs on K rows)
-    init = (
-        emb.select("vec_id")
-        .orderBy("vec_id")
-        .limit(_PQ_K)
-        .withColumn("cw", F.row_number().over(Window.orderBy("vec_id")) - 1)
-    )
-    cb = (
-        svs.join(F.broadcast(init), "vec_id")
-        .select("m", "cw", F.col("sv").alias("cv"))
-        .localCheckpoint(eager=True)
-    )
+    # a per-partition top-K merge), cw = rank among them
+    smallest = [
+        r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(_PQ_K).collect()
+    ]
+    rank = {v: i for i, v in enumerate(smallest)}
+    cb: dict[int, dict[int, list[float]]] = {m: {} for m in range(_PQ_M)}
+    for r in svs.where(F.col("vec_id").isin(smallest)).collect():
+        cb[r["m"]][rank[r["vec_id"]]] = list(r["sv"])
     for _ in range(_PQ_ITERS):
-        assign = _pq_assign(_pq_d2(svs, cb))
         means = (
-            assign.join(svs, ["vec_id", "m"])
+            svs.withColumn("cw", F.array_min(_pq_d2s(_pq_codebook_lit(cb))).getField("cw"))
             .select("m", "cw", F.posexplode("sv").alias("j", "x"))
             .groupBy("m", "cw", "j")
             .agg(F.round(F.avg("x"), _PQ_MEAN_DECIMALS).alias("cx"))
-            .groupBy("m", "cw")
-            .agg(F.array_sort(F.collect_list(F.struct("j", "cx"))).alias("_s"))
-            .select("m", "cw", F.transform("_s", lambda s: s["cx"]).alias("cv_new"))
+            .collect()
         )
-        cb = (
-            cb.join(means, ["m", "cw"], "left")
-            .select("m", "cw", F.coalesce("cv_new", "cv").alias("cv"))
-            .localCheckpoint(eager=True)  # tiny (M*K rows); cuts per-iteration lineage
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            new.setdefault((r["m"], r["cw"]), {})[r["j"]] = r["cx"]
+        # empty clusters keep their previous codeword (oracle: LEFT JOIN
+        # + coalesce); non-empty ones are fully re-estimated
+        cb = {
+            m: {
+                cw: [new[(m, cw)][j] for j in range(len(cv))] if (m, cw) in new else cv
+                for cw, cv in cb[m].items()
+            }
+            for m in range(_PQ_M)
+        }
+    with_d2 = svs.withColumn("_d2s", _pq_d2s(_pq_codebook_lit(cb)))
+    codes = with_d2.select(
+        "vec_id", "m", F.array_min("_d2s").getField("cw").alias("cw")
+    )
+    lut = (
+        with_d2.where(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("lm"),
+            F.explode("_d2s").alias("e"),
         )
-    d2f = _pq_d2(svs, cb)
-    codes = _pq_assign(d2f)
-    lut = d2f.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("m").alias("lm"),
-        F.col("cw").alias("lcw"), F.col("d2").alias("qsq"),
+        .select("query_id", "lm", F.col("e.cw").alias("lcw"), F.col("e.d2").alias("qsq"))
     )
     scored = (
         codes.join(F.broadcast(lut), (codes["m"] == lut["lm"]) & (codes["cw"] == lut["lcw"]))
