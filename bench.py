@@ -303,6 +303,56 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def bench_weak_scaling(args) -> dict:
+    """The north rule's N -> 4N criterion in its deployment form —
+    WEAK scaling: 4x the cores get 4x the frontier at constant
+    per-core load (a 4x-larger cluster sustains 4x the throughput on a
+    4x-larger seed list). Ideal weak scaling keeps wall time constant,
+    so efficiency = wall_lo / wall_hi. Each level runs in fresh
+    subprocess JVMs (honest executor-thread count), best-of-N under
+    host noise, over per-level corpora materialized untimed."""
+    ratio = args.scale_hi // args.scale_lo
+    out = {}
+    for cpus, seeds in (
+        (args.scale_lo, args.weak_seeds),
+        (args.scale_hi, args.weak_seeds * ratio),
+    ):
+        tmp = tempfile.mkdtemp(prefix="bench_weak_")
+        try:
+            subprocess.run(
+                [sys.executable, __file__, "--gen-crawl-to", tmp,
+                 "--crawl-seeds", str(seeds)],
+                capture_output=True, text=True, check=True,
+            )
+            best = None
+            for _rep in range(args.scale_reps):
+                r = _fresh_jvm(
+                    ["--crawl-only", "--cpus", str(cpus), "--data-path", tmp,
+                     "--replay-batch-size", str(args.replay_batch_size)]
+                )
+                if best is None or r["crawl_sec"] < best["crawl_sec"]:
+                    best = r
+            out[cpus] = best
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    lo, hi = out[args.scale_lo], out[args.scale_hi]
+    return {
+        "metric": "weak_scaling_efficiency",
+        "value": round(lo["crawl_sec"] / hi["crawl_sec"], 3),
+        "unit": "ratio",
+        "sf": -1.0,
+        "weak_scaling_efficiency": round(lo["crawl_sec"] / hi["crawl_sec"], 3),
+        "weak_lo_cpus": args.scale_lo,
+        "weak_hi_cpus": args.scale_hi,
+        "weak_lo_urls": lo["crawl_urls"],
+        "weak_hi_urls": hi["crawl_urls"],
+        "weak_lo_sec": lo["crawl_sec"],
+        "weak_hi_sec": hi["crawl_sec"],
+        "weak_lo_urls_per_sec": lo["crawl_urls_per_sec"],
+        "weak_hi_urls_per_sec": hi["crawl_urls_per_sec"],
+    }
+
+
 def bench_scaling(args) -> dict:
     """The IDENTICAL replay job at two parallelism levels in fresh
     subprocesses (fresh JVM each so executor-thread count is honest),
@@ -376,6 +426,14 @@ def main() -> None:
     ap.add_argument("--gen-crawl-to", default=None,
                     help="only generate seeds+pages under this dir and exit")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--weak-scaling", action="store_true",
+                    help="only run the weak-scaling (N cores @ S urls vs "
+                         "4N cores @ 4S urls) measurement and exit")
+    ap.add_argument("--weak-seeds", type=int, default=5_000,
+                    help="seeds per context at the LO level of weak scaling; "
+                         "the HI level gets (hi/lo)x as many")
+    ap.add_argument("--no-weak", action="store_true",
+                    help="skip the weak-scaling leg of the default bench")
     # N -> 4N inside this VM's linear region: throughput rises to a
     # ceiling at 8 threads and regresses beyond (shared memory
     # subsystem / host contention) — see BASELINE.md for the sweep
@@ -411,7 +469,21 @@ def main() -> None:
         spark.stop()
         print(json.dumps({"generated": out}))
         return
-    result = bench_scaling(args) if args.scaling else bench_once(args)
+    if args.scaling:
+        result = bench_scaling(args)
+    elif args.weak_scaling:
+        result = bench_weak_scaling(args)
+    else:
+        result = bench_once(args)
+        if not (args.crawl_only or args.replay_only or args.no_weak):
+            # the north rule's scaling criterion, evidenced in the same
+            # JSON the driver records: best-of-2 keeps the leg bounded
+            weak_args = argparse.Namespace(**vars(args))
+            weak_args.scale_reps = min(args.scale_reps, 2)
+            result.update(
+                {k: v for k, v in bench_weak_scaling(weak_args).items()
+                 if k.startswith("weak")}
+            )
     print(json.dumps(result))
 
 

@@ -86,4 +86,5 @@ TRUTH_QUERIES: dict[str, tuple] = {
     ),
     "crawl_aimd_schedule": (mc.q_crawl_aimd, _fixture_sql("crawl_aimd_schedule")),
     "image_dedup_stream": (mc.q_image_dedup_stream, _fixture_sql("image_dedup_stream")),
+    "image_decode_verify": (mc.q_image_decode_verify, _fixture_sql("image_decode_verify")),
 }

@@ -1,15 +1,19 @@
 """Image-catalog pipeline operators (the image half of a multimodal
 training-data pipeline), each with a full DuckDB oracle SQL mirror.
 
-The input is the image+caption catalog of the input_hint schema
-(image_id, w, h, fmt, caption, phash) WITHOUT the bytes column: these
-operators are catalog-scale — perceptual-hash dedup and LAION-style
-caption/dimension curation run over metadata, never touching pixels,
-which is exactly what makes them viable at 100 TB (the binary decode
-paths live in operators/multimodal.py). Both engines read the SAME
-committed fixture parquet (fixtures/image_catalog.parquet, regen-
-guarded against gepris_spark/sources/corpus.py:gen_image_catalog_pdf),
-so the oracle compare exercises the operators, not the generator.
+The input is the image+caption catalog of EXACTLY the input_hint
+schema (image_id string, bytes binary, w int32, h int32, fmt string,
+caption string, phash int64). These operators are catalog-scale —
+perceptual-hash dedup and LAION-style caption/dimension curation run
+over metadata and must NEVER read the bytes column (column pruning is
+what makes them viable at 100 TB; tests/test_plan_audit.py asserts the
+scan's ReadSchema excludes bytes/caption). The binary decode paths
+live in operators/multimodal.py; q_image_decode_verify runs the
+input_hint's per-row decode invariant over this same table. Both
+engines read the SAME committed fixture parquet
+(fixtures/image_catalog.parquet, regen-guarded against
+gepris_spark/sources/corpus.py:gen_image_catalog_pdf), so the oracle
+compare exercises the operators, not the generator.
 
 Scale notes:
 

@@ -307,6 +307,24 @@ def q_image_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ledger().orderBy("arrival_seq")
 
 
+def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant ON the input_hint table
+    itself: decode the catalog's `bytes` column (real png/qdct/jpeg
+    payloads), recompute dims + phash, and verify decoded pixels
+    against the (seed, index)-formula reference — exact for lossless
+    fmts, PSNR>=40 dB for lossy ones. Runs as one vectorized
+    mapInPandas stage (operators/multimodal.py:decode_verify_stage);
+    the oracle is the independent single-threaded scan materialized to
+    fixtures/image_decode_verify.parquet."""
+    from gepris_spark.operators.multimodal import decode_verify_stage
+    from gepris_spark.plans.imagepipe import load_catalog
+    from gepris_spark.sources.corpus import catalog_pixels
+
+    return decode_verify_stage(load_catalog(spark), ref_pixels_fn=catalog_pixels).orderBy(
+        "image_id"
+    )
+
+
 def q_person_details_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 google-cache fallback fetch + A8 rotation end-to-end
     (spiders/person_details.py): cache snapshots for ~65% of person

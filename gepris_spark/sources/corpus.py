@@ -112,6 +112,31 @@ def gen_images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _noise_variant(pixels: np.ndarray, image_index: int, seed: int = 42) -> np.ndarray:
+    """The catalog's near-duplicate: base pixels + sigma-1.5 gaussian
+    noise from a (seed, index) generator — shared by the generator and
+    catalog_pixels so the formulas cannot drift apart."""
+    rng = np.random.default_rng(seed * 9_999_991 + image_index)
+    return np.clip(
+        pixels.astype(np.float64) + rng.normal(0, 1.5, pixels.shape), 0, 255
+    ).astype(np.uint8)
+
+
+def catalog_pixels(image_id: str, seed: int = 42) -> np.ndarray:
+    """Re-derive an image-catalog row's pre-encode reference pixels
+    from its image_id alone (`cat%06d-{a,v,r,w}`) — the per-row decode
+    invariant's reference side, callable on executors."""
+    i = int(image_id[3:9])
+    kind = image_id.rsplit("-", 1)[1]
+    if kind in ("a", "r"):
+        return ref_pixels(i, seed)
+    if kind == "v":
+        return _noise_variant(ref_pixels(i, seed), i, seed)
+    if kind == "w":
+        return _wide_pixels(i, seed)
+    raise ValueError(f"unknown catalog image_id kind: {image_id}")
+
+
 def _wide_pixels(image_index: int, seed: int = 42) -> np.ndarray:
     """A 4:1 aspect-ratio gradient strip (48x192) — aspect-filter fodder
     for the image-catalog curation queries (tall enough to clear the
@@ -127,8 +152,13 @@ def _wide_pixels(image_index: int, seed: int = 42) -> np.ndarray:
 
 
 def gen_image_catalog_pdf(n_base: int = 160, seed: int = 42) -> pd.DataFrame:
-    """Image-catalog metadata table (input_hint schema minus `bytes`)
-    for the image-pipeline contract queries (plans/imagepipe.py).
+    """Image+caption catalog of EXACTLY the input_hint shape —
+    (image_id string, bytes binary, w int32, h int32, fmt string,
+    caption string, phash int64) — for the image-pipeline contract
+    queries (plans/imagepipe.py). `bytes` is the real encoded payload
+    in `fmt` (codecs/image.py png/qdct/jpeg encoders); `phash` is
+    computed on the pre-encode pixels, so it is the canonical content
+    hash a decode must land near (exactly for lossless fmts).
 
     Deterministic mix, all derived from (seed, index) formulas:
 
@@ -153,6 +183,7 @@ def gen_image_catalog_pdf(n_base: int = 160, seed: int = 42) -> pd.DataFrame:
         rows.append(
             {
                 "image_id": image_id,
+                "bytes": imagecodec.encode(pixels, fmt),
                 "w": int(pixels.shape[1]),
                 "h": int(pixels.shape[0]),
                 "fmt": fmt,
@@ -167,16 +198,13 @@ def gen_image_catalog_pdf(n_base: int = 160, seed: int = 42) -> pd.DataFrame:
         caption = "img" if i % 7 == 3 else caption_for(i)
         add(f"cat{i:06d}-a", pixels, fmts[i % 3], caption)
         if i % 4 == 1:
-            rng = np.random.default_rng(seed * 9_999_991 + i)
-            variant = np.clip(
-                pixels.astype(np.float64) + rng.normal(0, 1.5, pixels.shape), 0, 255
-            ).astype(np.uint8)
+            variant = _noise_variant(pixels, i, seed)
             add(f"cat{i:06d}-v", variant, fmts[(i + 1) % 3], caption + "  (Variante)")
         if i % 5 == 2:
             add(f"cat{i:06d}-r", pixels, fmts[(i + 2) % 3], caption)
         if i % 11 == 4:
             add(f"cat{i:06d}-w", _wide_pixels(i, seed), fmts[i % 3], caption_for(i))
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows).astype({"w": "int32", "h": "int32"})
 
 
 def gen_seeds_pdf(

@@ -333,6 +333,41 @@ def stateful_schedule_truth(delay_ms: int = 1000) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# ------------------------------------------------ catalog decode verify
+def image_decode_verify_truth() -> pd.DataFrame:
+    """Expected output of q_image_decode_verify: a plain sequential
+    scan over the catalog decoding every `bytes` payload and verifying
+    the input_hint invariants (dims, phash, decoded-pixel allclose /
+    PSNR>=40dB vs the (seed, index)-formula reference). Independent of
+    the Spark plan; shares only the codec library, whose correctness is
+    pinned separately by the codec round-trip/bitstream tests."""
+    from gepris_spark.codecs import image as imagecodec
+
+    cat = corpus.gen_image_catalog_pdf()
+    out = []
+    for r in cat.itertuples(index=False):
+        pixels = imagecodec.decode(bytes(r.bytes), r.fmt)
+        ph = imagecodec.phash64(pixels)
+        ok, psnr_db = imagecodec.pixels_match(
+            pixels, corpus.catalog_pixels(r.image_id), r.fmt
+        )
+        out.append(
+            {
+                "image_id": r.image_id,
+                "fmt": r.fmt,
+                "w": r.w,
+                "h": r.h,
+                "decoded_w": pixels.shape[1],
+                "decoded_h": pixels.shape[0],
+                "phash_recomputed": ph,
+                "phash_ok": bool(ph == r.phash),
+                "pixels_ok": bool(ok),
+                "psnr_db": None if psnr_db == float("inf") else float(psnr_db),
+            }
+        )
+    return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
+
+
 # -------------------------------------------- incremental image dedup
 def image_dedup_stream_truth() -> pd.DataFrame:
     """Expected ledger of the streaming incremental pHash dedup

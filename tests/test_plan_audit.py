@@ -130,6 +130,8 @@ def test_image_neardup_is_shuffle_equijoin_with_pruned_scan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "caption" not in read_schema and "image_id" in read_schema
+    # the binary payload column must stay on disk for metadata-scale ops
+    assert "bytes" not in read_schema
 
 
 def test_sample_stratified_is_scan_plus_filter_no_shuffle(spark):

@@ -70,10 +70,18 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
     # INPUT fixture (not a truth frame): the image+caption catalog both
     # engines read for the plans/imagepipe.py queries — the oracle SQL
     # recomputes the operators from this same file, so the compare
-    # checks the plans, not the generator
+    # checks the plans, not the generator. EXACTLY the input_hint
+    # shape: (image_id string, bytes binary, w int32, h int32,
+    # fmt string, caption string, phash int64).
     "image_catalog": [
-        ("image_id", S), ("w", I), ("h", I), ("fmt", S), ("caption", S),
-        ("phash", I),
+        ("image_id", S), ("bytes", pa.binary()), ("w", pa.int32()),
+        ("h", pa.int32()), ("fmt", S), ("caption", S), ("phash", I),
+    ],
+    "image_decode_verify": [
+        ("image_id", S), ("fmt", S), ("w", pa.int32()), ("h", pa.int32()),
+        ("decoded_w", pa.int32()), ("decoded_h", pa.int32()),
+        ("phash_recomputed", I), ("phash_ok", B), ("pixels_ok", B),
+        ("psnr_db", pa.float64()),
     ],
 }
 
@@ -93,6 +101,7 @@ def truth_frames(spark) -> dict:
         "crawl_aimd_schedule": truth.crawl_aimd_truth(),
         "image_catalog": corpus.gen_image_catalog_pdf(),
         "image_dedup_stream": truth.image_dedup_stream_truth(),
+        "image_decode_verify": truth.image_decode_verify_truth(),
     }
 
 
