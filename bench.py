@@ -14,10 +14,13 @@ micro-bench over the deterministic synthetic seed corpus
 
 `--scaling` evidences the north rule's N -> 4N criterion in-sandbox:
 it re-runs the IDENTICAL full-crawl job (frontier + fetch + parse) in
-fresh subprocesses at two parallelism levels (default local[4] vs
-local[16] — inside this VM's linear region, see BASELINE.md) on the
+fresh subprocesses at two parallelism levels (default local[2] vs
+local[8] — inside this VM's linear region, see BASELINE.md) on the
 same materialized corpus and reports throughput at both plus
-efficiency = speedup / (hi/lo).
+efficiency = speedup / (hi/lo). `--weak-scaling` (also appended to
+the default run) measures the deployment formulation instead: 4x the
+cores get 4x the frontier at constant per-core load, ideal = constant
+wall, efficiency = wall_lo / wall_hi.
 """
 
 from __future__ import annotations

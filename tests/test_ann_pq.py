@@ -41,3 +41,24 @@ def test_pq_deterministic(spark):
     a = datapipe.q_ann_topk_pq(spark, SF_DIR).collect()
     b = datapipe.q_ann_topk_pq(spark, SF_DIR).collect()
     assert a == b
+
+
+def test_codebook_literal_roundtrips_doubles_exactly(spark):
+    """_pq_codebook_lit ships the codebook as one parsed SQL literal;
+    repr() -> SQL double literal -> JVM must round-trip every float
+    bit-exactly, including denormals and negative zero."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    edge = [1e-300, 5e-324, -0.0, 0.0, 123456789.123456789, -1e300, math.pi]
+    vals = edge + [rng.uniform(-2, 2) for _ in range(len(edge), datapipe._PQ_M * 4)]
+    cb = {
+        m: {cw: [vals[(m * 4 + j) % len(vals)] * (cw + 1) for j in range(4)]
+            for cw in range(3)}
+        for m in range(datapipe._PQ_M)
+    }
+    got = spark.range(1).select(datapipe._pq_codebook_lit(cb).alias("cb")).collect()[0][0]
+    for m in range(datapipe._PQ_M):
+        for cw in range(3):
+            assert list(got[m][cw]) == cb[m][cw], (m, cw)
