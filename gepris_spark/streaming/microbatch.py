@@ -262,11 +262,6 @@ class CrawlEngine:
             "scheduled_ms",
             F.lit(batch_id).cast("long").alias("batch_id"),
         )
-        timed("visit_write", lambda: self.store.append_batch(visits, "visit_log", batch_id))
-        timed(
-            "bloom_update",
-            lambda: self.bloom.add_urls(visits.select("url"), assume_distinct=True),
-        )
         if self.config.aimd:
             # observed latency per (host, batch): integer mean over the
             # batch's measured fetches — DIV keeps it exact so the
@@ -316,10 +311,32 @@ class CrawlEngine:
             .agg(F.max(F.struct("next_seq", "delay_ms", "next_ms")).alias("_s"))
             .select("host", "_s.next_seq", "_s.delay_ms", "_s.next_ms")
         )
-        timed(
-            "state_commit",
-            lambda: self.store.commit_snapshot(merged_state, "host_state", num_files=1),
-        )
+        # the three commit outputs are independent functions of the
+        # persisted `ordered` (visit-log append, bloom bitset update,
+        # host-state snapshot) and each is idempotent under batch
+        # replay, so run them as CONCURRENT Spark jobs — on a cluster
+        # the driver otherwise sits idle between three small actions;
+        # the ledger write below stays strictly after the group, so the
+        # resume marker still implies all three landed
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(
+                    timed, "visit_write",
+                    lambda: self.store.append_batch(visits, "visit_log", batch_id),
+                ),
+                pool.submit(
+                    timed, "bloom_update",
+                    lambda: self.bloom.add_urls(visits.select("url"), assume_distinct=True),
+                ),
+                pool.submit(
+                    timed, "state_commit",
+                    lambda: self.store.commit_snapshot(merged_state, "host_state", num_files=1),
+                ),
+            ]
+            for f in futures:
+                f.result()
         ordered.unpersist()
         candidates.unpersist()
         fresh.unpersist()
