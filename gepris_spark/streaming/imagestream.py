@@ -145,13 +145,22 @@ class IncrementalPhashDedup:
         )
 
         # rows entangled in batch-internal chains (and their store
-        # verdicts) resolve sequentially on the driver — O(candidates)
-        chain_pairs = [r.asDict() for r in vs_batch.collect()]
+        # verdicts) resolve sequentially on the driver — O(candidates).
+        # The two collects are independent plans: run them as
+        # concurrent Spark jobs rather than two serial driver waits
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_pairs = pool.submit(lambda: [r.asDict() for r in vs_batch.collect()])
+            f_hits = pool.submit(
+                lambda: {
+                    r["arrival_seq"]: (r["m_seq"], r["m_id"], r["m_d"])
+                    for r in best_store.collect()
+                }
+            )
+            chain_pairs = f_pairs.result()
+            store_hits = f_hits.result()
         chain_seqs = {p["e_seq"] for p in chain_pairs} | {p["arrival_seq"] for p in chain_pairs}
-        store_hits = {
-            r["arrival_seq"]: (r["m_seq"], r["m_id"], r["m_d"])
-            for r in best_store.collect()
-        }
 
         decided = rows.join(best_store, "arrival_seq", "left").select(
             "arrival_seq",
@@ -217,10 +226,25 @@ class IncrementalPhashDedup:
             rows.join(decided.where("accepted").select("arrival_seq"), "arrival_seq")
             .select("arrival_seq", "image_id", "phash")
         )
-        new_accepts.write.mode("append").parquet(self.store_path)
-        decided.select(
-            "arrival_seq", "image_id", "accepted", "duplicate_of", "hamming"
-        ).write.mode("append").parquet(self.ledger_path)
+        # store append and ledger append are independent outputs of the
+        # shared `decided` plan: persist it once, write both
+        # concurrently (next-batch reads happen only after this batch
+        # returns, so ordering between the two is immaterial)
+        decided = decided.persist()
+        try:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fa = pool.submit(
+                    lambda: new_accepts.write.mode("append").parquet(self.store_path)
+                )
+                fb = pool.submit(
+                    lambda: decided.select(
+                        "arrival_seq", "image_id", "accepted", "duplicate_of", "hamming"
+                    ).write.mode("append").parquet(self.ledger_path)
+                )
+                fa.result()
+                fb.result()
+        finally:
+            decided.unpersist()
 
     def ledger(self) -> DataFrame:
         return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.ledger_path)
