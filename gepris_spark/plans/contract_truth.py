@@ -87,4 +87,25 @@ TRUTH_QUERIES: dict[str, tuple] = {
     "crawl_aimd_schedule": (mc.q_crawl_aimd, _fixture_sql("crawl_aimd_schedule")),
     "image_dedup_stream": (mc.q_image_dedup_stream, _fixture_sql("image_dedup_stream")),
     "image_decode_verify": (mc.q_image_decode_verify, _fixture_sql("image_decode_verify")),
+    # the four multimodal binary-path queries, formerly rows-only: their
+    # outputs are deterministic per-row functions of the seeded corpora,
+    # so truth.py restates the feature math sequentially and the driver
+    # gets a full rows+schema+hash check — every contract query is now
+    # oracle-checked
+    "multimodal_decode_verify": (
+        mc.q_multimodal_decode,
+        _fixture_sql("multimodal_decode_verify"),
+    ),
+    "multimodal_rgb_features": (
+        mc.q_multimodal_features,
+        _fixture_sql("multimodal_rgb_features"),
+    ),
+    "multimodal_audio_features": (
+        mc.q_multimodal_audio,
+        _fixture_sql("multimodal_audio_features"),
+    ),
+    "multimodal_video_frames": (
+        mc.q_multimodal_video_frames,
+        _fixture_sql("multimodal_video_frames"),
+    ),
 }

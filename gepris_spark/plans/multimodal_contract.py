@@ -377,9 +377,6 @@ def q_person_details_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PSNR>=40dB, phash match) enforced inside the stage + pytest, which a
 # value-hash against a SQL engine can't express. Everything else that
 # used to live here is now fixture-oracled in plans/contract_truth.py.
-MULTIMODAL_QUERIES = {
-    "multimodal_decode_verify": q_multimodal_decode,
-    "multimodal_rgb_features": q_multimodal_features,
-    "multimodal_audio_features": q_multimodal_audio,
-    "multimodal_video_frames": q_multimodal_video_frames,
-}
+# round 3: all four multimodal queries moved to contract_truth.py's
+# TRUTH_QUERIES with fixture oracles — nothing is rows-only anymore
+MULTIMODAL_QUERIES: dict = {}

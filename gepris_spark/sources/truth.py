@@ -333,6 +333,153 @@ def stateful_schedule_truth(delay_ms: int = 1000) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# -------------------------------------- multimodal stage truth frames
+def multimodal_decode_verify_truth() -> pd.DataFrame:
+    """Sequential re-derivation of q_multimodal_decode over the seeded
+    page-image corpus (gen_images_pdf(24, seed=42))."""
+    from gepris_spark.codecs import image as imagecodec
+
+    out = []
+    for r in corpus.gen_images_pdf(24, seed=42).itertuples(index=False):
+        pixels = imagecodec.decode(bytes(r.bytes), r.fmt)
+        ph = imagecodec.phash64(pixels)
+        ok, psnr_db = imagecodec.pixels_match(
+            pixels, corpus.ref_pixels(int(r.image_id[3:]), seed=42), r.fmt
+        )
+        out.append(
+            {
+                "image_id": r.image_id,
+                "fmt": r.fmt,
+                "w": r.w,
+                "h": r.h,
+                "decoded_w": pixels.shape[1],
+                "decoded_h": pixels.shape[0],
+                "phash_recomputed": ph,
+                "phash_ok": bool(ph == r.phash),
+                "pixels_ok": bool(ok),
+                "psnr_db": None if psnr_db == float("inf") else float(psnr_db),
+            }
+        )
+    return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
+
+
+def multimodal_rgb_features_truth() -> pd.DataFrame:
+    """Sequential re-derivation of q_multimodal_features: per-channel
+    means, luma std, 64-bin luma entropy — the formulas restated."""
+    import numpy as np
+
+    from gepris_spark.codecs import image as imagecodec
+
+    out = []
+    for r in corpus.gen_images_pdf(24, seed=42).itertuples(index=False):
+        px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.float64)
+        luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        hist, _ = np.histogram(luma, bins=64, range=(0, 256))
+        p = hist / max(hist.sum(), 1)
+        p = p[p > 0]
+        out.append(
+            {
+                "image_id": r.image_id,
+                "mean_r": round(float(px[:, :, 0].mean()), 6),
+                "mean_g": round(float(px[:, :, 1].mean()), 6),
+                "mean_b": round(float(px[:, :, 2].mean()), 6),
+                "std_luma": round(float(luma.std()), 6),
+                "entropy_luma": round(float(-(p * np.log2(p)).sum()), 6),
+            }
+        )
+    return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
+
+
+def multimodal_audio_features_truth() -> pd.DataFrame:
+    """Sequential re-derivation of q_multimodal_audio over
+    gen_audio_pdf(24, seed=42): rms / zero-crossings / spectral
+    centroid restated; bit-exact (lossless) or SNR>=30dB (mu-law)
+    against the formula reference samples."""
+    import numpy as np
+
+    from gepris_spark.codecs import wav
+
+    out = []
+    for r in corpus.gen_audio_pdf(24, seed=42).itertuples(index=False):
+        samples, rate, fmt = wav.decode(bytes(r.bytes))
+        mono = samples.mean(axis=1)
+        sgn = np.signbit(mono[:-1]) != np.signbit(mono[1:])
+        spec = np.abs(np.fft.rfft(mono))
+        freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+        power = spec.sum()
+        ref = corpus.ref_samples(int(r.audio_id[3:]), seed=42)
+        if ref.ndim == 1:
+            ref = ref[:, None]
+        snr = wav.snr_db(ref, samples)
+        samples_ok = (
+            bool(np.array_equal(samples, ref))
+            if wav.is_lossless(fmt)
+            else bool(snr >= 30.0)
+        )
+        out.append(
+            {
+                "audio_id": r.audio_id,
+                "fmt": fmt,
+                "sample_rate": int(rate),
+                "channels": int(samples.shape[1]),
+                "n_samples": int(samples.shape[0]),
+                "duration_s": round(samples.shape[0] / rate, 6),
+                "rms": round(float(np.sqrt((mono.astype(np.float64) ** 2).mean())), 6),
+                "zero_crossing_rate": round(float(sgn.mean()), 6),
+                "spectral_centroid_hz": round(
+                    float((freqs * spec).sum() / power) if power > 0 else 0.0, 6
+                ),
+                "samples_ok": samples_ok,
+                "snr_db": None if snr == float("inf") else round(float(snr), 3),
+            }
+        )
+    return pd.DataFrame(out).sort_values("audio_id").reset_index(drop=True)
+
+
+def multimodal_video_frames_truth() -> pd.DataFrame:
+    """Sequential re-derivation of q_multimodal_video_frames over
+    gen_video_pdf(12, seed=42) with every_n=4: probe the container,
+    decode only the sampled frames, restate the per-frame stats."""
+    import numpy as np
+
+    from gepris_spark.codecs import avi
+    from gepris_spark.codecs import image as imagecodec
+
+    out = []
+    for r in corpus.gen_video_pdf(12, seed=42).itertuples(index=False):
+        data = bytes(r.bytes)
+        meta = avi.probe(data)
+        n = meta["n_frames"]
+        fps = int(meta["fps"]) if meta["fps"] else 30
+        keep = sorted(set(range(0, n, 4)) | ({n - 1} if n else set()))
+        for idx in keep:
+            off, size = meta["frames"][idx]
+            pixels = avi.decode_frame(data, off, size)
+            luma = (
+                0.299 * pixels[:, :, 0]
+                + 0.587 * pixels[:, :, 1]
+                + 0.114 * pixels[:, :, 2]
+            )
+            out.append(
+                {
+                    "video_id": r.video_id,
+                    "frame_idx": idx,
+                    "n_frames": n,
+                    "fps": fps,
+                    "w": int(meta["w"] if meta["w"] else pixels.shape[1]),
+                    "h": int(meta["h"] if meta["h"] else pixels.shape[0]),
+                    "t_seconds": round(idx / max(fps, 1), 6),
+                    "phash": imagecodec.phash64(pixels),
+                    "mean_luma": round(float(luma.mean()), 6),
+                }
+            )
+    return (
+        pd.DataFrame(out)
+        .sort_values(["video_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------ catalog decode verify
 def image_decode_verify_truth() -> pd.DataFrame:
     """Expected output of q_image_decode_verify: a plain sequential

@@ -83,6 +83,30 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("phash_recomputed", I), ("phash_ok", B), ("pixels_ok", B),
         ("psnr_db", pa.float64()),
     ],
+    "multimodal_decode_verify": [
+        ("image_id", S), ("fmt", S), ("w", pa.int32()), ("h", pa.int32()),
+        ("decoded_w", pa.int32()), ("decoded_h", pa.int32()),
+        ("phash_recomputed", I), ("phash_ok", B), ("pixels_ok", B),
+        ("psnr_db", pa.float64()),
+    ],
+    "multimodal_rgb_features": [
+        ("image_id", S), ("mean_r", pa.float64()), ("mean_g", pa.float64()),
+        ("mean_b", pa.float64()), ("std_luma", pa.float64()),
+        ("entropy_luma", pa.float64()),
+    ],
+    "multimodal_audio_features": [
+        ("audio_id", S), ("fmt", S), ("sample_rate", pa.int32()),
+        ("channels", pa.int32()), ("n_samples", pa.int32()),
+        ("duration_s", pa.float64()), ("rms", pa.float64()),
+        ("zero_crossing_rate", pa.float64()),
+        ("spectral_centroid_hz", pa.float64()), ("samples_ok", B),
+        ("snr_db", pa.float64()),
+    ],
+    "multimodal_video_frames": [
+        ("video_id", S), ("frame_idx", pa.int32()), ("n_frames", pa.int32()),
+        ("fps", pa.int32()), ("w", pa.int32()), ("h", pa.int32()),
+        ("t_seconds", pa.float64()), ("phash", I), ("mean_luma", pa.float64()),
+    ],
 }
 
 
@@ -102,6 +126,10 @@ def truth_frames(spark) -> dict:
         "image_catalog": corpus.gen_image_catalog_pdf(),
         "image_dedup_stream": truth.image_dedup_stream_truth(),
         "image_decode_verify": truth.image_decode_verify_truth(),
+        "multimodal_decode_verify": truth.multimodal_decode_verify_truth(),
+        "multimodal_rgb_features": truth.multimodal_rgb_features_truth(),
+        "multimodal_audio_features": truth.multimodal_audio_features_truth(),
+        "multimodal_video_frames": truth.multimodal_video_frames_truth(),
     }
 
 
