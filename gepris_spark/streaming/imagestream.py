@@ -162,26 +162,22 @@ class IncrementalPhashDedup:
             store_hits = f_hits.result()
         chain_seqs = {p["e_seq"] for p in chain_pairs} | {p["arrival_seq"] for p in chain_pairs}
 
-        decided = rows.join(best_store, "arrival_seq", "left").select(
-            "arrival_seq",
-            "image_id",
-            F.col("m_seq").isNull().alias("accepted"),
-            F.col("m_id").alias("duplicate_of"),
-            F.col("m_d").alias("hamming"),
-        )
+        # Every decision is now driver-resident: store_hits covers rows
+        # matching the accepted store, and the entangled batch-internal
+        # chains resolve sequentially over their arrival_seqs (the pass
+        # needs only seq order + the collected pair metadata — no extra
+        # row collect). Both sets are O(true near-dup incidences), the
+        # same bounded-metadata argument as the bloom bitsets, so the
+        # merged decision table broadcasts back and `decided` is ONE
+        # broadcast join over the batch — no shuffle, no recompute of
+        # the best_store aggregation, and both appends below are narrow.
+        verdicts: dict[int, tuple] = {}  # seq -> (accepted, dup_of, d)
         if chain_seqs:
-            # sequential pass over just the entangled rows, arrival order
-            chain_rows = sorted(
-                (r.asDict() for r in rows.where(F.col("arrival_seq").isin(chain_seqs)).collect()),
-                key=lambda r: r["arrival_seq"],
-            )
             inbound: dict[int, list] = {}
             for p in chain_pairs:
                 inbound.setdefault(p["arrival_seq"], []).append(p)
-            verdicts = {}  # seq -> (accepted, dup_of, d)
             accepted_in_chain = set()
-            for r in chain_rows:
-                seq = r["arrival_seq"]
+            for seq in sorted(chain_seqs):
                 if seq in store_hits:
                     m_seq, m_id, m_d = store_hits[seq]
                     verdicts[seq] = (False, m_id, m_d)
@@ -199,42 +195,47 @@ class IncrementalPhashDedup:
                     accepted_in_chain.add(seq)
                 else:
                     verdicts[seq] = (False, match[1], match[2])
-            overrides = spark.createDataFrame(
-                [
-                    (seq, v[0], v[1], v[2])
-                    for seq, v in verdicts.items()
-                ],
-                "arrival_seq long, o_accepted boolean, o_dup string, o_d int",
-            )
-            decided = (
-                decided.join(overrides, "arrival_seq", "left")
-                .select(
-                    "arrival_seq",
-                    "image_id",
-                    F.coalesce("o_accepted", "accepted").alias("accepted"),
-                    F.when(F.col("o_accepted").isNotNull(), F.col("o_dup"))
-                    .otherwise(F.col("duplicate_of"))
-                    .alias("duplicate_of"),
-                    F.when(F.col("o_accepted").isNotNull(), F.col("o_d"))
-                    .otherwise(F.col("hamming"))
-                    .alias("hamming"),
-                )
-            )
-        decided = decided.withColumn("hamming", F.col("hamming").cast("int"))
+        decision_rows = [(seq, v[0], v[1], v[2]) for seq, v in verdicts.items()] + [
+            (seq, False, m_id, m_d)
+            for seq, (m_seq, m_id, m_d) in store_hits.items()
+            if seq not in verdicts
+        ]
 
-        new_accepts = (
-            rows.join(decided.where("accepted").select("arrival_seq"), "arrival_seq")
-            .select("arrival_seq", "image_id", "phash")
-        )
-        # store append and ledger append are independent outputs of the
-        # shared `decided` plan: persist it once, write both
+        if decision_rows:
+            decision = spark.createDataFrame(
+                decision_rows,
+                "arrival_seq long, d_accepted boolean, d_dup string, d_d int",
+            )
+            decided = rows.join(F.broadcast(decision), "arrival_seq", "left").select(
+                "arrival_seq",
+                "image_id",
+                "phash",
+                F.coalesce("d_accepted", F.lit(True)).alias("accepted"),
+                F.col("d_dup").alias("duplicate_of"),
+                F.col("d_d").cast("int").alias("hamming"),
+            )
+        else:
+            decided = rows.select(
+                "arrival_seq",
+                "image_id",
+                "phash",
+                F.lit(True).alias("accepted"),
+                F.lit(None).cast("string").alias("duplicate_of"),
+                F.lit(None).cast("int").alias("hamming"),
+            )
+
+        # store append and ledger append are independent narrow outputs
+        # of the shared `decided` plan: persist it once, write both
         # concurrently (next-batch reads happen only after this batch
         # returns, so ordering between the two is immaterial)
         decided = decided.persist()
         try:
             with ThreadPoolExecutor(max_workers=2) as pool:
                 fa = pool.submit(
-                    lambda: new_accepts.write.mode("append").parquet(self.store_path)
+                    lambda: decided.where("accepted")
+                    .select("arrival_seq", "image_id", "phash")
+                    .write.mode("append")
+                    .parquet(self.store_path)
                 )
                 fb = pool.submit(
                     lambda: decided.select(
