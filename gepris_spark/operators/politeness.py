@@ -137,6 +137,8 @@ def assign_schedule(
     batch: DataFrame,
     n_salts: int = 8,
     priority_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Token-bucket schedule assignment.
 
@@ -156,18 +158,28 @@ def assign_schedule(
     host_seq = rank within (host, partition) + the host's cumulative
     row count over earlier partitions (a tiny (host, pid) count table,
     broadcast back). Identical semantics, no single-partition sort.
+
+    `num_partitions` bounds the range partitioning (pass the caller's
+    known batch bound — an explicit repartition count disables AQE
+    coalescing, so an unsized tiny batch pays full-parallelism task
+    launch). The internal persist is correctness-critical (offsets and
+    ranks must see ONE partition layout); pass `cache_registry` to
+    receive it for unpersisting after the final consuming action —
+    without it the block stays cached for the session.
     """
     priority_cols = priority_cols or ["priority_type", "recency_ts", "url"]
     order = [
         F.col(c).asc_nulls_first() if c != "url" else F.col(c).asc() for c in priority_cols
     ]
     spark = batch.sparkSession
-    n = spark.sparkContext.defaultParallelism
+    n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
         batch.repartitionByRange(n, F.col("host").asc(), *order)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     counts = ranged.groupBy("host", "_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     cum = Window.partitionBy("host").orderBy("_pid")
     offsets = counts.withColumn(
@@ -188,7 +200,9 @@ def assign_schedule(
 
 
 def visit_order_with_count(
-    scheduled: DataFrame, num_partitions: int | None = None
+    scheduled: DataFrame,
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, int]:
     """The crawl's total visit order: logical send time, then priority,
     then canonical url — the replay contract both engine and oracle
@@ -215,6 +229,8 @@ def visit_order_with_count(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

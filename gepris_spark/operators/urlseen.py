@@ -125,16 +125,23 @@ class BloomUrlSeen:
         return total
 
     # ------------------------------------------------------- membership
-    def with_maybe_seen(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+    def with_maybe_seen(
+        self, df: DataFrame, url_col: str = "url", num_partitions: int | None = None
+    ) -> DataFrame:
         """Adds boolean `maybe_seen`. Executors mmap only their bucket's
         bitset; candidates are repartitioned by bucket so each file is
-        opened once per task."""
+        opened once per task. `num_partitions` bounds the probe shuffle
+        (the explicit repartition count disables AQE coalescing, so an
+        unsized tiny batch pays a full-parallelism Python task launch);
+        a task then touches a few buckets via its mmap cache."""
         from pyspark.sql import types as T
 
         # partition primarily by bucket (one mmap per file per task) but
         # never below the cluster parallelism — a task may touch a couple
         # of buckets (LRU-cached mmaps), which beats idling cores
-        par = max(df.sparkSession.sparkContext.defaultParallelism, self.n_buckets)
+        par = num_partitions or max(
+            df.sparkSession.sparkContext.defaultParallelism, self.n_buckets
+        )
         hashed = self.with_hashes(df, url_col).repartition(par, F.col(BUCKET), F.col(H1))
         bloom_dir, k, m_bits = self.dir, self.k, self.m_bits
         # fresh StructType — .add() would mutate the DataFrame's cached schema
@@ -169,7 +176,13 @@ class BloomUrlSeen:
         return hashed.mapInPandas(probe, out_schema).drop(H1, H2, BUCKET)
 
     # ------------------------------------------------------ full filter
-    def filter_new(self, candidates: DataFrame, seen_urls: DataFrame, url_col: str = "url") -> DataFrame:
+    def filter_new(
+        self,
+        candidates: DataFrame,
+        seen_urls: DataFrame,
+        url_col: str = "url",
+        num_partitions: int | None = None,
+    ) -> DataFrame:
         """Return candidates whose url is NOT in the seen set.
 
         Bloom fast path: misses pass straight through (no join); only
@@ -180,7 +193,7 @@ class BloomUrlSeen:
         """
         if self.is_empty():
             return candidates
-        probed = self.with_maybe_seen(candidates, url_col)
+        probed = self.with_maybe_seen(candidates, url_col, num_partitions=num_partitions)
         definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = probed.where(F.col("maybe_seen")).drop("maybe_seen")
         confirmed_new = needs_check.join(

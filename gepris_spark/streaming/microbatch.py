@@ -181,6 +181,20 @@ class CrawlEngine:
             return out
 
         detailed = self.config.detailed_metrics
+        # every sized exchange in the batch pipeline gets the same
+        # batch-bound partition count (an explicit repartition count
+        # disables AQE coalescing, so tiny batches must be sized here,
+        # not replanned at runtime); candidates never outnumber the
+        # batch's arrivals, so ceil(batch_size / rows-per-partition)
+        # bounds them all, capped at the cluster parallelism
+        n_batch_parts = max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                -(-self.config.batch_size // _ORDER_ROWS_PER_PARTITION),
+            ),
+        )
+        batch_caches: list = []
         n_input = timed("input_count", batch.count) if detailed else -1
         candidates = self._candidates(batch).persist()
         n_valid_arrivals = (
@@ -191,7 +205,9 @@ class CrawlEngine:
             if detailed
             else -1
         )
-        fresh = self.bloom.filter_new(candidates.drop("_arrivals"), self.url_seen()).persist()
+        fresh = self.bloom.filter_new(
+            candidates.drop("_arrivals"), self.url_seen(), num_partitions=n_batch_parts
+        ).persist()
         n_fresh = timed("urlseen_filter", fresh.count) if detailed else -1
         allowed = politeness.apply_robots(fresh, robots)
 
@@ -211,7 +227,12 @@ class CrawlEngine:
                 "delay_ms",
                 F.greatest(F.coalesce(F.col("_state_delay"), F.col("delay_ms")), F.col("delay_ms")),
             )
-        scheduled = politeness.assign_schedule(joined, n_salts=self.config.n_salts)
+        scheduled = politeness.assign_schedule(
+            joined,
+            n_salts=self.config.n_salts,
+            num_partitions=n_batch_parts,
+            cache_registry=batch_caches,
+        )
         scheduled = scheduled.withColumn(
             "host_seq", F.col("host_seq") + F.coalesce(F.col("_base_seq"), F.lit(0))
         )
@@ -231,24 +252,16 @@ class CrawlEngine:
 
         prior = self.committed_batches()
         first_seq = max((r["first_seq"] + r["n_visited"] for r in prior.values()), default=0)
-        # size the global-order range partitions to the batch bound:
-        # candidates never outnumber the batch's arrivals (canonicalize
-        # + dedup only shrinks), so a micro-batch of B rows needs
-        # ceil(B / _ORDER_ROWS_PER_PARTITION) sort partitions, capped at
-        # the cluster parallelism. Small batches collapse to ONE range
-        # partition, which skips the range-sampling job entirely — the
-        # same seq contract, minus two fixed per-batch jobs.
-        n_order_parts = max(
-            1,
-            min(
-                self.spark.sparkContext.defaultParallelism,
-                -(-self.config.batch_size // _ORDER_ROWS_PER_PARTITION),
-            ),
-        )
+        # one range partition for a small batch skips the range-sampling
+        # job entirely — the same seq contract, minus two fixed jobs
         ordered, n_visited = timed(
             "schedule_order",
             lambda: (lambda df, n: (df.persist(), n))(
-                *politeness.visit_order_with_count(scheduled, num_partitions=n_order_parts)
+                *politeness.visit_order_with_count(
+                    scheduled,
+                    num_partitions=n_batch_parts,
+                    cache_registry=batch_caches,
+                )
             ),
         )
 
@@ -340,6 +353,8 @@ class CrawlEngine:
         ordered.unpersist()
         candidates.unpersist()
         fresh.unpersist()
+        for df in batch_caches:
+            df.unpersist()
         # accounting matches the oracle: dup = arrival whose canonical
         # url was already seen (in-batch or cross-batch); invalid =
         # non-GEPRIS/robots-disallowed; visited = the rest
