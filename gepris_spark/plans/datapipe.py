@@ -1465,7 +1465,15 @@ def cc_large_small_star(edges: DataFrame, max_rounds: int = _STAR_MAX_ROUNDS) ->
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+        # set equality in ONE early-stopping job: both sides are
+        # checkpointed distinct edge sets, so a full-outer join with a
+        # null on either side witnesses any difference
+        changed = (
+            nxt.withColumn("_n", F.lit(1))
+            .join(cur.withColumn("_c", F.lit(1)), ["u", "v"], "full")
+            .where(F.col("_n").isNull() | F.col("_c").isNull())
+        )
+        if changed.isEmpty():
             cur = nxt
             converged = True
             break
