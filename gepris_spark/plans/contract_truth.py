@@ -108,4 +108,10 @@ TRUTH_QUERIES: dict[str, tuple] = {
         mc.q_multimodal_video_frames,
         _fixture_sql("multimodal_video_frames"),
     ),
+    # the north-star capstone: crawl -> fetch -> parse -> decode ->
+    # input_hint catalog, against the replay-oracle + generator truth
+    "crawl_image_catalog": (
+        mc.q_crawl_image_catalog,
+        _fixture_sql("crawl_image_catalog"),
+    ),
 }

@@ -104,6 +104,61 @@ def q_crawl_aimd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_image_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star sentence end-to-end as ONE oracle-checked query:
+    replay the seeded seed list through the micro-batch engine (bloom
+    URL-seen, politeness schedule), fetch the visited pages, parse them
+    in the vectorized mapInPandas stage (decoding each page-embedded
+    data-URI image, recomputing dims + phash, validating decoded pixels
+    against the (seed,index)-formula reference and the caption against
+    the generator's), and materialize the image+caption catalog in the
+    input_hint shape — one row per image with the exact-payload md5,
+    visited-page count, and the per-row validation verdicts folded in.
+    Oracle: the independent single-threaded replay oracle's visit log
+    walked against the generator primitives (truth.py), never through
+    the engine's scheduler/parser (fixture crawl_image_catalog)."""
+    from gepris_spark.operators import fetchparse
+    from gepris_spark.sources import corpus
+    from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
+
+    seeds_pdf = corpus.gen_seeds_pdf(30, seed=42)
+    images_pdf = corpus.gen_images_pdf(24, seed=42)
+    captions = dict(zip(images_pdf["image_id"], images_pdf["caption"]))
+    engine = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="gepris_imgcat_"),
+        EngineConfig(
+            batch_size=128, bloom_buckets=4, bloom_bits=1 << 18, detailed_metrics=False
+        ),
+    )
+    engine.run_seed_list(spark.createDataFrame(seeds_pdf))
+    visits = engine.visit_log().withColumn("language", F.lit("de"))
+    pages = spark.createDataFrame(corpus.gen_pages_pdf(seeds_pdf, images_pdf))
+    parsed = fetchparse.parse_stage(
+        fetchparse.fetch_pages(visits, pages),
+        ref_pixels_fn=lambda iid: corpus.ref_pixels(int(iid[3:]), seed=42),
+        expected_caption_fn=captions.get,
+    )
+    return (
+        parsed.where(F.col("image_id").isNotNull())
+        .groupBy("image_id")
+        .agg(
+            F.first("image_fmt").alias("fmt"),
+            F.first("image_w").alias("w"),
+            F.first("image_h").alias("h"),
+            F.first("caption").alias("caption"),
+            F.first("phash").alias("phash"),
+            F.length(F.first("image_bytes")).cast("long").alias("n_bytes"),
+            F.md5(F.first("image_bytes")).alias("bytes_md5"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("first_url"),
+            F.bool_and("pixels_ok").alias("all_pixels_ok"),
+            F.min("psnr_db").alias("min_psnr_db"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def q_search_results_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/P7 search-results parse (1->n mapInPandas) over the seeded
     paginated search corpus — institution pages include the

@@ -480,6 +480,72 @@ def multimodal_video_frames_truth() -> pd.DataFrame:
     )
 
 
+def crawl_image_catalog_truth() -> pd.DataFrame:
+    """Sequential re-derivation of q_crawl_image_catalog: walk the
+    independent replay oracle's visit log against the GENERATOR
+    primitives — which de-page each visited url gets, whether it is a
+    success page, and which image the generator embedded in it — and
+    restate the catalog row from the generator's image table plus the
+    codec-library decode (whose own correctness is pinned by the
+    round-trip/bitstream tests). Never touches the engine's scheduler,
+    fetch join, or HTML parser."""
+    import hashlib
+
+    from gepris_spark.codecs import image as imagecodec
+
+    def clean_f1(text: str) -> str:
+        # the reference's clean_string contract restated
+        # (data_transformations.py:123-132): drop non-printables FIRST
+        # ("a\nb" -> "ab"), then collapse whitespace runs and strip —
+        # the caption the parse loader emits
+        text = "".join(c for c in text if c.isprintable())
+        return " ".join(text.split()).strip()
+
+    seeds = corpus.gen_seeds_pdf(30, seed=42)
+    images = corpus.gen_images_pdf(24, seed=42).reset_index(drop=True)
+    by_id = {r.image_id: r for r in images.itertuples(index=False)}
+    pages = corpus.gen_pages_pdf(seeds, images)
+    de = {
+        r.url: r
+        for r in pages[pages["language"] == "de"].itertuples(index=False)
+    }
+    agg: dict[str, dict] = {}
+    for v in crawl_replay_truth().itertuples(index=False):
+        page = de.get(v.url)
+        if page is None or page.status != "success" or not page.embedded_image_ids:
+            continue
+        iid = page.embedded_image_ids[0]
+        e = agg.get(iid)
+        if e is None:
+            img = by_id[iid]
+            raw = bytes(img.bytes)
+            pixels = imagecodec.decode(raw, img.fmt)
+            ok, psnr = imagecodec.pixels_match(
+                pixels, corpus.ref_pixels(int(iid[3:]), seed=42), img.fmt
+            )
+            agg[iid] = {
+                "image_id": iid,
+                "fmt": img.fmt,
+                "w": int(pixels.shape[1]),
+                "h": int(pixels.shape[0]),
+                "caption": clean_f1(img.caption),
+                "phash": imagecodec.phash64(pixels),
+                "n_bytes": len(raw),
+                "bytes_md5": hashlib.md5(raw).hexdigest(),
+                "n_pages": 1,
+                "first_url": v.url,
+                "all_pixels_ok": bool(ok),
+                "min_psnr_db": None if psnr == float("inf") else float(psnr),
+            }
+        else:
+            e["n_pages"] += 1
+            e["first_url"] = min(e["first_url"], v.url)
+    return (
+        pd.DataFrame(sorted(agg.values(), key=lambda r: r["image_id"]))
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------ catalog decode verify
 def image_decode_verify_truth() -> pd.DataFrame:
     """Expected output of q_image_decode_verify: a plain sequential

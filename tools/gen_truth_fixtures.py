@@ -107,6 +107,12 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("fps", pa.int32()), ("w", pa.int32()), ("h", pa.int32()),
         ("t_seconds", pa.float64()), ("phash", I), ("mean_luma", pa.float64()),
     ],
+    "crawl_image_catalog": [
+        ("image_id", S), ("fmt", S), ("w", pa.int32()), ("h", pa.int32()),
+        ("caption", S), ("phash", I), ("n_bytes", I), ("bytes_md5", S),
+        ("n_pages", I), ("first_url", S), ("all_pixels_ok", B),
+        ("min_psnr_db", pa.float64()),
+    ],
 }
 
 
@@ -130,6 +136,7 @@ def truth_frames(spark) -> dict:
         "multimodal_rgb_features": truth.multimodal_rgb_features_truth(),
         "multimodal_audio_features": truth.multimodal_audio_features_truth(),
         "multimodal_video_frames": truth.multimodal_video_frames_truth(),
+        "crawl_image_catalog": truth.crawl_image_catalog_truth(),
     }
 
 
