@@ -4,10 +4,12 @@
 testdata tables:
 
 * SURVEY §2.9 relational operators (gepris_spark/plans/relational.py)
-* training-data pipeline operators (gepris_spark/plans/datapipe.py)
-* engine-native operators that have no SQL form (crawl replay,
-  multimodal image plumbing) — those omit `oracle_sql()` and get the
-  driver's rows-only check.
+* training-data pipeline operators (gepris_spark/plans/datapipe.py,
+  plans/imagepipe.py)
+* engine-native operators with no SQL form over the testdata tables
+  (crawl replay, entity ETL, multimodal plumbing) — oracled through
+  committed truth fixtures instead (plans/contract_truth.py), so every
+  query gets the driver's full rows+schema+hash check.
 """
 
 from __future__ import annotations

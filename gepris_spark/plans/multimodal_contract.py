@@ -2,10 +2,10 @@
 
 All are fully deterministic: inputs come from the seeded corpus
 generator, not from sf_dir (the testdata tables carry no binary/image
-columns). Most get full fixture-backed DuckDB oracles via
-plans/contract_truth.py; only the four binary multimodal paths stay on
-the driver's rows-only check (their correctness lives in per-row
-decode invariants instead — see MULTIMODAL_QUERIES below)."""
+columns). Every one gets a full fixture-backed DuckDB oracle via
+plans/contract_truth.py — sources/truth.py re-derives the expected
+outputs sequentially from the generator formulas / the single-threaded
+replay oracle, never through the engine's plans."""
 
 from __future__ import annotations
 
