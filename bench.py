@@ -446,7 +446,10 @@ def main() -> None:
                     help="seeds per context for the scaling run")
     ap.add_argument("--scale-reps", type=int, default=3,
                     help="repetitions per level; best run is reported")
-    ap.add_argument("--bench-reps", type=int, default=2,
+    # best-of-3, like --scale-reps: a best-of-2 draw during a loud
+    # neighbor window once recorded 99 s for a replay that measures
+    # 16 s isolated (see BASELINE.md host-factor notes)
+    ap.add_argument("--bench-reps", type=int, default=3,
                     help="fresh-JVM repetitions for the replay/crawl legs "
                          "of the full bench; best run is reported")
     args = ap.parse_args()
