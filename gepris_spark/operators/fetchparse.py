@@ -42,6 +42,39 @@ from gepris_spark.operators.htmldom import Node, parse_html
 
 _WS_RE = re.compile(r"\s+")
 
+# Per-worker decode-metadata cache: dims + phash are pure functions of
+# the payload bytes, and a crawl sees the same payload many times
+# (site logos, placeholder images — the bench corpus reuses 24 images
+# across 60k pages). Keyed by md5 digest so the cache never pins the
+# payloads themselves; bounded FIFO so a 100 TB run with mostly-unique
+# images just misses at O(1) cost. Failures are cached too — a corrupt
+# payload served on every page should not pay the failing decode per
+# page. Only the verification paths (ref_pixels_fn given) still decode
+# the full pixel array.
+_DECODE_META_MAX = 4096
+_decode_meta_cache: dict[bytes, tuple] = {}
+
+
+def _decode_meta(raw: bytes, fmt: str):
+    """(h, w, phash) of the decoded payload, memoized per worker.
+    Raises the original codec error for undecodable payloads."""
+    import hashlib
+
+    key = hashlib.md5(fmt.encode() + b"\0" + raw).digest()
+    hit = _decode_meta_cache.get(key)
+    if hit is None:
+        try:
+            pixels = imagecodec.decode(raw, fmt)
+            hit = (pixels.shape[0], pixels.shape[1], imagecodec.phash64(pixels))
+        except (ValueError, NotImplementedError) as exc:
+            hit = (None, None, None, exc)
+        if len(_decode_meta_cache) >= _DECODE_META_MAX:
+            _decode_meta_cache.pop(next(iter(_decode_meta_cache)))
+        _decode_meta_cache[key] = hit
+    if len(hit) == 4:
+        raise hit[3]
+    return hit
+
 
 def _clean(text: str) -> str:
     """Python-side clean_string (F1 parity: data_transformations.py:123-132).
@@ -291,12 +324,13 @@ def _parse_one(
             fmt, b64 = m.group(1), m.group(2)
             try:
                 raw = base64.b64decode(b64)
-                pixels = imagecodec.decode(raw, fmt)
+                out["image_h"], out["image_w"], out["phash"] = _decode_meta(raw, fmt)
                 out["image_bytes"] = raw
                 out["image_fmt"] = fmt
-                out["image_h"], out["image_w"] = pixels.shape[0], pixels.shape[1]
-                out["phash"] = imagecodec.phash64(pixels)
                 if ref_pixels_fn is not None and out["image_id"]:
+                    # verification path: the pixel-level compare needs
+                    # the full array, not the memoized metadata
+                    pixels = imagecodec.decode(raw, fmt)
                     ref = ref_pixels_fn(out["image_id"])
                     ok, value = imagecodec.pixels_match(pixels, ref, fmt)
                     if expected_caption_fn is not None:
@@ -304,6 +338,7 @@ def _parse_one(
                     out["pixels_ok"] = bool(ok)
                     out["psnr_db"] = None if value == float("inf") else float(value)
             except (ValueError, NotImplementedError):
+                # fields stay None: _decode_meta raises before any is set
                 out["status"] = "error"
     return out
 
