@@ -14,6 +14,15 @@ from Iceberg:
 * **idempotent appends**: append-only tables (history, visit log, runs)
   write one subdirectory per batch id; replaying a batch overwrites its
   own subdirectory only, so re-runs are exactly-once.
+* **snapshot lifecycle** (Iceberg table-maintenance parity): a
+  `_SNAPSHOTS` commit log per table, time-travel reads
+  (`read(..., version=N)`), `rollback()` that — like Iceberg's
+  `rollback_to_snapshot` — commits a NEW version whose content is the
+  old snapshot (hardlinks, O(1) per file), and `expire_snapshots()` so
+  a long crawl does not accumulate one full table copy per micro-batch.
+  Expiration is safe under the hardlink layout: deleting an old
+  version directory only decrements link counts on files the newer
+  snapshots still reference.
 
 At cluster scale you swap this class for an Iceberg catalog: the MERGE
 becomes `MERGE INTO` SQL with partition pruning, appends become
@@ -40,6 +49,23 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _link_tree(src_root: str, dst_root: str) -> None:
+    """Mirror a snapshot directory as hardlinks (copy fallback across
+    filesystems) — O(1) per file, the same forward-carry trick
+    `merge_bucketed` uses for untouched buckets."""
+    for dirpath, _dirnames, filenames in os.walk(src_root):
+        rel = os.path.relpath(dirpath, src_root)
+        target = dst_root if rel == "." else os.path.join(dst_root, rel)
+        os.makedirs(target, exist_ok=True)
+        for fname in filenames:
+            src = os.path.join(dirpath, fname)
+            dst = os.path.join(target, fname)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
 
 
 def merge_upsert(
@@ -114,9 +140,39 @@ class SnapshotStore:
         except (OSError, ValueError, KeyError):
             return None
 
+    def _snapshot_log(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_SNAPSHOTS")
+
+    def _resolve_version(self, name: str, version: int | None) -> int | None:
+        """Current pointer, or an explicit time-travel version — which
+        must still be on disk (not expired, not a never-committed
+        leftover past the pointer)."""
+        current = self.current_version(name)
+        if version is None:
+            return current
+        if (
+            current is None
+            or version > current
+            or not os.path.isdir(os.path.join(self._table_dir(name), f"v{version}"))
+        ):
+            raise FileNotFoundError(
+                f"table {name!r} has no snapshot v{version} "
+                f"(current={current}; expired or never committed)"
+            )
+        return version
+
     # --------------------------------------------------- mutable tables
-    def read(self, spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
-        version = self.current_version(name)
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the current snapshot, or time-travel to `version`
+        (Iceberg `VERSION AS OF`). Explicit versions must still exist;
+        the default read of an empty table returns an empty frame."""
+        version = self._resolve_version(name, version)
         if version is None:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(
@@ -141,10 +197,51 @@ class SnapshotStore:
     def bucket_expr(key_col: str, n_buckets: int) -> Column:
         return F.pmod(F.abs(F.xxhash64(F.col(key_col))), F.lit(n_buckets)).cast("int")
 
-    def read_bucketed(self, spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
+    def _layout_file(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_LAYOUT")
+
+    def bucket_layout(self, name: str) -> dict | None:
+        """Committed partition spec (Iceberg partition-spec metadata):
+        {"key_col": ..., "n_buckets": ...}, or None before first commit."""
+        try:
+            with open(self._layout_file(name)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _commit_layout(self, name: str, key_col: str, n_buckets: int, allow_change: bool) -> None:
+        """Record the bucket spec; refuse a silent spec change on the
+        pruned-merge path. A merge pruning with a different modulus than
+        the committed layout skips live buckets and duplicates merged
+        keys — the corruption is silent, so the mismatch must not be.
+        A full rewrite (`commit_bucketed`) may evolve the spec, as in
+        Iceberg partition-spec evolution."""
+        existing = self.bucket_layout(name)
+        spec = {"key_col": key_col, "n_buckets": int(n_buckets)}
+        if existing == spec:
+            return
+        if existing is not None and not allow_change:
+            raise ValueError(
+                f"bucket layout mismatch for table {name!r}: committed {existing}, "
+                f"requested {spec}. Re-bucketing requires an explicit full rewrite "
+                "(commit_bucketed), as in Iceberg partition-spec evolution."
+            )
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        tmp = self._layout_file(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(spec, fh)
+        os.replace(tmp, self._layout_file(name))
+
+    def read_bucketed(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        version: int | None = None,
+    ) -> DataFrame:
         """Read a hash-bucketed table (partition dirs `_bucket=N`),
-        returning exactly `schema`'s columns."""
-        version = self.current_version(name)
+        returning exactly `schema`'s columns; `version` time-travels."""
+        version = self._resolve_version(name, version)
         if version is None:
             return spark.createDataFrame([], schema)
         df = spark.read.parquet(os.path.join(self._table_dir(name), f"v{version}"))
@@ -164,6 +261,7 @@ class SnapshotStore:
             self.BUCKET_COL
         ).mode("overwrite").parquet(path)
         self._flip_version(name, version)
+        self._commit_layout(name, key_col, n_buckets, allow_change=True)
         return version
 
     def merge_bucketed(
@@ -186,6 +284,9 @@ class SnapshotStore:
         a 50k-row micro-batch touches at most 50k of the 64 buckets'
         worth of files, not the whole table."""
         key_col = key_col or keys[0]
+        # pruning with a modulus other than the committed layout's would
+        # silently skip live buckets — validate before any work
+        self._commit_layout(name, key_col, n_buckets, allow_change=False)
         src = source.withColumn(self.BUCKET_COL, self.bucket_expr(key_col, n_buckets))
         touched = sorted(
             r[self.BUCKET_COL] for r in src.select(self.BUCKET_COL).distinct().collect()
@@ -231,11 +332,86 @@ class SnapshotStore:
         return new_version
 
     def _flip_version(self, name: str, version: int) -> None:
+        committed_at = time.time()
         tmp = self._version_file(name) + ".tmp"
         os.makedirs(self._table_dir(name), exist_ok=True)
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "committed_at": time.time()}, fh)
+            json.dump({"version": version, "committed_at": committed_at}, fh)
         os.replace(tmp, self._version_file(name))
+        # the pointer flip above IS the commit; the log line is metadata
+        # (snapshots() reconstructs a torn/lost line from the dir mtime)
+        with open(self._snapshot_log(name), "a") as fh:
+            fh.write(json.dumps({"version": version, "committed_at": committed_at}) + "\n")
+
+    # ---------------------------------------------- snapshot lifecycle
+    def snapshots(self, name: str) -> list[dict]:
+        """Iceberg-style snapshot history: every committed version still
+        on disk, oldest first, with commit time and a `current` flag.
+        Leftover dirs past the pointer (a killed, never-committed write)
+        are not snapshots and are excluded."""
+        table_dir = self._table_dir(name)
+        current = self.current_version(name)
+        if current is None or not os.path.isdir(table_dir):
+            return []
+        logged: dict[int, float] = {}
+        try:
+            with open(self._snapshot_log(name)) as fh:
+                for line in fh:
+                    try:
+                        rec = json.loads(line)
+                        logged[int(rec["version"])] = float(rec["committed_at"])
+                    except (ValueError, KeyError, TypeError):
+                        continue  # torn tail write from a killed run
+        except OSError:
+            pass
+        out = []
+        for entry in os.listdir(table_dir):
+            path = os.path.join(table_dir, entry)
+            if not (entry.startswith("v") and entry[1:].isdigit() and os.path.isdir(path)):
+                continue
+            v = int(entry[1:])
+            if v > current:
+                continue
+            out.append(
+                {
+                    "version": v,
+                    "committed_at": logged.get(v, os.path.getmtime(path)),
+                    "current": v == current,
+                }
+            )
+        return sorted(out, key=lambda s: s["version"])
+
+    def rollback(self, name: str, version: int) -> int:
+        """Roll the table back to `version` by committing a NEW snapshot
+        whose content is that version (hardlinked, O(1) per file) —
+        Iceberg's `rollback_to_snapshot` semantics: history stays
+        monotonic, the bad snapshots remain inspectable until expired,
+        and a concurrent reader of the old current version is unharmed."""
+        src_version = self._resolve_version(name, version)
+        src = os.path.join(self._table_dir(name), f"v{src_version}")
+        new_version = (self.current_version(name) or 0) + 1
+        dst = os.path.join(self._table_dir(name), f"v{new_version}")
+        if os.path.exists(dst):  # leftover from a killed run
+            shutil.rmtree(dst)
+        _link_tree(src, dst)
+        self._flip_version(name, new_version)
+        return new_version
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Delete all but the newest `keep_last` snapshots (always
+        keeping the current pointer). Without this a crawl accumulates
+        one table copy per micro-batch commit — at a 10^10-url frontier
+        that is the dominant storage cost, not the live table. Safe
+        under the hardlink layout: removing an old version directory
+        only drops link counts on files newer snapshots still share.
+        Returns the expired version numbers."""
+        keep_last = max(1, int(keep_last))
+        snaps = [s["version"] for s in self.snapshots(name)]
+        expired = []
+        for v in snaps[:-keep_last] if len(snaps) > keep_last else []:
+            shutil.rmtree(os.path.join(self._table_dir(name), f"v{v}"), ignore_errors=True)
+            expired.append(v)
+        return expired
 
     # ----------------------------------------------- append-only tables
     def append_batch(self, df: DataFrame, name: str, batch_id: int) -> None:

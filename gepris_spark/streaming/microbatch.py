@@ -82,6 +82,14 @@ class EngineConfig:
     # Off by default — the fixed-delay replay contract stays the
     # round-1/2 byte-identical one unless a latency feed is wired in.
     aimd: bool = False
+    # snapshots of the mutable state tables (frontier, host_state) kept
+    # after each committed batch. Each commit writes a new version dir
+    # (untouched frontier buckets are hardlinks, host_state is one
+    # file), so without expiration a long crawl accumulates one table
+    # copy per batch — at 10^10 urls that dwarfs the live table. 2 =
+    # current + its predecessor; None disables expiration (keep full
+    # time-travel history).
+    snapshot_retention: int | None = 2
 
 
 class CrawlEngine:
@@ -371,6 +379,11 @@ class CrawlEngine:
             "stage_sec": timings,
         }
         self._commit_ledger(ledger_row)
+        # the batch is durable (ledger fsynced) — retire snapshot dirs
+        # older than the retention window; local fs metadata ops, no jobs
+        if self.config.snapshot_retention is not None:
+            for table in ("host_state", "frontier"):
+                self.store.expire_snapshots(table, keep_last=self.config.snapshot_retention)
         return ledger_row
 
     # ---------------------------------------------------- details crawl

@@ -1,0 +1,167 @@
+"""Snapshot-lifecycle tests for the store layer: time travel,
+rollback-as-new-snapshot, and expiration — the Iceberg table-maintenance
+semantics the north rule's "frontier over Iceberg" story needs
+(snapshot log = Iceberg metadata history, expire_snapshots =
+`expire_snapshots` procedure, rollback = `rollback_to_snapshot`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from gepris_spark.store.table import SnapshotStore
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _vals(df):
+    return {(r["id"], r["val"]) for r in df.collect()}
+
+
+def test_time_travel_read(spark, store_dir):
+    store = SnapshotStore(store_dir)
+    store.commit_snapshot(_df(spark, [(1, "a")]), "t")
+    store.commit_snapshot(_df(spark, [(1, "a"), (2, "b")]), "t")
+    store.commit_snapshot(_df(spark, [(3, "c")]), "t")
+
+    assert _vals(store.read(spark, "t", SCHEMA)) == {(3, "c")}
+    assert _vals(store.read(spark, "t", SCHEMA, version=1)) == {(1, "a")}
+    assert _vals(store.read(spark, "t", SCHEMA, version=2)) == {(1, "a"), (2, "b")}
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, "t", SCHEMA, version=9)
+
+
+def test_snapshot_history_excludes_uncommitted_leftovers(spark, store_dir):
+    store = SnapshotStore(store_dir)
+    store.commit_snapshot(_df(spark, [(1, "a")]), "t")
+    store.commit_snapshot(_df(spark, [(2, "b")]), "t")
+    # simulate a killed run: v3 written but the pointer never flipped
+    os.makedirs(os.path.join(store_dir, "t", "v3"))
+
+    snaps = store.snapshots("t")
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert [s["current"] for s in snaps] == [False, True]
+    assert snaps[0]["committed_at"] <= snaps[1]["committed_at"]
+    # an explicit read of the never-committed version refuses
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, "t", SCHEMA, version=3)
+
+
+def test_rollback_commits_new_version(spark, store_dir):
+    store = SnapshotStore(store_dir)
+    store.commit_snapshot(_df(spark, [(1, "good")]), "t")
+    store.commit_snapshot(_df(spark, [(1, "bad")]), "t")
+
+    new_version = store.rollback("t", 1)
+    assert new_version == 3
+    assert _vals(store.read(spark, "t", SCHEMA)) == {(1, "good")}
+    # history stays monotonic; the bad snapshot remains inspectable
+    assert [s["version"] for s in store.snapshots("t")] == [1, 2, 3]
+    assert _vals(store.read(spark, "t", SCHEMA, version=2)) == {(1, "bad")}
+    # committing after rollback continues the version line
+    store.commit_snapshot(_df(spark, [(4, "d")]), "t")
+    assert store.current_version("t") == 4
+
+
+def test_expire_keeps_window_and_current(spark, store_dir):
+    store = SnapshotStore(store_dir)
+    for i in range(1, 6):
+        store.commit_snapshot(_df(spark, [(i, f"v{i}")]), "t")
+
+    expired = store.expire_snapshots("t", keep_last=2)
+    assert expired == [1, 2, 3]
+    assert [s["version"] for s in store.snapshots("t")] == [4, 5]
+    assert _vals(store.read(spark, "t", SCHEMA)) == {(5, "v5")}
+    assert _vals(store.read(spark, "t", SCHEMA, version=4)) == {(4, "v4")}
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, "t", SCHEMA, version=3)
+    # idempotent; never expires the current snapshot even at keep_last=1
+    assert store.expire_snapshots("t", keep_last=2) == []
+    assert store.expire_snapshots("t", keep_last=1) == [4]
+    assert _vals(store.read(spark, "t", SCHEMA)) == {(5, "v5")}
+
+
+def test_expire_safe_under_bucketed_hardlinks(spark, store_dir):
+    """merge_bucketed hardlinks untouched buckets forward; expiring the
+    predecessor must not damage the current snapshot's shared files."""
+    store = SnapshotStore(store_dir)
+    bucketed = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]
+    )
+    base = spark.createDataFrame([(i, f"old{i}") for i in range(64)], bucketed)
+    store.commit_bucketed(base, "b", "id", n_buckets=16)
+
+    source = spark.createDataFrame([(0, "new0")], bucketed)
+    store.merge_bucketed(
+        spark,
+        "b",
+        bucketed,
+        source,
+        keys=["id"],
+        matched_update=lambda t, s: {"val": s["val"]},
+        n_buckets=16,
+    )
+    assert store.expire_snapshots("b", keep_last=1) == [1]
+
+    rows = {(r["id"], r["val"]) for r in store.read_bucketed(spark, "b", bucketed).collect()}
+    expected = {(i, f"old{i}") for i in range(1, 64)} | {(0, "new0")}
+    assert rows == expected
+
+
+def test_merge_refuses_layout_mismatch(spark, store_dir):
+    """A pruned merge with a different bucket modulus than the committed
+    layout would silently skip live buckets and duplicate keys — it must
+    raise instead; a full rewrite may evolve the spec."""
+    store = SnapshotStore(store_dir)
+    bucketed = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]
+    )
+    store.commit_bucketed(
+        spark.createDataFrame([(1, "a")], bucketed), "b", "id", n_buckets=16
+    )
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        store.merge_bucketed(
+            spark,
+            "b",
+            bucketed,
+            spark.createDataFrame([(1, "x")], bucketed),
+            keys=["id"],
+            matched_update=lambda t, s: {"val": s["val"]},
+            n_buckets=64,
+        )
+    # partition-spec evolution through the full-rewrite path is allowed
+    store.commit_bucketed(
+        spark.createDataFrame([(1, "a")], bucketed), "b", "id", n_buckets=8
+    )
+    assert store.bucket_layout("b") == {"key_col": "id", "n_buckets": 8}
+
+
+def test_engine_config_retention_bounds_versions(spark, store_dir):
+    """A multi-batch crawl with the default retention keeps a bounded
+    number of state-table snapshot dirs regardless of batch count."""
+    from gepris_spark.sources import corpus
+    from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
+
+    seeds = spark.createDataFrame(corpus.gen_seeds_pdf(32, seed=7))
+    engine = CrawlEngine(
+        spark,
+        os.path.join(store_dir, "run"),
+        EngineConfig(batch_size=8, detailed_metrics=False, snapshot_retention=2),
+    )
+    ledger = engine.run_seed_list(seeds)
+    assert len(ledger) >= 3  # enough batches that retention has bitten
+
+    host_versions = [s["version"] for s in engine.store.snapshots("host_state")]
+    assert len(host_versions) <= 2
+    assert engine.store.current_version("host_state") == max(host_versions)
