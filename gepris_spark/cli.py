@@ -126,6 +126,34 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_snapshots(args) -> int:
+    """Iceberg-style table maintenance on an engine state dir: snapshot
+    history, rollback-to-version, expiration. Pure metadata + hardlink
+    operations — no Spark session, safe to run beside a live crawl
+    (expiration never touches the current pointer or its predecessor
+    within the retention window)."""
+    from gepris_spark.store.table import SnapshotStore
+
+    store = SnapshotStore(args.state)
+    if args.action == "history":
+        print(json.dumps({"table": args.table, "snapshots": store.snapshots(args.table)}))
+    elif args.action == "rollback":
+        if args.version is None:
+            raise SystemExit("snapshots rollback requires --version")
+        new_version = store.rollback(args.table, args.version)
+        print(
+            json.dumps(
+                {"table": args.table, "rolled_back_to": args.version, "new_version": new_version}
+            )
+        )
+    elif args.action == "expire":
+        expired = store.expire_snapshots(args.table, keep_last=args.keep_last)
+        print(
+            json.dumps({"table": args.table, "expired": expired, "keep_last": args.keep_last})
+        )
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="gepris-spark")
     ap.add_argument("--master", default=None, help="override spark master (default env/local)")
@@ -157,6 +185,16 @@ def main(argv=None) -> int:
                      choices=["visit_log", "history", "frontier"])
     exp.add_argument("--out", required=True)
     exp.set_defaults(fn=cmd_export)
+
+    snap = sub.add_parser(
+        "snapshots", help="state-table snapshot maintenance (history/rollback/expire)"
+    )
+    snap.add_argument("action", choices=["history", "rollback", "expire"])
+    snap.add_argument("--state", required=True, help="engine state directory")
+    snap.add_argument("--table", default="frontier")
+    snap.add_argument("--version", type=int, default=None, help="rollback target version")
+    snap.add_argument("--keep-last", type=int, default=2, help="snapshots kept by expire")
+    snap.set_defaults(fn=cmd_snapshots)
 
     args = ap.parse_args(argv)
     return args.fn(args)

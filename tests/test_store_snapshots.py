@@ -165,3 +165,29 @@ def test_engine_config_retention_bounds_versions(spark, store_dir):
     host_versions = [s["version"] for s in engine.store.snapshots("host_state")]
     assert len(host_versions) <= 2
     assert engine.store.current_version("host_state") == max(host_versions)
+
+
+def test_cli_snapshot_maintenance(spark, store_dir, capsys):
+    """The spark-submit surface exposes history/rollback/expire without
+    needing a Spark session (pure metadata ops)."""
+    import json as _json
+
+    from gepris_spark.cli import main
+
+    store = SnapshotStore(store_dir)
+    for i in range(1, 4):
+        store.commit_snapshot(_df(spark, [(i, f"v{i}")]), "frontier")
+
+    main(["snapshots", "history", "--state", store_dir])
+    hist = _json.loads(capsys.readouterr().out.strip())
+    assert [s["version"] for s in hist["snapshots"]] == [1, 2, 3]
+
+    main(["snapshots", "rollback", "--state", store_dir, "--version", "1"])
+    rb = _json.loads(capsys.readouterr().out.strip())
+    assert rb["new_version"] == 4
+    assert _vals(store.read(spark, "frontier", SCHEMA)) == {(1, "v1")}
+
+    main(["snapshots", "expire", "--state", store_dir, "--keep-last", "1"])
+    exp = _json.loads(capsys.readouterr().out.strip())
+    assert exp["expired"] == [1, 2, 3]
+    assert _vals(store.read(spark, "frontier", SCHEMA)) == {(1, "v1")}
