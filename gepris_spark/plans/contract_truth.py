@@ -114,4 +114,11 @@ TRUTH_QUERIES: dict[str, tuple] = {
         mc.q_crawl_image_catalog,
         _fixture_sql("crawl_image_catalog"),
     ),
+    # snapshot CDC (Iceberg table_changes parity) over the frontier
+    # MERGE sequence; truth restates the reference ON CONFLICT
+    # semantics sequentially and diffs the states
+    "frontier_changelog": (
+        mc.q_frontier_changelog,
+        _fixture_sql("frontier_changelog"),
+    ),
 }

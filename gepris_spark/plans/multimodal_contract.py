@@ -434,4 +434,51 @@ def q_person_details_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 # used to live here is now fixture-oracled in plans/contract_truth.py.
 # round 3: all four multimodal queries moved to contract_truth.py's
 # TRUTH_QUERIES with fixture oracles — nothing is rows-only anymore
+
+def q_frontier_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 MERGE + snapshot CDC (Iceberg `table_changes` parity):
+    replay a fixed three-step frontier sequence — search run 1 inserts
+    ids 1..30, details run 10 marks them checked, search run 2 re-sees
+    1..10 unchanged, changes 11..20, discovers 31..36 — then read the
+    changelog between the last two committed snapshots
+    (store.changes): post-image rows tagged INSERT/UPDATE_AFTER, with
+    ids 21..30 absent because run 2 never touched them. The scan is
+    pruned to hash buckets whose file sets differ between the
+    snapshots (hardlink identity), so downstream incremental consumers
+    do work proportional to the batch, not the frontier. Oracle:
+    fixtures/frontier_changelog.parquet, re-derived sequentially from
+    the reference ON CONFLICT semantics (truth.py — database.py:66-96)
+    without touching the engine's MERGE."""
+    from gepris_spark import schemas
+    from gepris_spark.operators.frontier import Frontier
+    from gepris_spark.store.table import SnapshotStore
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix="gepris_cdc_"))
+    fr = Frontier(spark, store, n_buckets=16)
+
+    def ctx(i: int) -> str:
+        return ("projekt", "person", "institution")[i % 3]
+
+    def item(i: int, v: int) -> str:
+        return f'{{"name_de": "item{i}-v{v}"}}'
+
+    cols = "id long, context string, item string"
+    batch1 = spark.createDataFrame([(i, ctx(i), item(i, 1)) for i in range(1, 31)], cols)
+    fr.upsert_search_batch(batch1, run_id=1)  # -> snapshot v1
+    checked = spark.createDataFrame(
+        [(i, ctx(i)) for i in range(1, 31)], "item_id long, context string"
+    )
+    fr.upsert_details_batch(checked, run_id=10)  # -> snapshot v2
+    batch2 = spark.createDataFrame(
+        [(i, ctx(i), item(i, 1)) for i in range(1, 11)]
+        + [(i, ctx(i), item(i, 2)) for i in range(11, 21)]
+        + [(i, ctx(i), item(i, 1)) for i in range(31, 37)],
+        cols,
+    )
+    fr.upsert_search_batch(batch2, run_id=2)  # -> snapshot v3
+
+    return store.changes(
+        spark, "frontier", schemas.FRONTIER, 2, 3, keys=["id", "context"]
+    ).orderBy("id")
+
 MULTIMODAL_QUERIES: dict = {}

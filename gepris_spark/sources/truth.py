@@ -612,3 +612,76 @@ def image_dedup_stream_truth() -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out)
+
+
+def frontier_changelog_truth() -> pd.DataFrame:
+    """Expected snapshot changelog of the frontier after the fixed
+    three-step sequence the contract query replays: search run 1
+    (insert ids 1..30), details run 10 (check all), search run 2
+    (re-see 1..10 unchanged, change 11..20, discover 31..36). The
+    Postgres ON CONFLICT semantics (reference database.py:66-96) are
+    restated here sequentially over plain dicts — never through the
+    engine's MERGE — and the diff of the two final states is the
+    changelog: post-images with INSERT/UPDATE_AFTER, ids 21..30
+    untouched by run 2 and therefore absent."""
+
+    def ctx(i: int) -> str:
+        return ("projekt", "person", "institution")[i % 3]
+
+    def item(i: int, v: int) -> str:
+        return f'{{"name_de": "item{i}-v{v}"}}'
+
+    state: dict[tuple[int, str], dict] = {}
+
+    def search_upsert(ids_items: list[tuple[int, int]], run: int) -> None:
+        for i, v in ids_items:
+            key = (i, ctx(i))
+            new_item = item(i, v)
+            row = state.get(key)
+            if row is None:
+                state[key] = {
+                    "last_available_seen": run,
+                    "last_available_change": run,
+                    "last_available_item": new_item,
+                    "last_detail_check": None,
+                    "detail_check_needed": True,
+                }
+                continue
+            changed = row["last_available_item"] != new_item
+            if changed:
+                row["last_available_change"] = run
+                if row["last_available_seen"] is not None:
+                    row["detail_check_needed"] = True
+            row["last_available_seen"] = run
+            row["last_available_item"] = new_item
+
+    def details_check(ids: list[int], run: int) -> None:
+        for i in ids:
+            row = state[(i, ctx(i))]
+            row["last_detail_check"] = run
+            row["detail_check_needed"] = False
+
+    search_upsert([(i, 1) for i in range(1, 31)], run=1)
+    details_check(list(range(1, 31)), run=10)
+    before = {k: dict(v) for k, v in state.items()}
+    search_upsert(
+        [(i, 1) for i in range(1, 11)]
+        + [(i, 2) for i in range(11, 21)]
+        + [(i, 1) for i in range(31, 37)],
+        run=2,
+    )
+
+    out = []
+    for key in sorted(state):
+        old, new = before.get(key), state[key]
+        if old == new:
+            continue
+        out.append(
+            {
+                "id": key[0],
+                "context": key[1],
+                **new,
+                "_change_type": "INSERT" if old is None else "UPDATE_AFTER",
+            }
+        )
+    return pd.DataFrame(out)

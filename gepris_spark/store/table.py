@@ -413,6 +413,95 @@ class SnapshotStore:
             expired.append(v)
         return expired
 
+    def _bucket_file_ids(self, name: str, version: int) -> dict[str, set[tuple]]:
+        """File identity per bucket dir of a snapshot: (name, inode).
+        Untouched buckets are carried forward as hardlinks, so an
+        identical file set proves identical content without reading a
+        byte — the same trick Iceberg's changelog gets from comparing
+        manifest entries."""
+        path = os.path.join(self._table_dir(name), f"v{version}")
+        out: dict[str, set[tuple]] = {}
+        for entry in os.listdir(path):
+            if not entry.startswith(f"{self.BUCKET_COL}="):
+                continue
+            bucket_dir = os.path.join(path, entry)
+            files = set()
+            for fname in os.listdir(bucket_dir):
+                if fname.startswith(("_", ".")):
+                    continue
+                files.add((fname, os.stat(os.path.join(bucket_dir, fname)).st_ino))
+            out[entry] = files
+        return out
+
+    def changed_buckets(self, name: str, from_version: int, to_version: int) -> list[int]:
+        """Bucket partitions whose file sets differ between two
+        snapshots (hardlink identity ⇒ unchanged content)."""
+        old = self._bucket_file_ids(name, from_version)
+        new = self._bucket_file_ids(name, to_version)
+        changed = [d for d in set(old) | set(new) if old.get(d) != new.get(d)]
+        return sorted(int(d.split("=", 1)[1]) for d in changed)
+
+    def changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        from_version: int,
+        to_version: int,
+        keys: list[str],
+    ) -> DataFrame:
+        """Changelog between two snapshots of a bucketed table —
+        Iceberg's `table_changes` semantics: one row per changed key
+        with `_change_type` ∈ {INSERT, UPDATE_AFTER, DELETE} (updates
+        carry the post-image). The scan is pruned to buckets whose file
+        sets differ (see `changed_buckets`): a micro-batch that touched
+        1 of 64 buckets diffs 1/64th of the table, and the equi-join
+        runs only over those buckets' rows. Downstream incremental
+        consumers (re-discovery, alerting, derived-table refresh) get
+        work proportional to change, not table size."""
+        from_version = self._resolve_version(name, from_version)
+        to_version = self._resolve_version(name, to_version)
+        value_cols = [c for c in schema.fieldNames() if c not in keys]
+        buckets = self.changed_buckets(name, from_version, to_version)
+        empty_out = T.StructType(
+            list(schema.fields) + [T.StructField("_change_type", T.StringType())]
+        )
+        if not buckets:
+            return spark.createDataFrame([], empty_out)
+
+        def side(version: int) -> DataFrame:
+            df = spark.read.parquet(os.path.join(self._table_dir(name), f"v{version}"))
+            # partition-column predicate -> Spark prunes the dirs
+            return df.where(F.col(self.BUCKET_COL).isin(buckets)).select(
+                *schema.fieldNames()
+            )
+
+        # presence is decided by a marker column, not value columns
+        # (all-null value rows are legal)
+        old = side(from_version).withColumn("_present_o", F.lit(True))
+        new = side(to_version).withColumn("_present_n", F.lit(True))
+        joined = old.alias("o").join(new.alias("n"), on=keys, how="full_outer")
+        same = F.lit(True)
+        for c in value_cols:
+            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        change = (
+            F.when(F.col("_present_o").isNull(), F.lit("INSERT"))
+            .when(F.col("_present_n").isNull(), F.lit("DELETE"))
+            .when(~same, F.lit("UPDATE_AFTER"))
+        )
+        out_cols = [F.col(k) for k in keys] + [
+            F.when(F.col("_change_type") == "DELETE", F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in value_cols
+        ]
+        return (
+            joined.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+            .select(*schema.fieldNames(), "_change_type")
+        )
+
     # ----------------------------------------------- append-only tables
     def append_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
         """Idempotent: re-running a batch overwrites only its own subdir."""

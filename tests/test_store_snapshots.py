@@ -191,3 +191,106 @@ def test_cli_snapshot_maintenance(spark, store_dir, capsys):
     exp = _json.loads(capsys.readouterr().out.strip())
     assert exp["expired"] == [1, 2, 3]
     assert _vals(store.read(spark, "frontier", SCHEMA)) == {(1, "v1")}
+
+
+def test_changelog_between_snapshots(spark, store_dir):
+    """Iceberg `table_changes` parity: the diff between two snapshots is
+    keyed rows with INSERT / UPDATE_AFTER / DELETE, and the scan prunes
+    to buckets whose file sets actually differ (hardlink identity)."""
+    store = SnapshotStore(store_dir)
+    bucketed = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]
+    )
+    base = spark.createDataFrame([(i, f"old{i}") for i in range(64)], bucketed)
+    store.commit_bucketed(base, "c", "id", n_buckets=16)  # v1
+
+    source = spark.createDataFrame([(0, "new0"), (100, "ins100")], bucketed)
+    store.merge_bucketed(
+        spark,
+        "c",
+        bucketed,
+        source,
+        keys=["id"],
+        matched_update=lambda t, s: {"val": s["val"]},
+        n_buckets=16,
+    )  # v2
+
+    # the micro-batch touched at most 2 of 16 buckets — pruning must see that
+    assert 0 < len(store.changed_buckets("c", 1, 2)) <= 2
+
+    rows = {
+        (r["id"], r["val"], r["_change_type"])
+        for r in store.changes(spark, "c", bucketed, 1, 2, keys=["id"]).collect()
+    }
+    assert rows == {(0, "new0", "UPDATE_AFTER"), (100, "ins100", "INSERT")}
+
+    # full rewrite dropping a row -> DELETE appears in the changelog
+    survivors = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(1, 64) if i != 5] + [(0, "new0"), (100, "ins100")],
+        bucketed,
+    )
+    store.commit_bucketed(survivors, "c", "id", n_buckets=16)  # v3
+    delta = {
+        (r["id"], r["_change_type"])
+        for r in store.changes(spark, "c", bucketed, 2, 3, keys=["id"]).collect()
+    }
+    assert delta == {(5, "DELETE")}
+
+    # no-op diff: zero changed buckets, empty changelog, schema stable
+    empty = store.changes(spark, "c", bucketed, 3, 3, keys=["id"])
+    assert empty.count() == 0
+    assert empty.columns == ["id", "val", "_change_type"]
+
+
+def test_lifecycle_random_walk(spark, store_dir):
+    """Model-based check: a seeded random interleaving of commit /
+    rollback / expire must always agree with a pure-Python model on
+    history, current pointer, and every live version's content —
+    and every expired version must refuse time travel."""
+    import random
+
+    rng = random.Random(20260818)
+    store = SnapshotStore(store_dir)
+    model: dict[int, int] = {}  # live version -> payload
+    expired: set[int] = set()
+    payload = 0
+
+    def commit(value: int) -> None:
+        v = store.commit_snapshot(_df(spark, [(int(value), f"p{value}")]), "w")
+        model[v] = value
+
+    commit(payload)
+    for _ in range(30):
+        op = rng.choice(["commit", "commit", "commit", "rollback", "expire"])
+        current = max(model)
+        if op == "commit":
+            payload += 1
+            commit(payload)
+        elif op == "rollback":
+            target = rng.choice(sorted(model))
+            new_v = store.rollback("w", target)
+            assert new_v == current + 1
+            model[new_v] = model[target]
+        else:
+            keep = rng.randint(1, 3)
+            got = store.expire_snapshots("w", keep_last=keep)
+            live = sorted(model)
+            want = live[:-keep] if len(live) > keep else []
+            assert got == want
+            for v in want:
+                expired.add(v)
+                del model[v]
+
+        snaps = store.snapshots("w")
+        assert [s["version"] for s in snaps] == sorted(model)
+        assert [s for s in snaps if s["current"]][0]["version"] == max(model)
+        # every live version's content matches the model
+        probe = rng.sample(sorted(model), min(2, len(model)))
+        for v in probe:
+            assert _vals(store.read(spark, "w", SCHEMA, version=v)) == {
+                (model[v], f"p{model[v]}")
+            }
+        if expired:
+            dead = rng.choice(sorted(expired))
+            with pytest.raises(FileNotFoundError):
+                store.read(spark, "w", SCHEMA, version=dead)

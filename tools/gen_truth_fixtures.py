@@ -107,6 +107,12 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("fps", pa.int32()), ("w", pa.int32()), ("h", pa.int32()),
         ("t_seconds", pa.float64()), ("phash", I), ("mean_luma", pa.float64()),
     ],
+    "frontier_changelog": [
+        ("id", I), ("context", S), ("last_available_seen", I),
+        ("last_available_change", I), ("last_available_item", S),
+        ("last_detail_check", I), ("detail_check_needed", B),
+        ("_change_type", S),
+    ],
     "crawl_image_catalog": [
         ("image_id", S), ("fmt", S), ("w", pa.int32()), ("h", pa.int32()),
         ("caption", S), ("phash", I), ("n_bytes", I), ("bytes_md5", S),
@@ -137,6 +143,7 @@ def truth_frames(spark) -> dict:
         "multimodal_audio_features": truth.multimodal_audio_features_truth(),
         "multimodal_video_frames": truth.multimodal_video_frames_truth(),
         "crawl_image_catalog": truth.crawl_image_catalog_truth(),
+        "frontier_changelog": truth.frontier_changelog_truth(),
     }
 
 
