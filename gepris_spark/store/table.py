@@ -51,6 +51,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Schema evolution on read (Iceberg add/drop-column semantics):
+    columns in `schema` missing from the stored files surface as typed
+    nulls — old snapshots stay readable after the table grows a column
+    — and stored columns no longer in `schema` are dropped. Purely a
+    projection; no rewrite of existing snapshots."""
+    for field in schema.fields:
+        if field.name not in df.columns:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return df.select(*schema.fieldNames())
+
+
 def _link_tree(src_root: str, dst_root: str) -> None:
     """Mirror a snapshot directory as hardlinks (copy fallback across
     filesystems) — O(1) per file, the same forward-carry trick
@@ -197,6 +209,23 @@ class SnapshotStore:
     def bucket_expr(key_col: str, n_buckets: int) -> Column:
         return F.pmod(F.abs(F.xxhash64(F.col(key_col))), F.lit(n_buckets)).cast("int")
 
+    def _read_buckets(
+        self, spark: SparkSession, name: str, version: int, schema: T.StructType
+    ) -> DataFrame:
+        """Read a bucketed snapshot dir with an EXPLICIT schema (+ the
+        `_bucket` partition column). After a schema evolution the dir
+        mixes files with and without the new column (untouched buckets
+        are hardlinks of pre-evolution files); schema inference would
+        pick one footer at random and either miss the column or fail —
+        an explicit schema makes the reader null-fill per file, which
+        is exactly Iceberg's read-time add-column semantics."""
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(self.BUCKET_COL, T.IntegerType())]
+        )
+        return spark.read.schema(read_schema).parquet(
+            os.path.join(self._table_dir(name), f"v{version}")
+        )
+
     def _layout_file(self, name: str) -> str:
         return os.path.join(self._table_dir(name), "_LAYOUT")
 
@@ -244,8 +273,8 @@ class SnapshotStore:
         version = self._resolve_version(name, version)
         if version is None:
             return spark.createDataFrame([], schema)
-        df = spark.read.parquet(os.path.join(self._table_dir(name), f"v{version}"))
-        return df.select(*schema.fieldNames())
+        df = self._read_buckets(spark, name, version, schema)
+        return _conform(df, schema)
 
     def commit_bucketed(
         self, df: DataFrame, name: str, key_col: str, n_buckets: int = 64
@@ -296,10 +325,11 @@ class SnapshotStore:
             os.path.join(self._table_dir(name), f"v{version}") if version is not None else None
         )
         if old_path and os.path.isdir(old_path):
-            target = (
-                spark.read.parquet(old_path)
-                .where(F.col(self.BUCKET_COL).isin([int(b) for b in touched]))
-                .select(*schema.fieldNames())
+            target = _conform(
+                self._read_buckets(spark, name, version, schema).where(
+                    F.col(self.BUCKET_COL).isin([int(b) for b in touched])
+                ),
+                schema,
             )
         else:
             target = spark.createDataFrame([], schema)
@@ -470,11 +500,9 @@ class SnapshotStore:
             return spark.createDataFrame([], empty_out)
 
         def side(version: int) -> DataFrame:
-            df = spark.read.parquet(os.path.join(self._table_dir(name), f"v{version}"))
+            df = self._read_buckets(spark, name, version, schema)
             # partition-column predicate -> Spark prunes the dirs
-            return df.where(F.col(self.BUCKET_COL).isin(buckets)).select(
-                *schema.fieldNames()
-            )
+            return _conform(df.where(F.col(self.BUCKET_COL).isin(buckets)), schema)
 
         # presence is decided by a marker column, not value columns
         # (all-null value rows are legal)

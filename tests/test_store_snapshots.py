@@ -294,3 +294,60 @@ def test_lifecycle_random_walk(spark, store_dir):
             dead = rng.choice(sorted(expired))
             with pytest.raises(FileNotFoundError):
                 store.read(spark, "w", SCHEMA, version=dead)
+
+
+def test_schema_evolution_add_and_drop_column(spark, store_dir):
+    """Iceberg add/drop-column semantics without rewriting snapshots:
+    old snapshots read with an extended schema surface the new column
+    as typed nulls (both read paths and the merge target), dropped
+    columns vanish on read, and the changelog diffs across the
+    evolution boundary."""
+    store = SnapshotStore(store_dir)
+    v1_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]
+    )
+    v2_schema = T.StructType(
+        list(v1_schema.fields) + [T.StructField("score", T.DoubleType())]
+    )
+    store.commit_bucketed(
+        spark.createDataFrame([(1, "a"), (2, "b")], v1_schema), "e", "id", n_buckets=4
+    )
+
+    # old snapshot, extended schema: new column is null, typed double
+    grown = store.read_bucketed(spark, "e", v2_schema)
+    assert dict(grown.dtypes)["score"] == "double"
+    assert {(r["id"], r["val"], r["score"]) for r in grown.collect()} == {
+        (1, "a", None),
+        (2, "b", None),
+    }
+
+    # merge with the extended schema against the v1 snapshot
+    src = spark.createDataFrame([(2, "b2", 0.5), (3, "c", 0.9)], v2_schema)
+    store.merge_bucketed(
+        spark,
+        "e",
+        v2_schema,
+        src,
+        keys=["id"],
+        matched_update=lambda t, s: {"val": s["val"], "score": s["score"]},
+        n_buckets=4,
+    )
+    merged = store.read_bucketed(spark, "e", v2_schema)
+    assert {(r["id"], r["val"], r["score"]) for r in merged.collect()} == {
+        (1, "a", None),
+        (2, "b2", 0.5),
+        (3, "c", 0.9),
+    }
+
+    # changelog across the evolution boundary sees the update + insert
+    delta = {
+        (r["id"], r["score"], r["_change_type"])
+        for r in store.changes(spark, "e", v2_schema, 1, 2, keys=["id"]).collect()
+    }
+    assert delta == {(2, 0.5, "UPDATE_AFTER"), (3, 0.9, "INSERT")}
+
+    # dropping a column is a projection on read
+    narrow = store.read_bucketed(
+        spark, "e", T.StructType([T.StructField("id", T.LongType())])
+    )
+    assert narrow.columns == ["id"]
