@@ -154,6 +154,47 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+_CDC_TABLES = {
+    # table -> (schema attr, merge keys); extend as bucketed tables grow
+    "frontier": ("FRONTIER", ["id", "context"]),
+}
+
+
+def cmd_changes(args) -> int:
+    """Snapshot-changelog export (Iceberg `table_changes`): the CDC rows
+    between two committed versions of a bucketed state table, written as
+    JSON for downstream incremental consumers. The scan reads only hash
+    buckets whose file sets differ between the snapshots."""
+    from gepris_spark import schemas
+    from gepris_spark.store.table import SnapshotStore
+
+    schema_name, keys = _CDC_TABLES[args.table]
+    spark = _spark(args)
+    store = SnapshotStore(args.state)
+    df = store.changes(
+        spark,
+        args.table,
+        getattr(schemas, schema_name),
+        args.from_version,
+        args.to_version,
+        keys,
+    )
+    df.write.mode("overwrite").json(args.out)
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "from_version": args.from_version,
+                "to_version": args.to_version,
+                "rows": df.count(),
+                "out": args.out,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="gepris-spark")
     ap.add_argument("--master", default=None, help="override spark master (default env/local)")
@@ -195,6 +236,16 @@ def main(argv=None) -> int:
     snap.add_argument("--version", type=int, default=None, help="rollback target version")
     snap.add_argument("--keep-last", type=int, default=2, help="snapshots kept by expire")
     snap.set_defaults(fn=cmd_snapshots)
+
+    chg = sub.add_parser(
+        "changes", help="snapshot changelog (CDC) export between two versions"
+    )
+    chg.add_argument("--state", required=True, help="engine state directory")
+    chg.add_argument("--table", default="frontier", choices=sorted(_CDC_TABLES))
+    chg.add_argument("--from-version", type=int, required=True)
+    chg.add_argument("--to-version", type=int, required=True)
+    chg.add_argument("--out", required=True, help="output JSON directory")
+    chg.set_defaults(fn=cmd_changes)
 
     args = ap.parse_args(argv)
     return args.fn(args)
