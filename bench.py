@@ -272,12 +272,16 @@ def bench_once(args) -> dict:
     try:
         seed_path = args.seed_path
         if seed_path is None:
+            # NOTE: must not be tmp/"seeds" — --gen-crawl-to writes its
+            # own (smaller) seed corpus to exactly that path, and the
+            # replay leg would silently measure the crawl corpus
             subprocess.run(
-                [sys.executable, __file__, "--gen-seeds-to", os.path.join(tmp, "seeds"),
+                [sys.executable, __file__, "--gen-seeds-to",
+                 os.path.join(tmp, "replay_seeds"),
                  "--replay-seeds", str(args.replay_seeds)],
                 capture_output=True, text=True, check=True,
             )
-            seed_path = os.path.join(tmp, "seeds")
+            seed_path = os.path.join(tmp, "replay_seeds")
         subprocess.run(
             [sys.executable, __file__, "--gen-crawl-to", tmp,
              "--crawl-seeds", str(args.crawl_seeds)],

@@ -1058,6 +1058,145 @@ ORDER BY query_id, rank
 """
 
 
+
+# ------------------------------------------------- LSH (random hyperplane) ANN
+_LSH_PLANES = 16
+_LSH_BANDS = 4
+_LSH_BITS = _LSH_PLANES // _LSH_BANDS
+_EMB_DIM = 64
+
+
+def _lsh_plane_coef(p: int, d: int) -> float:
+    """Hyperplane coefficient (p, d) — the engine-neutral hash60 md5
+    formula (textstats.hash60) restated in Python, so the Spark literal
+    and the DuckDB oracle derive the SAME planes with no RNG state:
+    (hash60('hp{p}:{d}') mod 2001 - 1000) / 1000 in [-1, 1]."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp{p}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _lsh_band_buckets(v) -> list:
+    """4-bit band bucket columns from the 16 hyperplane sign bits.
+    Each dot product is the SEQUENTIAL left fold over dims (zip_with +
+    aggregate), matching the oracle's list_dot_product evaluation order
+    so the sign — the only thing the bucket depends on — agrees
+    bit-for-bit; the planes ship as literals (16x64 doubles, bounded
+    metadata, the ann_topk_pq codebook precedent)."""
+    out = []
+    for b in range(_LSH_BANDS):
+        acc = F.lit(0)
+        for i in range(_LSH_BITS):
+            p = b * _LSH_BITS + i
+            plane = F.array(*[F.lit(_lsh_plane_coef(p, d)) for d in range(_EMB_DIM)])
+            dot = F.aggregate(
+                F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            acc = acc + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out.append(acc.cast("int").alias(f"bk{b}"))
+    return out
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the hash-bucketed scale path that
+    needs NO training pass (vs IVF centroids / PQ k-means): 16
+    deterministic hyperplanes -> per-vector sign bits -> 4 bands of
+    4 bits; a query only scores vectors sharing at least one band
+    bucket (equi-join on (band, bucket) — linear shuffle, the same LSH
+    join shape as dedup_minhash_lsh, never all-pairs). Exact cosine +
+    rank only over the candidates, so recall loss vs ann_topk_cosine
+    is observable by diff. At 100 TB the band table is a materialized
+    signature table exactly like minhash_band_table."""
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sig = emb.select("vec_id", "v", *_lsh_band_buckets(F.col("v")))
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("bucket"))
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    qbands = bands.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        F.broadcast(qbands)
+        .join(bands, ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(emb, F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_batch(F.col("qv"), F.col("v")), _COS_RANK_DECIMALS).alias("_cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _ANN_K)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_LSH_COEF = (
+    "((('0x' || substr(md5('hp' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15))"
+    "::BIGINT % 2001) - 1000) / 1000.0"
+)
+
+SQL_ANN_TOPK_LSH = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planes AS (
+  SELECT p, list(coef ORDER BY d) AS pv
+  FROM (SELECT pp.p, dd.d, {_SQL_LSH_COEF} AS coef
+        FROM (SELECT UNNEST(range(0, {_LSH_PLANES})) AS p) pp,
+             (SELECT UNNEST(range(0, {_EMB_DIM})) AS d) dd)
+  GROUP BY p),
+bits AS (
+  SELECT v.vec_id, CAST(pl.p // {_LSH_BITS} AS INT) AS band,
+         CASE WHEN list_dot_product(v.e, pl.pv) >= 0
+              THEN CAST(1 AS INT) << CAST(pl.p % {_LSH_BITS} AS INT) ELSE 0 END AS bit
+  FROM v, planes pl),
+sigs AS (
+  SELECT vec_id, band, CAST(sum(bit) AS INT) AS bucket FROM bits GROUP BY vec_id, band),
+cand AS (
+  SELECT DISTINCT s1.vec_id AS query_id, s2.vec_id AS neighbor_id
+  FROM sigs s1 JOIN sigs s2
+    ON s2.band = s1.band AND s2.bucket = s1.bucket AND s2.vec_id <> s1.vec_id
+  WHERE s1.vec_id < 3),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(qe.e, ne.e) /
+               (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ne.e, ne.e))),
+               {_COS_RANK_DECIMALS}) AS cos
+  FROM cand c JOIN v qe ON qe.vec_id = c.query_id JOIN v ne ON ne.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {_ANN_K}
+ORDER BY query_id, rank
+"""
+
+
 SQL_ANN_TOPK = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
@@ -1525,6 +1664,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "ann_topk_cosine": (q_ann_topk, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
     "ann_topk_pq": (q_ann_topk_pq, SQL_ANN_TOPK_PQ),
+    "ann_topk_lsh": (q_ann_topk_lsh, SQL_ANN_TOPK_LSH),
     "text_langid": (q_langid, SQL_LANGID),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
