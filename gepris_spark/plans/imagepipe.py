@@ -269,8 +269,64 @@ FROM reach GROUP BY s ORDER BY image_id
 """
 
 
+_HAMMING_TOPK_K = 5
+_HAMMING_TOPK_QUERIES = 3
+
+
+def q_image_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pHash retrieval baseline — the image-axis analogue of
+    ann_topk_cosine: for a bounded query set (first 3 image_ids) rank
+    the whole catalog by bit_count(xor) hamming distance. The query
+    side broadcasts, so the plan is one linear scan of the catalog per
+    batch of queries (never all-pairs); the banded near-dup search
+    (q_image_phash_neardup) is the sub-linear candidate path whose
+    d<=3 completeness this baseline makes checkable."""
+    from pyspark.sql.window import Window
+
+    cat = load_catalog(spark).select("image_id", "phash")
+    queries = cat.orderBy("image_id").limit(_HAMMING_TOPK_QUERIES).select(
+        F.col("image_id").alias("query_id"), F.col("phash").alias("qhash")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cat, F.col("image_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("image_id").alias("neighbor_id"),
+            F.bit_count(F.col("qhash").bitwiseXOR(F.col("phash"))).cast("int").alias("hamming"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _HAMMING_TOPK_K)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_IMAGE_HAMMING_TOPK = f"""
+WITH cat AS (SELECT image_id, phash FROM ({_SQL_CATALOG})),
+q AS (SELECT image_id AS query_id, phash AS qhash FROM cat
+      ORDER BY image_id LIMIT {_HAMMING_TOPK_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.image_id AS neighbor_id,
+         CAST(bit_count(xor(q.qhash, c.phash)) AS INT) AS hamming
+  FROM q JOIN cat c ON c.image_id <> q.query_id)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming ASC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {_HAMMING_TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 IMAGEPIPE_QUERIES: dict[str, tuple] = {
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
+    "image_hamming_topk": (q_image_hamming_topk, SQL_IMAGE_HAMMING_TOPK),
     "image_caption_curation": (q_image_caption_curation, SQL_IMAGE_CAPTION_CURATION),
     "image_curation_funnel": (q_image_curation_funnel, SQL_IMAGE_CURATION_FUNNEL),
     "image_dedup_clusters": (q_image_dedup_clusters, SQL_IMAGE_DEDUP_CLUSTERS),
