@@ -87,7 +87,7 @@ def test_no_cartesian_products_anywhere(spark):
     exception — it is the textbook broadcast pattern)."""
     import __spark_entry__ as entry
 
-    allowed_nlj = {"ann_topk_cosine", "ann_topk_ivf"}
+    allowed_nlj = {"ann_topk_cosine", "ann_topk_ivf", "image_hamming_topk"}
     offenders = []
     for name, fn in entry.queries().items():
         if name in ("crawl_replay_visit_log", "stateful_schedule_stream"):
