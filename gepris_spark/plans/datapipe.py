@@ -1077,37 +1077,46 @@ def _lsh_plane_coef(p: int, d: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
+def _lsh_plane_dot(v, p: int):
+    """dot(v, plane_p) as the SEQUENTIAL left fold over dims (zip_with
+    + aggregate) — the same evaluation order as the oracle's
+    list_dot_product, so the sign (all the bucket depends on) agrees
+    bit-for-bit; the plane ships as a literal (64 doubles)."""
+    plane = F.array(*[F.lit(_lsh_plane_coef(p, d)) for d in range(_EMB_DIM)])
+    return F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _lsh_bucket_expr(v, b: int):
+    """4-bit bucket of band b from the sign bits of its planes."""
+    acc = F.lit(0)
+    for i in range(_LSH_BITS):
+        acc = acc + F.when(
+            _lsh_plane_dot(v, b * _LSH_BITS + i) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
 def _lsh_band_buckets(v) -> list:
-    """4-bit band bucket columns from the 16 hyperplane sign bits.
-    Each dot product is the SEQUENTIAL left fold over dims (zip_with +
-    aggregate), matching the oracle's list_dot_product evaluation order
-    so the sign — the only thing the bucket depends on — agrees
-    bit-for-bit; the planes ship as literals (16x64 doubles, bounded
-    metadata, the ann_topk_pq codebook precedent)."""
-    out = []
-    for b in range(_LSH_BANDS):
-        acc = F.lit(0)
-        for i in range(_LSH_BITS):
-            p = b * _LSH_BITS + i
-            plane = F.array(*[F.lit(_lsh_plane_coef(p, d)) for d in range(_EMB_DIM)])
-            dot = F.aggregate(
-                F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-            )
-            acc = acc + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        out.append(acc.cast("int").alias(f"bk{b}"))
-    return out
+    """Band bucket columns bk0..bk3 (16x64 literal doubles total —
+    bounded metadata, the ann_topk_pq codebook precedent)."""
+    return [_lsh_bucket_expr(v, b).alias(f"bk{b}") for b in range(_LSH_BANDS)]
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN — the hash-bucketed scale path that
     needs NO training pass (vs IVF centroids / PQ k-means): 16
     deterministic hyperplanes -> per-vector sign bits -> 4 bands of
-    4 bits; a query only scores vectors sharing at least one band
-    bucket (equi-join on (band, bucket) — linear shuffle, the same LSH
-    join shape as dedup_minhash_lsh, never all-pairs). Exact cosine +
-    rank only over the candidates, so recall loss vs ann_topk_cosine
-    is observable by diff. At 100 TB the band table is a materialized
-    signature table exactly like minhash_band_table."""
+    4 bits; a query only scores vectors sharing a band bucket
+    (equi-join on (band, bucket) — linear shuffle, the same LSH join
+    shape as dedup_minhash_lsh, never all-pairs). MULTI-PROBE on the
+    query side: each query also probes, per band, the bucket with its
+    least-confident bit flipped (min |dot|, first index on ties) —
+    T=1 multi-probe doubles candidate lookups (8 tiny keys/query, the
+    corpus signature table is untouched) and raised measured recall@5
+    vs brute from 0.40-0.47 to the documented post-probe number.
+    Exact cosine + rank only over candidates, so residual recall loss
+    stays observable by diffing ann_topk_cosine. At 100 TB the band
+    table is a materialized signature table like minhash_band_table."""
     emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1123,8 +1132,40 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bucket")
-    qbands = bands.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "band", "bucket"
+
+    # query-side multi-probe: per band, flip the least-|dot| bit.
+    # The argmin is a first-match <=-chain, mirrored verbatim in the
+    # oracle SQL so tie-breaks agree exactly.
+    queries_v = emb.where(F.col("vec_id") < 3)
+    probe_rows = []
+    for b in range(_LSH_BANDS):
+        absd = [
+            F.abs(_lsh_plane_dot(F.col("v"), b * _LSH_BITS + i)) for i in range(_LSH_BITS)
+        ]
+        flip_mask = (
+            F.when((absd[0] <= absd[1]) & (absd[0] <= absd[2]) & (absd[0] <= absd[3]), F.lit(1))
+            .when((absd[1] <= absd[2]) & (absd[1] <= absd[3]), F.lit(2))
+            .when(absd[2] <= absd[3], F.lit(4))
+            .otherwise(F.lit(8))
+        )
+        bucket = _lsh_bucket_expr(F.col("v"), b)
+        probe_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                bucket.alias("bucket"),
+                bucket.bitwiseXOR(flip_mask).cast("int").alias("probe"),
+            )
+        )
+    qbands = (
+        queries_v.select(
+            F.col("vec_id").alias("query_id"), F.explode(F.array(*probe_rows)).alias("bb")
+        )
+        .select(
+            "query_id",
+            "bb.band",
+            F.explode(F.array(F.col("bb.bucket"), F.col("bb.probe"))).alias("bucket"),
+        )
+        .distinct()
     )
     cand = (
         F.broadcast(qbands)
@@ -1133,9 +1174,7 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    queries = emb.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
+    queries = queries_v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     scored = (
         F.broadcast(cand)
         .join(emb, F.col("vec_id") == F.col("neighbor_id"))
@@ -1172,16 +1211,35 @@ planes AS (
   GROUP BY p),
 bits AS (
   SELECT v.vec_id, CAST(pl.p // {_LSH_BITS} AS INT) AS band,
-         CASE WHEN list_dot_product(v.e, pl.pv) >= 0
-              THEN CAST(1 AS INT) << CAST(pl.p % {_LSH_BITS} AS INT) ELSE 0 END AS bit
+         CAST(pl.p % {_LSH_BITS} AS INT) AS bit,
+         list_dot_product(v.e, pl.pv) AS dot
   FROM v, planes pl),
 sigs AS (
-  SELECT vec_id, band, CAST(sum(bit) AS INT) AS bucket FROM bits GROUP BY vec_id, band),
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
+  FROM bits GROUP BY vec_id, band),
+qsig AS (
+  -- query-side multi-probe: the same first-match <=-chain as the
+  -- Spark side picks the least-|dot| bit per band
+  SELECT vec_id AS query_id, band,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket,
+         min(CASE WHEN bit = 0 THEN abs(dot) END) AS a0,
+         min(CASE WHEN bit = 1 THEN abs(dot) END) AS a1,
+         min(CASE WHEN bit = 2 THEN abs(dot) END) AS a2,
+         min(CASE WHEN bit = 3 THEN abs(dot) END) AS a3
+  FROM bits WHERE vec_id < 3 GROUP BY vec_id, band),
+qbuckets AS (
+  SELECT query_id, band, bucket FROM qsig
+  UNION
+  SELECT query_id, band,
+         CAST(xor(bucket, CASE WHEN a0 <= a1 AND a0 <= a2 AND a0 <= a3 THEN 1
+                                WHEN a1 <= a2 AND a1 <= a3 THEN 2
+                                WHEN a2 <= a3 THEN 4 ELSE 8 END) AS INT) AS bucket
+  FROM qsig),
 cand AS (
-  SELECT DISTINCT s1.vec_id AS query_id, s2.vec_id AS neighbor_id
-  FROM sigs s1 JOIN sigs s2
-    ON s2.band = s1.band AND s2.bucket = s1.bucket AND s2.vec_id <> s1.vec_id
-  WHERE s1.vec_id < 3),
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM qbuckets q JOIN sigs s
+    ON s.band = q.band AND s.bucket = q.bucket AND s.vec_id <> q.query_id),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
          round(list_dot_product(qe.e, ne.e) /
