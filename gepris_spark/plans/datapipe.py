@@ -1133,39 +1133,43 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bucket")
 
-    # query-side multi-probe: per band, flip the least-|dot| bit.
-    # The argmin is a first-match <=-chain, mirrored verbatim in the
-    # oracle SQL so tie-breaks agree exactly.
+    # query-side multi-probe: per band, also probe the bucket with the
+    # least-|dot| bit flipped (first-match <=-chain, mirrored verbatim
+    # in the oracle SQL). The 3 query vectors are collected to the
+    # driver (bounded metadata — in a deployment the query batch
+    # ARRIVES on the driver) and their 8 probe keys/query ship as a
+    # tiny literal relation: the alternative — restating the 16x64
+    # plane-literal fold a second time on the query side — doubles
+    # Catalyst analysis cost for zero execution work. The driver fold
+    # is the same sequential left-to-right double summation as the
+    # Spark expression and the oracle's list_dot_product, so buckets
+    # agree bit-for-bit (the oracle compare enforces it).
     queries_v = emb.where(F.col("vec_id") < 3)
-    probe_rows = []
-    for b in range(_LSH_BANDS):
-        absd = [
-            F.abs(_lsh_plane_dot(F.col("v"), b * _LSH_BITS + i)) for i in range(_LSH_BITS)
-        ]
-        flip_mask = (
-            F.when((absd[0] <= absd[1]) & (absd[0] <= absd[2]) & (absd[0] <= absd[3]), F.lit(1))
-            .when((absd[1] <= absd[2]) & (absd[1] <= absd[3]), F.lit(2))
-            .when(absd[2] <= absd[3], F.lit(4))
-            .otherwise(F.lit(8))
-        )
-        bucket = _lsh_bucket_expr(F.col("v"), b)
-        probe_rows.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                bucket.alias("bucket"),
-                bucket.bitwiseXOR(flip_mask).cast("int").alias("probe"),
-            )
-        )
-    qbands = (
-        queries_v.select(
-            F.col("vec_id").alias("query_id"), F.explode(F.array(*probe_rows)).alias("bb")
-        )
-        .select(
-            "query_id",
-            "bb.band",
-            F.explode(F.array(F.col("bb.bucket"), F.col("bb.probe"))).alias("bucket"),
-        )
-        .distinct()
+    probe_keys = set()
+    for row in queries_v.select("vec_id", "v").collect():
+        vec = row["v"]
+        for b in range(_LSH_BANDS):
+            dots = []
+            for i in range(_LSH_BITS):
+                p = b * _LSH_BITS + i
+                acc = 0.0
+                for d in range(_EMB_DIM):
+                    acc = acc + vec[d] * _lsh_plane_coef(p, d)
+                dots.append(acc)
+            bucket = sum((1 << i) for i, dv in enumerate(dots) if dv >= 0.0)
+            a = [abs(x) for x in dots]
+            if a[0] <= a[1] and a[0] <= a[2] and a[0] <= a[3]:
+                flip = 1
+            elif a[1] <= a[2] and a[1] <= a[3]:
+                flip = 2
+            elif a[2] <= a[3]:
+                flip = 4
+            else:
+                flip = 8
+            probe_keys.add((row["vec_id"], b, bucket))
+            probe_keys.add((row["vec_id"], b, bucket ^ flip))
+    qbands = spark.createDataFrame(
+        sorted(probe_keys), "query_id long, band int, bucket int"
     )
     cand = (
         F.broadcast(qbands)
