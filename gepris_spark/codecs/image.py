@@ -74,7 +74,10 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean(diff * diff))
     if mse == 0.0:
         return float("inf")
-    return 10.0 * np.log10((255.0**2) / mse)
+    # fixed 6-decimal grid: the value is exact-compared against fixture
+    # oracles, and the mean's reduction order may drift across numpy
+    # builds — ulp noise must not flip the compared representation
+    return float(round(10.0 * np.log10((255.0**2) / mse), 6))
 
 
 def pixels_match(decoded: np.ndarray, reference: np.ndarray, fmt: str) -> tuple[bool, float]:
@@ -132,8 +135,12 @@ def phash64(pixels: np.ndarray) -> int:
     )
     small = _mean_resize(gray, 32)
     d = _dct32()
-    freq = d @ small @ d.T
-    block = freq[:8, :8].flatten()
+    # fixed-order einsum (optimize=False, no BLAS dispatch): the hash
+    # compares coefficients against their own median, so matmul's
+    # build-dependent last-ulp reduction order could flip bits between
+    # environments; snapping to a 1e-6 grid removes the residual tie risk
+    freq = np.einsum("ij,jk,lk->il", d, small, d)
+    block = np.round(freq[:8, :8].flatten(), 6)
     med = np.median(block[1:])  # skip DC term, classic pHash convention
     bits = 0
     for idx, value in enumerate(block):

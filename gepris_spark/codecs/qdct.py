@@ -71,10 +71,18 @@ def encode(pixels: np.ndarray, quality: int = 96, compress_level: int = 6) -> by
     coeff_bytes = bytearray()
     for c in range(3):
         blocks, hb, wb = _to_blocks(pixels[:, :, c])
-        # vectorized per-block 2D DCT: D @ B @ D.T over the trailing axes
-        # (matmul broadcasts over the leading block axes; einsum with
-        # optimize=True re-derived its contraction path on every call)
-        dct = np.matmul(np.matmul(_D, blocks), _D.T)
+        # vectorized per-block 2D DCT as fixed-order einsums. optimize=False
+        # never dispatches to BLAS, so the summation order (and therefore the
+        # last ulp) is identical across BLAS builds — np.matmul's batched gemm
+        # is build-dependent and flipped quantization ties when the host's
+        # BLAS changed, silently moving encoded bytes between environments
+        # (codecs/jpeg.py:234's einsum stayed bit-stable across that same
+        # swap). Two chained 2-operand einsums: ~5x the 3-operand form's
+        # speed, same no-BLAS guarantee.
+        flat = blocks.reshape(hb * wb, 8, 8)
+        dct = np.einsum(
+            "ij,njk->nik", _D, np.einsum("njk,lk->njl", flat, _D)
+        ).reshape(hb, wb, 8, 8)
         quant = np.round(dct / q).astype(np.int16)
         coeff_bytes += quant.tobytes()
     header = _MAGIC + struct.pack(">IIB", w, h, max(1, min(100, quality)))
@@ -93,7 +101,11 @@ def decode(data: bytes) -> np.ndarray:
     out = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         dct = coeffs[c] * q
-        blocks = np.matmul(np.matmul(_D.T, dct), _D) + 128.0
+        # fixed-order einsum for the same BLAS-build invariance as encode
+        flat = dct.reshape(hb * wb, 8, 8)
+        blocks = np.einsum(
+            "ji,njk->nik", _D, np.einsum("njk,kl->njl", flat, _D)
+        ).reshape(hb, wb, 8, 8) + 128.0
         full = blocks.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
         out[:, :, c] = np.clip(np.round(full[:h, :w]), 0, 255).astype(np.uint8)
     return out
