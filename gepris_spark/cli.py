@@ -128,10 +128,11 @@ def cmd_export(args) -> int:
 
 def cmd_snapshots(args) -> int:
     """Iceberg-style table maintenance on an engine state dir: snapshot
-    history, rollback-to-version, expiration. Pure metadata + hardlink
-    operations — no Spark session, safe to run beside a live crawl
-    (expiration never touches the current pointer or its predecessor
-    within the retention window)."""
+    history, rollback-to-version, expiration, append-ledger compaction.
+    history/rollback/expire are pure metadata + hardlink operations — no
+    Spark session, safe to run beside a live crawl (expiration never
+    touches the current pointer or its predecessor within the retention
+    window); compact starts a session to rewrite the folded parquet."""
     from gepris_spark.store.table import SnapshotStore
 
     store = SnapshotStore(args.state)
@@ -151,7 +152,28 @@ def cmd_snapshots(args) -> int:
         print(
             json.dumps({"table": args.table, "expired": expired, "keep_last": args.keep_last})
         )
+    elif args.action == "compact":
+        # append-ledger compaction (Iceberg rewrite_data_files): the one
+        # action here that needs a Spark session — it rewrites parquet
+        from gepris_spark import schemas
+
+        schema = getattr(schemas, _APPEND_TABLES[args.table])
+        from pyspark.sql import SparkSession
+
+        pre_existing = SparkSession.getActiveSession()
+        spark = _spark(args)
+        res = store.compact_appends(spark, args.table, schema, keep_last=args.keep_last)
+        print(json.dumps({"table": args.table, **res}))
+        if pre_existing is None:  # don't stop a session the caller owns
+            spark.stop()
     return 0
+
+
+_APPEND_TABLES = {
+    # append-only ledgers eligible for `snapshots compact`
+    "visit_log": "VISIT_LOG",
+    "history": "HISTORY",
+}
 
 
 _CDC_TABLES = {
@@ -230,7 +252,7 @@ def main(argv=None) -> int:
     snap = sub.add_parser(
         "snapshots", help="state-table snapshot maintenance (history/rollback/expire)"
     )
-    snap.add_argument("action", choices=["history", "rollback", "expire"])
+    snap.add_argument("action", choices=["history", "rollback", "expire", "compact"])
     snap.add_argument("--state", required=True, help="engine state directory")
     snap.add_argument("--table", default="frontier")
     snap.add_argument("--version", type=int, default=None, help="rollback target version")

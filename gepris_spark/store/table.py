@@ -536,18 +536,17 @@ class SnapshotStore:
         path = os.path.join(self._table_dir(name), f"batch_id={batch_id}")
         df.write.mode("overwrite").parquet(path)
 
-    def read_appends(self, spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
-        table_dir = self._table_dir(name)
-        if not os.path.isdir(table_dir) or not any(
-            e.startswith("batch_id=") for e in os.listdir(table_dir)
-        ):
-            full = T.StructType(list(schema.fields) + [T.StructField("batch_id", T.LongType())])
-            return spark.createDataFrame([], full)
-        return spark.read.schema(schema).option("basePath", table_dir).parquet(
-            os.path.join(table_dir, "batch_id=*")
-        )
+    def _compact_manifest_file(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_COMPACT")
 
-    def committed_batches(self, name: str) -> list[int]:
+    def _compact_manifest(self, name: str) -> dict:
+        try:
+            with open(self._compact_manifest_file(name)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {"segment": None, "batch_ids": [], "seq": 0}
+
+    def _live_batch_dirs(self, name: str) -> list[int]:
         table_dir = self._table_dir(name)
         if not os.path.isdir(table_dir):
             return []
@@ -557,6 +556,117 @@ class SnapshotStore:
                 if os.path.exists(os.path.join(table_dir, entry, "_SUCCESS")):
                     out.append(int(entry.split("=", 1)[1]))
         return sorted(out)
+
+    def read_appends(self, spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
+        table_dir = self._table_dir(name)
+        # some ledgers (visit_log) already carry batch_id as a data column;
+        # only append the partition-derived one when the schema lacks it
+        if "batch_id" in schema.fieldNames():
+            full = schema
+        else:
+            full = T.StructType(
+                list(schema.fields) + [T.StructField("batch_id", T.LongType())]
+            )
+        manifest = self._compact_manifest(name)
+        has_live = os.path.isdir(table_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(table_dir)
+        )
+        parts: list[DataFrame] = []
+        if has_live:
+            live = spark.read.schema(schema).option("basePath", table_dir).parquet(
+                os.path.join(table_dir, "batch_id=*")
+            )
+            parts.append(live.withColumn("batch_id", F.col("batch_id").cast("long")))
+        if manifest["segment"]:
+            seg = spark.read.schema(full).parquet(
+                os.path.join(table_dir, manifest["segment"])
+            )
+            # a batch re-appended after being folded (idempotent re-run of
+            # append_batch) lives in BOTH places; the live dir is newer and
+            # wins — drop its compacted copy
+            refolded = sorted(set(manifest["batch_ids"]) & set(self._live_batch_dirs(name)))
+            if refolded:
+                seg = seg.where(~F.col("batch_id").isin(refolded))
+            parts.append(seg)
+        if not parts:
+            return spark.createDataFrame([], full)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def committed_batches(self, name: str) -> list[int]:
+        manifest = self._compact_manifest(name)
+        return sorted(set(self._live_batch_dirs(name)) | set(manifest["batch_ids"]))
+
+    def compact_appends(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        keep_last: int = 2,
+        num_files: int | None = None,
+    ) -> dict:
+        """Fold older `batch_id=*` dirs (and any prior compacted segment)
+        into ONE consolidated parquet segment — Iceberg's
+        `rewrite_data_files` for the append ledger. A crawl appends one
+        file-set per micro-batch (visit_log, history): at the 10^10-url
+        design point that is millions of small files whose listing cost
+        eventually dominates every read; compaction keeps the ledger at
+        one segment plus the `keep_last` newest live batches (left live
+        so in-flight idempotent re-runs of recent batches stay cheap).
+
+        Per-row `batch_id` identity is preserved as a real column in the
+        segment, so readers see byte-identical rows before and after.
+        Crash-safe ordering: segment write -> atomic manifest flip ->
+        cleanup of folded dirs; a crash between flip and cleanup leaves
+        duplicate storage but not duplicate reads (read_appends prefers
+        the live dir for any folded id, and its content is identical).
+
+        Returns {"folded": [...], "segment": str, "rows": int}."""
+        table_dir = self._table_dir(name)
+        manifest = self._compact_manifest(name)
+        live = self._live_batch_dirs(name)
+        keep_last = max(0, int(keep_last))
+        fold_live = live[: len(live) - keep_last] if keep_last else list(live)
+        if not fold_live:  # nothing new to fold — don't rewrite the segment
+            return {"folded": manifest["batch_ids"], "segment": manifest["segment"], "rows": 0}
+        folded_ids = sorted(set(manifest["batch_ids"]) | set(fold_live))
+        seq = int(manifest.get("seq", 0)) + 1
+        seg_rel = f"_compact_seg{seq}"
+        seg_abs = os.path.join(table_dir, seg_rel)
+        src = self.read_appends(spark, name, schema).where(
+            F.col("batch_id").isin(folded_ids)
+        )
+        if num_files is None:
+            # one output file per ~128 MB of folded input, never zero
+            folded_bytes = 0
+            for b in fold_live:
+                d = os.path.join(table_dir, f"batch_id={b}")
+                folded_bytes += sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            if manifest["segment"]:
+                old = os.path.join(table_dir, manifest["segment"])
+                folded_bytes += sum(
+                    os.path.getsize(os.path.join(old, f))
+                    for f in os.listdir(old)
+                    if f.endswith(".parquet")
+                )
+            num_files = max(1, folded_bytes // (128 << 20))
+        src.repartition(int(num_files)).write.mode("overwrite").parquet(seg_abs)
+        rows = spark.read.parquet(seg_abs).count()
+        tmp = self._compact_manifest_file(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"segment": seg_rel, "batch_ids": folded_ids, "seq": seq}, fh)
+        os.replace(tmp, self._compact_manifest_file(name))
+        for b in fold_live:
+            shutil.rmtree(os.path.join(table_dir, f"batch_id={b}"), ignore_errors=True)
+        if manifest["segment"] and manifest["segment"] != seg_rel:
+            shutil.rmtree(os.path.join(table_dir, manifest["segment"]), ignore_errors=True)
+        return {"folded": folded_ids, "segment": seg_rel, "rows": int(rows)}
 
     def drop(self, name: str) -> None:
         path = self._table_dir(name)

@@ -90,6 +90,12 @@ class EngineConfig:
     # current + its predecessor; None disables expiration (keep full
     # time-travel history).
     snapshot_retention: int | None = 2
+    # fold the visit_log append ledger (one file-set per batch) into a
+    # consolidated segment every N committed batches (Iceberg
+    # rewrite_data_files; store.compact_appends). The newest
+    # `snapshot_retention` batches stay live so re-runs of recent
+    # batches remain cheap. None disables auto-compaction.
+    compact_every: int | None = None
 
 
 class CrawlEngine:
@@ -384,6 +390,16 @@ class CrawlEngine:
         if self.config.snapshot_retention is not None:
             for table in ("host_state", "frontier"):
                 self.store.expire_snapshots(table, keep_last=self.config.snapshot_retention)
+        if (
+            self.config.compact_every
+            and len(self.store._live_batch_dirs("visit_log")) >= self.config.compact_every
+        ):
+            self.store.compact_appends(
+                self.spark,
+                "visit_log",
+                schemas.VISIT_LOG,
+                keep_last=max(1, self.config.snapshot_retention or 1),
+            )
         return ledger_row
 
     # ---------------------------------------------------- details crawl

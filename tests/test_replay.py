@@ -249,3 +249,27 @@ def test_exact_match_on_other_corpora(spark, tmp_path, corpus_seed):
         )
         engine.run_seed_list(spark.createDataFrame(pdf))
         _assert_match(engine, replay(_seed_rows(pdf), batch_size=batch_size))
+
+
+def test_compaction_preserves_visit_log_exactly(spark, tmp_path, seeds_pdf):
+    """Auto-compaction of the visit_log append ledger (compact_every)
+    must be invisible to readers: same visit rows, same ordering, same
+    ledger batch ids — and the oracle exact-match still holds."""
+    plain = CrawlEngine(spark, str(tmp_path / "nc"), EngineConfig(batch_size=25))
+    compacted = CrawlEngine(
+        spark, str(tmp_path / "cc"), EngineConfig(batch_size=25, compact_every=2)
+    )
+    seeds = spark.createDataFrame(seeds_pdf)
+    plain.run_seed_list(seeds)
+    compacted.run_seed_list(seeds)
+
+    # the ledger physically folded (fewer live batch dirs than batches)
+    live = compacted.store._live_batch_dirs("visit_log")
+    all_batches = compacted.store.committed_batches("visit_log")
+    assert len(all_batches) > 2
+    assert len(live) < len(all_batches)
+
+    a = _engine_visits(plain)
+    b = _engine_visits(compacted)
+    assert a == b
+    _assert_match(compacted, replay(_seed_rows(seeds_pdf), batch_size=25))

@@ -351,3 +351,84 @@ def test_schema_evolution_add_and_drop_column(spark, store_dir):
         spark, "e", T.StructType([T.StructField("id", T.LongType())])
     )
     assert narrow.columns == ["id"]
+
+
+# ------------------------------------------------- append-ledger compaction
+
+
+def _append_rows(df):
+    return {(r["id"], r["val"], r["batch_id"]) for r in df.collect()}
+
+
+def test_compact_appends_preserves_rows_and_batch_ids(spark, store_dir):
+    store = SnapshotStore(store_dir)
+    for b in range(1, 6):
+        store.append_batch(_df(spark, [(b, f"v{b}"), (b + 100, f"w{b}")]), "led", b)
+    before = _append_rows(store.read_appends(spark, "led", SCHEMA))
+    assert store.committed_batches("led") == [1, 2, 3, 4, 5]
+
+    res = store.compact_appends(spark, "led", SCHEMA, keep_last=2, num_files=1)
+    assert res["folded"] == [1, 2, 3]
+    assert res["rows"] == 6
+    # only the two newest batches remain as live dirs
+    live = [e for e in os.listdir(os.path.join(store_dir, "led")) if e.startswith("batch_id=")]
+    assert sorted(live) == ["batch_id=4", "batch_id=5"]
+    # readers see byte-identical rows, batch identity intact
+    assert _append_rows(store.read_appends(spark, "led", SCHEMA)) == before
+    assert store.committed_batches("led") == [1, 2, 3, 4, 5]
+
+
+def test_compact_appends_repeated_folds_prior_segment(spark, store_dir):
+    store = SnapshotStore(store_dir)
+    for b in range(1, 4):
+        store.append_batch(_df(spark, [(b, f"v{b}")]), "led", b)
+    store.compact_appends(spark, "led", SCHEMA, keep_last=1, num_files=1)
+    for b in range(4, 7):
+        store.append_batch(_df(spark, [(b, f"v{b}")]), "led", b)
+    res = store.compact_appends(spark, "led", SCHEMA, keep_last=1, num_files=1)
+    assert res["folded"] == [1, 2, 3, 4, 5]
+    # exactly one segment dir survives
+    segs = [e for e in os.listdir(os.path.join(store_dir, "led")) if e.startswith("_compact_seg")]
+    assert len(segs) == 1
+    assert _append_rows(store.read_appends(spark, "led", SCHEMA)) == {
+        (b, f"v{b}", b) for b in range(1, 7)
+    }
+    assert store.committed_batches("led") == [1, 2, 3, 4, 5, 6]
+
+
+def test_compact_appends_reappended_batch_wins_over_segment(spark, store_dir):
+    store = SnapshotStore(store_dir)
+    for b in range(1, 4):
+        store.append_batch(_df(spark, [(b, f"v{b}")]), "led", b)
+    store.compact_appends(spark, "led", SCHEMA, keep_last=0, num_files=1)
+    # idempotent re-run of folded batch 2 with corrected content
+    store.append_batch(_df(spark, [(2, "FIXED")]), "led", 2)
+    rows = _append_rows(store.read_appends(spark, "led", SCHEMA))
+    assert rows == {(1, "v1", 1), (2, "FIXED", 2), (3, "v3", 3)}
+    assert store.committed_batches("led") == [1, 2, 3]
+
+
+def test_compact_appends_noop_when_nothing_to_fold(spark, store_dir):
+    store = SnapshotStore(store_dir)
+    store.append_batch(_df(spark, [(1, "a")]), "led", 1)
+    res = store.compact_appends(spark, "led", SCHEMA, keep_last=5)
+    assert res["folded"] == [] and res["rows"] == 0
+    assert _append_rows(store.read_appends(spark, "led", SCHEMA)) == {(1, "a", 1)}
+
+
+def test_cli_compact_appends(spark, store_dir, capsys):
+    import json as _json
+
+    from gepris_spark import schemas
+    from gepris_spark.cli import main
+
+    store = SnapshotStore(store_dir)
+    for b in range(1, 4):
+        df = spark.createDataFrame([(b, "projekt", b, None, "success")], schemas.HISTORY)
+        store.append_batch(df, "history", b)
+
+    main(["snapshots", "compact", "--state", store_dir, "--table", "history", "--keep-last", "1"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["folded"] == [1, 2]
+    got = store.read_appends(spark, "history", schemas.HISTORY)
+    assert sorted(r["batch_id"] for r in got.collect()) == [1, 2, 3]
