@@ -52,7 +52,13 @@ def cmd_crawl(args) -> int:
         spark.read.parquet(args.robots) if args.robots else politeness.empty_robots(spark)
     )
     engine = CrawlEngine(
-        spark, args.state, EngineConfig(batch_size=args.batch_size, n_salts=args.n_salts)
+        spark,
+        args.state,
+        EngineConfig(
+            batch_size=args.batch_size,
+            n_salts=args.n_salts,
+            compact_every=args.compact_every,
+        ),
     )
     ledger = engine.run_seed_list(seeds, robots)
     print(json.dumps({"batches": len(ledger), "visited": sum(r["n_visited"] for r in ledger)}))
@@ -229,6 +235,8 @@ def main(argv=None) -> int:
     crawl.add_argument("--robots", default=None, help="robots rules parquet")
     crawl.add_argument("--batch-size", type=int, default=50_000)
     crawl.add_argument("--n-salts", type=int, default=8)
+    crawl.add_argument("--compact-every", type=int, default=None,
+                       help="fold the visit_log append ledger every N batches")
     crawl.set_defaults(fn=cmd_crawl)
 
     rp = sub.add_parser("replay", help="crawl + oracle exact-match check")
