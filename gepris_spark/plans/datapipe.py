@@ -1717,6 +1717,82 @@ FROM reach GROUP BY s ORDER BY doc_id
 """.replace("{MINHASH}", SQL_DEDUP_MINHASH)
 
 
+# context-window budget (tokens) per packed training sequence; small so
+# the sf0.001/sf0.01 corpora produce many bins for the oracle to check
+_PACK_CTX_TOKENS = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training — greedy concat-and-chunk: lay
+    documents end-to-end in a deterministic order (doc_id) and cut the
+    token stream every `_PACK_CTX_TOKENS` tokens; a document's bin is
+    the chunk its first token lands in. Output one row per doc:
+    (doc_id, n_tokens, start_offset, bin_id), the exact assignment a
+    packed-dataset writer consumes.
+
+    Scale: the global running offset is NEVER a single-partition
+    window. Same skew-free pattern as the crawl's visit order
+    (operators/politeness.py:202): range-partition on the order key,
+    per-partition token totals to the driver (O(partitions) rows),
+    exclusive prefix offsets broadcast back as a literal map, cumsum
+    window partitioned BY partition id. The persist is
+    correctness-critical (offsets and the window must see one layout)
+    and cacheutil-tracked for the caller to release."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", TS.token_count(F.col("text")).alias("n_tokens")
+    )
+    n = spark.sparkContext.defaultParallelism
+    ranged = cacheutil.track(
+        docs.repartitionByRange(n, F.col("doc_id").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid])
+    if offsets:
+        off_expr = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("_pid")
+        ]
+    else:
+        off_expr = F.lit(0)
+    win = Window.partitionBy("_pid").orderBy(F.col("doc_id").asc())
+    start = (
+        F.sum("n_tokens").over(win) - F.col("n_tokens") + F.coalesce(off_expr, F.lit(0))
+    ).cast("long")
+    return (
+        ranged.withColumn("start_offset", start)
+        .withColumn(
+            "bin_id", F.floor(F.col("start_offset") / F.lit(_PACK_CTX_TOKENS)).cast("long")
+        )
+        .select("doc_id", "n_tokens", "start_offset", "bin_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+), laid AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM toks)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / {_PACK_CTX_TOKENS}) AS BIGINT) AS bin_id
+FROM laid ORDER BY doc_id
+"""
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -1734,6 +1810,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "corpus_sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "corpus_shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "corpus_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),

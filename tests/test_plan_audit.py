@@ -152,3 +152,14 @@ def test_shuffle_shards_window_is_per_shard_not_global(spark):
     assert "Window" in plan
     # the window must partition by shard, never a single global partition
     assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_pack_sequences_global_cumsum_is_partition_offset_pattern(spark):
+    """Sequence packing's global token cumsum must use the range-
+    partition + driver-offsets pattern (politeness.visit_order's), not
+    a global single-partition window."""
+    from gepris_spark.plans.datapipe import q_pack_sequences
+
+    plan = _plan(q_pack_sequences(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
