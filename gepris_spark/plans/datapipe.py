@@ -1717,6 +1717,54 @@ FROM reach GROUP BY s ORDER BY doc_id
 """.replace("{MINHASH}", SQL_DEDUP_MINHASH)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the coarse quantizer
+    (the `label` column — k-means over a sample at 100 TB, exactly the
+    IVF ANN's quantizer), find within-cluster cosine near-dup pairs,
+    resolve duplicate groups, keep ONE representative per group
+    (minimum vec_id — deterministic, order-free). Output one row per
+    vector: (vec_id, cluster_root, kept).
+
+    Composition of the engine's existing scale paths: pair generation
+    is `q_dedup_embedding_cosine` (bounded `_subblocked` sub-blocks —
+    per-task memory capped regardless of cluster size), group
+    resolution is large-star/small-star contraction (O(log^2 n) rounds
+    for any group diameter). Vectors with no near-dup are their own
+    root and are kept."""
+    emb = load(spark, sf_dir, "embeddings", spread=True).select("vec_id")
+    pairs = q_dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    labels = cc_large_small_star(pairs)
+    return (
+        emb.join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_root", "vec_id").alias("cluster_root"),
+            (F.coalesce("cluster_root", "vec_id") == F.col("vec_id")).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_DEDUP_SEMANTIC = """
+WITH RECURSIVE pairs AS ({COSINE}),
+und AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION ALL SELECT vec_b, vec_a FROM pairs),
+reach(s, t) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t),
+roots AS (SELECT s AS vec_id, min(t) AS cluster_root FROM reach GROUP BY s)
+SELECT e.vec_id,
+       COALESCE(r.cluster_root, e.vec_id) AS cluster_root,
+       COALESCE(r.cluster_root, e.vec_id) = e.vec_id AS kept
+FROM embeddings e LEFT JOIN roots r ON r.vec_id = e.vec_id
+ORDER BY e.vec_id
+""".replace("{COSINE}", SQL_DEDUP_EMBEDDING_COSINE)
+
+
 # context-window budget (tokens) per packed training sequence; small so
 # the sf0.001/sf0.01 corpora produce many bins for the oracle to check
 _PACK_CTX_TOKENS = 512
@@ -1811,6 +1859,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "corpus_shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "corpus_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
