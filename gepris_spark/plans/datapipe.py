@@ -1717,6 +1717,64 @@ FROM reach GROUP BY s ORDER BY doc_id
 """.replace("{MINHASH}", SQL_DEDUP_MINHASH)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021, appendix A1.1):
+    the fraction of duplicated word trigrams per document — boilerplate
+    and degenerate generations repeat n-grams far above natural prose.
+    Pure built-ins, one pass over the token array per row, zero
+    shuffle: at 100 TB this is a scan-side quality gate exactly like
+    `text_quality`. Tokens are evaluated once per row via the
+    bind-once HOF (textstats._bind — Catalyst would otherwise
+    re-tokenize per trigram)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    grams = TS._bind(
+        TS.tokens(F.col("text")),
+        lambda t: F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        docs.select("doc_id", grams.alias("_g"))
+        .select(
+            "doc_id",
+            F.size("_g").cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct("_g")).cast("long").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                (F.col("n_trigrams") - F.col("n_unique"))
+                / F.greatest(F.col("n_trigrams"), F.lit(1)),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM t)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique,
+       round((len(grams) - len(list_distinct(grams))) * 1.0
+             / greatest(len(grams), 1), 6) AS dup_frac
+FROM g ORDER BY doc_id
+"""
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the coarse quantizer
@@ -1860,6 +1918,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "corpus_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
