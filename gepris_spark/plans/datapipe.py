@@ -1775,6 +1775,81 @@ FROM g ORDER BY doc_id
 """
 
 
+# decontamination n-gram width: 13 in the GPT-3/Llama protocol; 5 here
+# so the small synthetic corpora (docs ~10^2 tokens with seeded near-dup
+# clusters) produce real hits for the oracle to check
+_DECON_NGRAM = 5
+# deterministic eval-set membership: doc_id % 10 == 0 stands in for the
+# held-out benchmark table (at production scale a separate small table)
+_DECON_EVAL_MOD = 10
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (GPT-3 appendix C / Llama protocol):
+    flag every training document that shares ANY word n-gram with the
+    held-out eval set. Output one row per training doc:
+    (doc_id, contaminated).
+
+    Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    eval side's distinct n-grams BROADCAST and the train side stays
+    map-local through the semi-join — the only shuffle is the distinct
+    on flagged doc_ids, bounded by the contamination incidence. The
+    n-gram explode is scan-side; nothing reshuffles the corpus."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    grams = TS._bind(
+        TS.tokens(F.col("text")),
+        lambda t: F.when(
+            F.size(t) >= _DECON_NGRAM,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (_DECON_NGRAM - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + k) for k in range(_DECON_NGRAM)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    g = docs.select("doc_id", grams.alias("_g"))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_grams = (
+        g.where(is_eval).select(F.explode("_g").alias("gram")).distinct()
+    )
+    train = g.where(~is_eval)
+    hits = (
+        train.select("doc_id", F.explode("_g").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+_DECON_GRAM_SQL = " || ' ' || ".join(f"toks[i+{k}]" for k in range(_DECON_NGRAM))
+
+SQL_TEXT_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= {_DECON_NGRAM}
+             THEN list_transform(range(1, len(toks) - {_DECON_NGRAM - 2}),
+                                 i -> {_DECON_GRAM_SQL})
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM t),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+       WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, unnest(grams) AS gram FROM g
+       WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+hit AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram))
+SELECT g.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+FROM g LEFT JOIN hit ON hit.doc_id = g.doc_id
+WHERE g.doc_id % {_DECON_EVAL_MOD} <> 0
+ORDER BY g.doc_id
+"""
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the coarse quantizer
@@ -1919,6 +1994,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "corpus_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
