@@ -1775,6 +1775,37 @@ FROM g ORDER BY doc_id
 """
 
 
+_VOCAB_K = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: global token frequencies, top-K by
+    count (token asc breaks ties, so the K-boundary is deterministic
+    on both engines). The tokenizer-stats pass every training-data
+    pipeline runs before choosing a vocab.
+
+    Plan shape: explode → groupBy(token) partial-aggregates map-side
+    (the shuffle carries one row per (partition, token), not per
+    occurrence), and orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-K heaps merged on the driver, never a global
+    sort. Both properties are asserted in the plan audit."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return (
+        docs.select(F.explode(TS.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_VOCAB_K)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
+"""
+
+
 # decontamination n-gram width: 13 in the GPT-3/Llama protocol; 5 here
 # so the small synthetic corpora (docs ~10^2 tokens with seeded near-dup
 # clusters) produce real hits for the oracle to check
@@ -1995,6 +2026,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),

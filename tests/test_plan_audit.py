@@ -163,3 +163,13 @@ def test_pack_sequences_global_cumsum_is_partition_offset_pattern(spark):
     plan = _plan(q_pack_sequences(spark, SF))
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_vocab_topk_partial_agg_and_no_global_sort(spark):
+    """Word count must partial-aggregate map-side and take top-K via
+    TakeOrderedAndProject — never a global sort of the vocabulary."""
+    from gepris_spark.plans.datapipe import q_vocab_topk
+
+    plan = _plan(q_vocab_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
