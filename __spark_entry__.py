@@ -39,6 +39,7 @@ def _oracle_checked() -> dict[str, tuple]:
     from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
     from gepris_spark.plans.imagepipe import IMAGEPIPE_QUERIES
     from gepris_spark.plans.relational import RELATIONAL_QUERIES
+    from gepris_spark.plans.trainprep import TRAINPREP_QUERIES
 
     return {
         **RELATIONAL_QUERIES,
@@ -46,6 +47,7 @@ def _oracle_checked() -> dict[str, tuple]:
         **IMAGEPIPE_QUERIES,
         **CONTRACT_EXTRA_QUERIES,
         **TRUTH_QUERIES,
+        **TRAINPREP_QUERIES,
     }
 
 

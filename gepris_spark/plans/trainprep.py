@@ -1,0 +1,506 @@
+"""Training-data preparation operators, part 3 (session 5): event-stream
+shaping and corpus-cleaning staples a large-scale pipeline needs beyond
+the reference crawler — sessionization, as-of enrichment, PII scrubbing,
+boilerplate-chunk removal, BPE pair statistics and per-domain caps.
+
+Each query is paired with a DuckDB oracle (same contract discipline as
+plans/datapipe.py): identical tokenization, identical hash formulas,
+floats rounded before output, and every computed column aliased the same
+on both engines.
+
+Scale notes live on each operator. The common theme: every window is
+partitioned by a real key (user_id / source), never a global ORDER BY
+window; every join is an equi-join; the only broadcast is a provably
+bounded set (the boilerplate chunk list, O(corpus-wide repeated chunks)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gepris_spark import cacheutil
+from gepris_spark.functions import textstats as TS
+from gepris_spark.plans.relational import load
+
+# identical tokenization on both engines (same as plans/datapipe.py)
+_SQL_TOKENS_TRAINPREP = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# ------------------------------------------------------------ sessionize
+_SESSION_GAP_S = 1800  # 30 min, the classic web-analytics cutoff
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (the canonical
+    stateful log-shaping operator; reference analogue: the crawl's
+    per-host visit sequencing, politeness.py:108).
+
+    Shape at 100 TB: ONE shuffle on user_id; both windows and the final
+    aggregate share that partitioning, so Catalyst plans window ->
+    window -> partial agg without a second exchange. No global window —
+    the session index is per-user (`Exchange hashpartitioning(user_id)`
+    only; test_plan_audit's single-partition-window check covers it)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ, which Spark 4 refuses to cast straight
+    # to a number; the tz offset introduced by the intermediate cast
+    # cancels in the difference
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_session = F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("_new", new_session)
+        .withColumn("session_seq", F.sum("_new").over(w).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS session_seq
+  FROM o
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------- as-of enrich
+def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event is enriched with the same user's most
+    recent order at-or-before the event timestamp (ties on ts broken
+    by max o_orderkey). Spark has no ASOF JOIN operator, and a range
+    inequality join degenerates to O(n*m) per user — so this uses the
+    union-and-window formulation: tag both streams, union, one window
+    partitioned by user ordered by (ts, is_event, key), and
+    `last(_, ignorenulls)` carries the most recent order forward onto
+    each event row. ONE shuffle on user_id, zero inequality joins,
+    linear in |events| + |orders| regardless of per-user history
+    length. (The DuckDB oracle uses a LATERAL top-1 per event — the
+    declarative spec, fine at oracle scale.)"""
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.col("event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    order_ts = F.when(F.col("is_event") == 0, F.col("ts"))
+    return (
+        od.unionByName(ev)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("last_order_price", F.last("o_totalprice", ignorenulls=True).over(w))
+        .withColumn("last_order_ts", F.last(order_ts, ignorenulls=True).over(w))
+        .where((F.col("is_event") == 1) & F.col("last_orderkey").isNotNull())
+        .select("event_id", "user_id", "last_orderkey", "last_order_price", "last_order_ts")
+        .orderBy("event_id")
+    )
+
+
+SQL_EVENTS_ASOF_ENRICH = """
+SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+       o.o_totalprice AS last_order_price, o.o_orderdate AS last_order_ts
+FROM events e
+JOIN LATERAL (
+  SELECT od.o_orderkey, od.o_totalprice, od.o_orderdate
+  FROM orders od
+  WHERE od.o_custkey = e.user_id AND od.o_orderdate <= e.ts
+  ORDER BY od.o_orderdate DESC, od.o_orderkey DESC LIMIT 1
+) o ON TRUE
+ORDER BY e.event_id
+"""
+
+
+# ------------------------------------------------------------- PII scrub
+# RE2/Java-compatible subset only: no lookarounds, no backrefs — both
+# engines compile these to the same leftmost/greedy matches.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d[\d ]{6,}\d"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _augmented_text():
+    """The synthetic corpus carries no PII, so the scrub would be a
+    no-op; a deterministic doc_id-keyed augmentation (same expression
+    in the oracle SQL) plants emails/phones/IPs in a known subset so
+    the operator's removal path actually executes and is graded."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    out = F.col("text")
+    out = F.when(
+        d % 3 == 0, F.concat(out, F.lit(" contact user"), ds, F.lit("@example.com"))
+    ).otherwise(out)
+    out = F.when(
+        d % 4 == 0,
+        F.concat(out, F.lit(" call +49 171 "), (F.lit(1000000) + d % 1000000).cast("string")),
+    ).otherwise(out)
+    out = F.when(
+        d % 5 == 0,
+        F.concat(
+            out,
+            F.lit(" host 10."),
+            (d % 200).cast("string"),
+            F.lit("."),
+            (d % 250).cast("string"),
+            F.lit("."),
+            (d % 97).cast("string"),
+        ),
+    ).otherwise(out)
+    return out
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (C4/CCNet-style pre-training hygiene): redact
+    emails, phone numbers and IPv4 addresses, reporting per-document
+    match counts. Pure scan-side built-ins (regexp_extract_all +
+    chained regexp_replace), zero shuffle beyond the output ordering —
+    the same 100 TB shape as `text_quality`. Replacement order
+    email -> phone -> ip is fixed and mirrored in SQL; the tokens
+    (<EMAIL>/<PHONE>/<IP>) contain no digits so later patterns can
+    never match inside an earlier redaction."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    aug = TS._bind(
+        _augmented_text(),
+        lambda t: F.struct(
+            F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), 0)).alias("n_phones"),
+            F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), 0)).alias("n_ips"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+                ),
+                _PII_IPV4,
+                "<IP>",
+            ).alias("scrubbed"),
+        ),
+    )
+    return (
+        docs.select("doc_id", aug.alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.n_emails").cast("long").alias("n_emails"),
+            F.col("_s.n_phones").cast("long").alias("n_phones"),
+            F.col("_s.n_ips").cast("long").alias("n_ips"),
+            F.col("_s.scrubbed").alias("scrubbed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_PII_AUG = """
+  (CASE WHEN doc_id % 3 = 0
+        THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        ELSE text END)
+"""
+_SQL_PII_AUG2 = f"""
+  (CASE WHEN doc_id % 4 = 0
+        THEN {_SQL_PII_AUG} || ' call +49 171 ' || CAST(1000000 + doc_id % 1000000 AS VARCHAR)
+        ELSE {_SQL_PII_AUG} END)
+"""
+_SQL_PII_AUG3 = f"""
+  (CASE WHEN doc_id % 5 = 0
+        THEN {_SQL_PII_AUG2} || ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR)
+        ELSE {_SQL_PII_AUG2} END)
+"""
+
+SQL_TEXT_PII_SCRUB = f"""
+WITH a AS (SELECT doc_id, {_SQL_PII_AUG3} AS aug FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_IPV4}', '<IP>', 'g') AS scrubbed
+FROM a ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------- boilerplate chunks
+_BP_W = 5  # tokens per chunk
+_BP_MIN_DOCS = 3  # chunk in >= this many distinct docs => boilerplate
+
+
+def q_text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style boilerplate-line removal, re-expressed over
+    this corpus's line-less text as fixed 5-token chunks: a chunk that
+    appears in >= 3 distinct documents is boilerplate (nav bars, cookie
+    banners, license footers at web scale) and is dropped from every
+    document, which is then reassembled in original chunk order.
+
+    100 TB shape: explode -> count-distinct per chunk (ONE shuffle on
+    the chunk string, map-side partial agg) -> the boilerplate set is
+    tiny by construction (corpus-wide repeated chunks only), so the
+    removal join is a broadcast LEFT ANTI — document rows never
+    shuffle for the removal; reassembly groups by doc_id with
+    sort_array over (idx, chunk) structs."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    chunks = TS._bind(
+        TS.tokens(F.col("text")),
+        lambda t: F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(t) / _BP_W).cast("int") - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i * _BP_W + 1, _BP_W)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    # persisted: consumed three times in one plan (chunk counts, the
+    # anti-join, per-doc totals); ownership handed to cacheutil
+    exploded = cacheutil.track(
+        docs.select("doc_id", F.posexplode(chunks).alias("idx", "chunk")).persist()
+    )
+    boiler = (
+        exploded.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _BP_MIN_DOCS)
+        .select("chunk")
+    )
+    kept = exploded.join(F.broadcast(boiler), "chunk", "left_anti")
+    return (
+        exploded.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("idx", "chunk"))),
+                        lambda s: s.getField("chunk"),
+                    ),
+                    " ",
+                ).alias("cleaned_text"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_BOILERPLATE_LINES = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS_TRAINPREP} AS toks FROM documents),
+c AS (SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(toks) / {_BP_W}.0) AS INT)),
+                       i -> array_to_string(list_slice(toks, i*{_BP_W}+1, i*{_BP_W}+{_BP_W}), ' '))
+          AS chunks
+      FROM t),
+e AS (SELECT doc_id, u.idx, u.chunk
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(chunks)+1),
+                          i -> {{'idx': i, 'chunk': chunks[i]}})) AS u
+            FROM c)),
+b AS (SELECT chunk FROM e GROUP BY chunk HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}),
+k AS (SELECT doc_id, idx, chunk FROM e WHERE chunk NOT IN (SELECT chunk FROM b)),
+ak AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
+       FROM k GROUP BY doc_id),
+ae AS (SELECT doc_id, count(*) AS n_chunks FROM e GROUP BY doc_id)
+SELECT ae.doc_id, ae.n_chunks, coalesce(ak.n_kept, 0) AS n_kept,
+       coalesce(ak.cleaned_text, '') AS cleaned_text
+FROM ae LEFT JOIN ak USING (doc_id) ORDER BY ae.doc_id
+"""
+
+
+# ------------------------------------------------------- BPE pair counts
+_BPE_K = 50
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer induction: corpus-wide
+    adjacent-token-pair frequencies, top 50 by (count desc, pair asc) —
+    the merge candidates a tokenizer trainer would pick from. Same plan
+    discipline as `vocab_topk`: pairs are built per-row with one HOF
+    pass (no self-join on ordinality), map-side partial aggregation,
+    and the head is TakeOrderedAndProject — the vocabulary is never
+    globally sorted."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = TS._bind(
+        TS.tokens(F.col("text")),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_K)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS_TRAINPREP} AS toks FROM documents),
+p AS (SELECT CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END AS prs
+      FROM t),
+e AS (SELECT unnest(prs) AS pair FROM p)
+SELECT pair, count(*) AS cnt FROM e GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT {_BPE_K}
+"""
+
+
+# ----------------------------------------------------------- domain cap
+_DOMAIN_CAP = 10
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4's per-URL-host dedup budget; the
+    anti-skew guard every web corpus needs — one crawler-trap domain
+    must not dominate the training mix): keep the top 10 documents per
+    source, longest first (n_chars as the quality proxy), doc_id as
+    the deterministic tiebreak. The window partitions by source — the
+    exact per-host pattern the frontier scheduler uses — so the plan
+    is one hash exchange on source, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _DOMAIN_CAP)
+        .orderBy("source", "rk")
+    )
+
+
+SQL_DOMAIN_CAP = f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= {_DOMAIN_CAP}
+ORDER BY source, rk
+"""
+
+
+# ----------------------------------------------- mixture downsampling
+_MIX_DENOM = 1_000_000  # per-million acceptance threshold (integer math)
+
+
+def q_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing (the DoReMi/multilingual-temperature-
+    sampling shape): downsample every source toward a uniform
+    per-source budget C = ceil(total / (2 * n_sources)) by accepting
+    documents whose 60-bit content hash falls under a per-source
+    per-million threshold floor(C * 1e6 / count_s).
+
+    Contrast with `domain_cap`: that keeps the top-N by a quality
+    proxy (needs a per-source window sort); this keeps a hash-random
+    fraction — no sort, no window, invariant to row order and retries,
+    the right shape when the corpus is too large to rank. ALL
+    arithmetic is integer (counts, ceil-div, floor-div), so Spark and
+    DuckDB agree bit-for-bit with no float-summation-order hazard.
+
+    Plan: one scan-only count job for the two corpus totals (bounded
+    O(1) driver metadata, same discipline as the frontier's bloom
+    bitsets), then scan -> broadcast join of the O(sources) threshold
+    table -> filter -> partial agg. No shuffle of document rows at
+    all."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    total, nsrc = docs.agg(
+        F.count(F.lit(1)), F.countDistinct("source")
+    ).collect()[0]
+    budget = (int(total) + 2 * int(nsrc) - 1) // (2 * int(nsrc))
+    thresh = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "thresh_ppm",
+            F.least(
+                F.lit(_MIX_DENOM).cast("long"),
+                # SQL `div` = exact integer division on longs (floor of
+                # a double quotient would lose exactness at large C)
+                F.expr(f"{budget * _MIX_DENOM} div n_docs"),
+            ),
+        )
+    )
+    return (
+        docs.join(F.broadcast(thresh), "source")
+        .where(TS.hash60(F.col("text")) % _MIX_DENOM < F.col("thresh_ppm"))
+        .groupBy("source", "n_docs", "thresh_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_kept_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_mixture_downsample() -> str:
+    h = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+    return f"""
+WITH tot AS (SELECT count(*) AS total, count(DISTINCT source) AS nsrc FROM documents),
+c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT source, n_docs,
+             least(CAST({_MIX_DENOM} AS BIGINT),
+                   CAST(((total + 2*nsrc - 1) // (2*nsrc)) * {_MIX_DENOM} // n_docs AS BIGINT))
+               AS thresh_ppm
+      FROM c, tot)
+SELECT d.source, t.n_docs, t.thresh_ppm, count(*) AS n_sampled,
+       min(d.doc_id) AS min_kept_doc
+FROM documents d JOIN t USING (source)
+WHERE {h} % {_MIX_DENOM} < t.thresh_ppm
+GROUP BY d.source, t.n_docs, t.thresh_ppm ORDER BY d.source
+"""
+
+
+SQL_MIXTURE_DOWNSAMPLE = _sql_mixture_downsample()
+
+
+TRAINPREP_QUERIES = {
+    "corpus_mixture_downsample": (q_mixture_downsample, SQL_MIXTURE_DOWNSAMPLE),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_asof_enrich": (q_events_asof_enrich, SQL_EVENTS_ASOF_ENRICH),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "text_boilerplate_lines": (q_text_boilerplate_lines, SQL_TEXT_BOILERPLATE_LINES),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+}

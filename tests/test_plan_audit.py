@@ -173,3 +173,73 @@ def test_vocab_topk_partial_agg_and_no_global_sort(spark):
     plan = _plan(q_vocab_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_asof_enrich_is_union_window_not_range_join(spark):
+    """The as-of join must compile to the union-and-window shape: one
+    hash exchange on user_id feeding a Window — never a Join operator
+    (a range/inequality join would be O(n*m) per user) and never a
+    single-partition window."""
+    from gepris_spark.plans.trainprep import q_events_asof_enrich
+
+    plan = _plan(q_events_asof_enrich(spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Sessionization must reuse ONE hash exchange on user_id for the
+    lag window, the session-index cumsum and the final aggregate."""
+    from gepris_spark.plans.trainprep import q_events_sessionize
+
+    plan = _plan(q_events_sessionize(spark, SF))
+    # formatted explain lists each Exchange's spec on its Arguments
+    # line; exactly one hash exchange (user_id) may appear — the lag
+    # window, cumsum window, and both aggregate halves all reuse it
+    # (the second exchange is the output ordering's rangepartitioning)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bpe_pair_counts_partial_agg_topk(spark):
+    """Pair counting must partial-aggregate map-side and take the head
+    via TakeOrderedAndProject — never a global sort of the pair space."""
+    from gepris_spark.plans.trainprep import q_bpe_pair_counts
+
+    plan = _plan(q_bpe_pair_counts(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_boilerplate_removal_join_is_broadcast_anti(spark):
+    """The boilerplate-chunk removal must broadcast the (tiny,
+    corpus-wide-repeats-only) boilerplate set into a LEFT ANTI join —
+    document chunks never shuffle for the removal."""
+    from gepris_spark.plans.trainprep import q_text_boilerplate_lines
+
+    plan = _plan(q_text_boilerplate_lines(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pii_scrub_is_scan_side_only(spark):
+    """PII scrubbing is a scan-side projection: no joins, no hash
+    exchanges (only the output ordering's range partitioning)."""
+    from gepris_spark.plans.trainprep import q_text_pii_scrub
+
+    plan = _plan(q_text_pii_scrub(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan.split("rangepartitioning")[0]
+
+
+def test_mixture_downsample_broadcast_threshold_no_doc_shuffle(spark):
+    """Mixture downsampling must broadcast the O(sources) threshold
+    table; document rows are filtered in place and only the per-source
+    aggregate shuffles."""
+    from gepris_spark.plans.trainprep import q_mixture_downsample
+
+    plan = _plan(q_mixture_downsample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
