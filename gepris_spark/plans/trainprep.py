@@ -495,7 +495,397 @@ GROUP BY d.source, t.n_docs, t.thresh_ppm ORDER BY d.source
 SQL_MIXTURE_DOWNSAMPLE = _sql_mixture_downsample()
 
 
+# ------------------------------------------- linear quality classifier
+_QC_BUCKETS = 64
+
+
+def _qc_weights() -> list[float]:
+    """Deterministic fastText-style weight vector: w_b in [-1, 1] from
+    the engine-neutral md5/hash60 formula, so the Spark literal and
+    the DuckDB literal are the SAME Python-computed doubles (the PQ
+    codebook-literal pattern — repr round-trips exactly)."""
+    import hashlib
+
+    out = []
+    for b in range(_QC_BUCKETS):
+        h = int(hashlib.md5(f"qcw:{b}".encode()).hexdigest()[:15], 16)
+        out.append(((h % 2001) - 1000) / 1000.0)
+    return out
+
+
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the CCNet/fastText linear-
+    classifier stage of a pre-training pipeline): score each document
+    with a hashed bag-of-tokens linear model — each token indexes one
+    of 64 weight buckets by hash60(token) % 64, the document score is
+    the mean bucket weight — and gate on score > 0.
+
+    The 64 weights ship as ONE array literal (bounded metadata; a real
+    deployment would broadcast the trained model the same way), and
+    scoring is a single sequential `aggregate` fold over the token
+    array — scan-side, zero shuffle, whole-stage codegen, the same
+    100 TB shape as `text_quality`. Both engines fold in token order
+    and the score is rounded before the gate, so the oracle compare
+    is exact."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    wlit = F.array(*[F.lit(w) for w in _qc_weights()])
+    scored = TS._bind(
+        TS.tokens(F.col("text")),
+        lambda t: F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            F.when(
+                F.size(t) > 0,
+                F.round(
+                    F.aggregate(
+                        t,
+                        F.lit(0.0),
+                        lambda acc, tok: acc
+                        + F.element_at(wlit, (TS.hash60(tok) % _QC_BUCKETS + 1).cast("int")),
+                    )
+                    / F.size(t),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        ),
+    )
+    return (
+        docs.select("doc_id", scored.alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.n_tokens").alias("n_tokens"),
+            F.col("_s.score").alias("score"),
+            (F.col("_s.score") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_classifier() -> str:
+    w = "[" + ", ".join(repr(x) for x in _qc_weights()) + "]"
+    h = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS_TRAINPREP} AS toks FROM documents),
+s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(toks) > 0
+             THEN round(list_sum(list_transform(toks,
+                    tok -> ({w}::DOUBLE[])[({h} % {_QC_BUCKETS}) + 1]))
+                  / len(toks), 6)
+             ELSE 0.0 END AS score
+      FROM t)
+SELECT doc_id, n_tokens, score, score > 0 AS keep FROM s ORDER BY doc_id
+"""
+
+
+SQL_TEXT_QUALITY_CLASSIFIER = _sql_quality_classifier()
+
+
+# ------------------------------------------------ hard-negative mining
+_HN_K = 5
+_HN_QUERIES = 8  # fixed query set: vec_id < 8
+
+
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (the retrieval/CLIP training
+    staple): for each query vector, the top-5 most-similar vectors
+    with a DIFFERENT label — high-similarity wrong-class examples are
+    the negatives that actually move a contrastive loss.
+
+    Same scale shape as `ann_topk_cosine` (datapipe.py): the bounded
+    query set broadcasts (tiny-side NLJ is the textbook broadcast
+    pattern, whitelisted in the plan audit), cosine is the vectorized
+    Arrow batch kernel, scores are rounded to the shared rank
+    tolerance before the per-query window ranks them, and only
+    integer ranks surface — the oracle compare is integer-exact. At
+    production scale the label-pruned IVF variant applies unchanged
+    (probe clusters whose centroid label differs)."""
+    from gepris_spark.plans.datapipe import _COS_RANK_DECIMALS, _cosine_batch
+
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.where(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(emb, F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine_batch(F.col("qv"), F.col("v")), _COS_RANK_DECIMALS).alias("_cos"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= _HN_K)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_hard_negatives() -> str:
+    from gepris_spark.plans.datapipe import _COS_RANK_DECIMALS
+
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < {_HN_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, v.e) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))),
+               {_COS_RANK_DECIMALS})
+           AS _cos
+  FROM q JOIN v ON v.label <> q.qlabel),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY _cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {_HN_K}
+ORDER BY query_id, rank
+"""
+
+
+SQL_EMBEDDING_HARD_NEGATIVES = _sql_hard_negatives()
+
+
+# --------------------------------------------------- BM25 retrieval
+# Classic sparse lexical retrieval over the corpus (the retrieval-side
+# complement to the dense ANN family): an inverted index pruned to the
+# query vocabulary, Robertson/Lucene BM25 scoring, top-k per query.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_QUERIES = [
+    ("q1", "spark window merge"),
+    ("q2", "hash join dup"),
+    ("q3", "fast scan table batch"),
+    ("q4", "stream order dup small"),
+]
+# constants computed ONCE in Python and interpolated as repr() into both
+# engines, so neither side re-derives them with its own parser/adder
+_BM25_K1P1 = _BM25_K1 + 1.0
+_BM25_1MB = 1.0 - _BM25_B
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (the sparse-retrieval staple of a training
+    pipeline: mining text for eval construction, hard-negative text
+    pairs, dedup triage). Reference analogue: none — the crawler has no
+    search; this is a beyond-reference training-data operator.
+
+    Shape at 100 TB: the postings build prunes to the query vocabulary
+    BEFORE any shuffle (`term IN qterms` sits against the scan, so the
+    exploded relation carries only query-term incidences), doc length
+    is computed scan-side, and the corpus-wide (N, sum_dl) pair is one
+    partially-aggregated scalar row cross-joined back (bounded
+    metadata, the broadcast side of a 1-row join). Per-term document
+    frequencies and the per-(query,doc) score are the only shuffles —
+    both over the pruned postings, not the corpus. Top-k per query is
+    a window over query_id; K and |queries| are small, and at real
+    scale the per-partition-top-k + merge (TakeOrderedAndProject)
+    variant per query applies unchanged.
+
+    Cross-engine exactness: idf is rounded to 1e-6 right after the
+    (sole libm) `ln`, each term contribution is snapped to integer
+    micro-units, and the document score is a BIGINT sum of those —
+    addition-order invariant, so the oracle compare is value-exact."""
+    qterms = sorted({t for _, q in _BM25_QUERIES for t in q.split()})
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, q in _BM25_QUERIES for t in q.split()], "query_id string, term string"
+    )
+    docs = load(spark, sf_dir, "documents", spread=True)
+    d = docs.select("doc_id", TS.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
+    )
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    posting = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(qterms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    avgdl = F.col("sum_dl") * F.lit(1.0) / F.col("n_docs")
+    idf6 = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    tfnorm = (F.col("tf") * F.lit(_BM25_K1P1)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1) * (F.lit(_BM25_1MB) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+    )
+    contrib = F.round(idf6 * tfnorm * F.lit(1000000.0), 0).cast("long")
+    scored = (
+        posting.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qmap), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("_c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_c").alias("score_micro"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_micro", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_bm25() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, q in _BM25_QUERIES for t in q.split()
+    )
+    qterms = sorted({t for _, q in _BM25_QUERIES for t in q.split()})
+    inlist = ", ".join(f"'{t}'" for t in qterms)
+    avgdl = "(s.sum_dl * 1.0 / s.n_docs)"
+    idf6 = "round(ln(((s.n_docs - f.dfreq + 0.5) / (f.dfreq + 0.5)) + 1.0), 6)"
+    tfnorm = (
+        f"((p.tf * {_BM25_K1P1!r}) / "
+        f"(p.tf + {_BM25_K1!r} * ({_BM25_1MB!r} + {_BM25_B!r} * p.dl / {avgdl})))"
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {qvals}),
+t AS (SELECT doc_id, {_SQL_TOKENS_TRAINPREP} AS toks FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+p AS (SELECT doc_id, dl, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM d, unnest(toks) AS u(tok) WHERE tok IN ({inlist})
+      GROUP BY doc_id, dl, tok),
+f AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM p GROUP BY term),
+c AS (SELECT q.query_id, p.doc_id,
+             CAST(round({idf6} * {tfnorm} * 1000000.0) AS BIGINT) AS _c
+      FROM p JOIN f USING (term) JOIN q USING (term) CROSS JOIN s),
+sc AS (SELECT query_id, doc_id, CAST(sum(_c) AS BIGINT) AS score_micro
+       FROM c GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+      FROM sc)
+SELECT query_id, doc_id, score_micro, rank FROM r WHERE rank <= {_BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+SQL_TEXT_BM25_TOPK = _sql_bm25()
+
+
+# ----------------------------------------------------------- PageRank
+# Link-importance as a crawl-priority signal: production crawlers order
+# their frontier by (a function of) PageRank over the observed link
+# graph. The testdata link graph is customer -> supplier through
+# orders x lineitem; K fixed iterations in integer micro-units.
+_PR_ITERS = 3
+_PR_R0 = 1_000_000  # initial rank, micro-units
+_PR_BASE = 150_000  # (1 - damping) * R0
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the order link graph (crawl-
+    priority signal; reference analogue: the frontier priority queue,
+    operators/frontier.py:291 — this is the importance-ordered variant
+    a production crawler runs over its observed link graph).
+
+    All-integer arithmetic: ranks live in micro-units (BIGINT), each
+    edge contributes `rank div outdeg`, and the update is
+    `150000 + (85 * sum) div 100` — no floats anywhere, so the
+    trajectory is addition-order invariant and the oracle (the same
+    three iterations unrolled as CTEs) is value-exact. Dangling-node
+    mass is dropped (the standard simplification; suppliers are sinks
+    in this bipartite graph).
+
+    Shape at 100 TB: the edge list with out-degrees is built once and
+    persisted (one shuffle to distinct, one to count degrees); each
+    iteration is ONE equi-join (ranks onto edges by src — at cluster
+    scale both sides hash-partitioned on the node key, so iterations
+    reuse the exchange) plus ONE groupBy(dst) with map-side partial
+    sums. K is fixed and small; for large K the lineage would be cut
+    per round exactly as `dedup_clusters` does."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_d = cacheutil.track(edges.join(deg, "src").persist())
+    nodes = cacheutil.track(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(_PR_R0).cast("long").alias("rank_m"))
+    for _ in range(_PR_ITERS):
+        sums = (
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("rank_m div outdeg").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(_PR_BASE)
+                + F.expr(f"({_PR_DAMP_NUM} * coalesce(_s, 0)) div {_PR_DAMP_DEN}")
+            )
+            .cast("long")
+            .alias("rank_m"),
+        )
+    return ranks.orderBy("node")
+
+
+def _sql_pagerank() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (SELECT e.dst AS node, sum({prev}.rank_m // d.outdeg) AS _s
+      FROM e JOIN d USING (src) JOIN {prev} ON {prev}.node = e.src GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+              CAST({_PR_BASE} + ({_PR_DAMP_NUM} * coalesce(c{i}._s, 0)) // {_PR_DAMP_DEN}
+                   AS BIGINT) AS rank_m
+       FROM n LEFT JOIN c{i} ON c{i}.node = n.node)"""
+        )
+        prev = f"r{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH e AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                           's:' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, CAST({_PR_R0} AS BIGINT) AS rank_m FROM n),
+{body}
+SELECT node, rank_m FROM {prev} ORDER BY node
+"""
+
+
+SQL_GRAPH_PAGERANK = _sql_pagerank()
+
+
 TRAINPREP_QUERIES = {
+    "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "embedding_hard_negatives": (q_embedding_hard_negatives, SQL_EMBEDDING_HARD_NEGATIVES),
+    "text_quality_classifier": (q_text_quality_classifier, SQL_TEXT_QUALITY_CLASSIFIER),
     "corpus_mixture_downsample": (q_mixture_downsample, SQL_MIXTURE_DOWNSAMPLE),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_asof_enrich": (q_events_asof_enrich, SQL_EVENTS_ASOF_ENRICH),

@@ -87,7 +87,17 @@ def test_no_cartesian_products_anywhere(spark):
     exception — it is the textbook broadcast pattern)."""
     import __spark_entry__ as entry
 
-    allowed_nlj = {"ann_topk_cosine", "ann_topk_ivf", "image_hamming_topk"}
+    allowed_nlj = {
+        "ann_topk_cosine",
+        "ann_topk_ivf",
+        "image_hamming_topk",
+        # hard-negative mining broadcasts the 8-row query set into a
+        # label<>label non-equi join — the same textbook tiny-side NLJ
+        "embedding_hard_negatives",
+        # bm25 cross-joins the ONE-row (n_docs, sum_dl) corpus-stats agg
+        # back onto the pruned postings — a 1-row broadcast NLJ
+        "text_bm25_topk",
+    }
     offenders = []
     for name, fn in entry.queries().items():
         if name in ("crawl_replay_visit_log", "stateful_schedule_stream"):
@@ -243,3 +253,53 @@ def test_mixture_downsample_broadcast_threshold_no_doc_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_quality_classifier_is_scan_side_no_shuffle(spark):
+    """The hashed linear classifier must be a pure scan-side
+    projection: no joins, no hash exchange (only the output
+    ordering's range partitioning)."""
+    from gepris_spark.plans.trainprep import q_text_quality_classifier
+
+    plan = _plan(q_text_quality_classifier(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan.split("rangepartitioning")[0]
+
+
+def test_bm25_prunes_postings_before_shuffle(spark):
+    """The BM25 postings build must filter to the query vocabulary
+    BEFORE the tf groupBy shuffles, and every enrichment join
+    (dfreq, query map, corpus stats) must broadcast — the corpus
+    never sort-merge-joins."""
+    from gepris_spark.plans.trainprep import q_text_bm25_topk
+
+    plan = _plan(q_text_bm25_topk(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the IN-list filter sits in the same stage as the explode (i.e.
+    # it appears as a Filter on the token, not after any Exchange)
+    assert "Filter" in plan
+
+
+def test_pagerank_no_nlj_no_single_partition(spark):
+    """Each PageRank iteration must be equi-joins + a partial-agg
+    groupBy — no cartesian/NLJ anywhere, no single-partition
+    exchange (the rank update never funnels to one task)."""
+    from gepris_spark.plans.trainprep import q_graph_pagerank
+
+    plan = _plan(q_graph_pagerank(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan.split("rangepartitioning")[0]
+
+
+def test_hard_negatives_broadcasts_query_set(spark):
+    """Hard-negative mining must broadcast the bounded query set (the
+    corpus side never shuffles for the scoring) and rank inside a
+    per-query window."""
+    from gepris_spark.plans.trainprep import q_embedding_hard_negatives
+
+    plan = _plan(q_embedding_hard_negatives(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(query_id" in plan
