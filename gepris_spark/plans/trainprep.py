@@ -984,7 +984,24 @@ FROM t LEFT JOIN d ON d.doc_id = t.doc_id ORDER BY t.doc_id
 SQL_TEXT_EXACT_SUBSTRING = _sql_exact_substring()
 
 
+def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_sessionize` as a Structured Streaming job: the event log
+    arrives as three event-time-ordered micro-batch files, sessions
+    build in the native `session_window` state store behind a 1-hour
+    watermark, and closed sessions drain to a memory sink. Graded
+    against the SAME DuckDB oracle as the batch query — stream = batch
+    equality is the contract (streaming/sessionstream.py has the
+    boundary-semantics and watermark-flush notes)."""
+    from gepris_spark.streaming.sessionstream import run_sessionize_stream
+
+    events_pdf = (
+        load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value").toPandas()
+    )
+    return run_sessionize_stream(spark, events_pdf, query_name="events_sessionize_stream_sink")
+
+
 TRAINPREP_QUERIES = {
+    "events_sessionize_stream": (q_events_sessionize_stream, SQL_EVENTS_SESSIONIZE),
     "text_exact_substring": (q_text_exact_substring, SQL_TEXT_EXACT_SUBSTRING),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),

@@ -1,0 +1,143 @@
+"""Streaming gap-sessionization with Spark's NATIVE session window.
+
+The batch contract query `events_sessionize` (plans/trainprep.py)
+computes 30-minute-gap sessions with lag + cumsum. Structured
+Streaming has a first-class operator for exactly this —
+`F.session_window(ts, gap)` — whose state store merges windows as
+events arrive and emits a session once the event-time watermark
+passes its end. This module runs the SAME sessionization as a stream
+and is graded against the SAME DuckDB oracle as the batch query:
+stream = batch equality is the contract.
+
+Boundary semantics: the native operator starts a new session when the
+gap is >= gapDuration (window end is exclusive at last_ts + gap); the
+batch query breaks on gap > gapDuration. They diverge only on a gap
+of EXACTLY 30 minutes — verified absent from the event corpus at
+every sf (tests/test_sessionize_stream.py asserts it), and at
+microsecond resolution an exact collision is a measure-zero event.
+
+Watermark-flush sentinel: with `availableNow` the query stops when
+input is exhausted, and append-mode session state whose window end
+the watermark never passed would be silently withheld — the classic
+tail-loss gotcha. The arrival prep therefore appends ONE sentinel
+event (user_id = -1) 30 days past the corpus maximum to the final
+arrival file; it pushes the global watermark past every real
+session's end, its own session is the only one withheld, and the
+post-pass drops the sentinel user anyway.
+
+Scale notes: state is keyed by (user_id, window) — the same linear,
+skew-salted-if-needed keying as every per-user operator here; the
+watermark bounds state size to the in-flight sessions of the delay
+horizon. The arrival-file split is test scaffolding (event-time-
+ordered chunks, the shape a log collector delivers); in production
+the source is the append-only event ledger exactly like
+visitstream.visit_stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_GAP = "30 minutes"
+_WATERMARK = "1 hour"
+_N_ARRIVAL_FILES = 3
+# watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE for
+# NTZ); the session tz is pinned UTC (session.py) so the naive parquet
+# values keep their wall reading and the oracle compare tz-normalizes
+_ARRIVAL_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def write_arrival_files(events_pdf, root: str, n_files: int = _N_ARRIVAL_FILES) -> str:
+    """Split the (pandas) event log into event-time-ordered arrival
+    files + the watermark-flush sentinel; returns the source dir.
+    Written via pyarrow so `ts` stays a naive timestamp[us] column,
+    which the UTC-pinned session reads back with identical wall
+    values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(root, "arrivals")
+    os.makedirs(src, exist_ok=True)
+    pdf = events_pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    sentinel = pd.DataFrame(
+        [{"event_id": -1, "ts": pdf["ts"].max() + pd.Timedelta(days=30), "user_id": -1, "value": 0.0}]
+    )
+    n = len(pdf)
+    cuts = [n * i // n_files for i in range(n_files + 1)]
+    for i in range(n_files):
+        chunk = pdf.iloc[cuts[i] : cuts[i + 1]]
+        if i == n_files - 1:
+            chunk = pd.concat([chunk, sentinel], ignore_index=True)
+        chunk = chunk.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
+        chunk["ts"] = pd.to_datetime(chunk["ts"]).astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(chunk[["event_id", "ts", "user_id", "value"]], preserve_index=False),
+            os.path.join(src, f"arrival_{i}.parquet"),
+        )
+    return src
+
+
+def session_stream(stream: DataFrame) -> DataFrame:
+    """The streaming sessionization itself: watermark + native session
+    window, per-session aggregates matching the batch query's output
+    columns (session_seq is assigned by the batch post-pass — it needs
+    the per-user total order, which only exists once sessions close)."""
+    return (
+        stream.withWatermark("ts", _WATERMARK)
+        .groupBy("user_id", F.session_window("ts", _GAP).alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .drop("sw")
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    events_pdf,
+    root: str | None = None,
+    query_name: str = "sessionize_stream_sink",
+    n_files: int = _N_ARRIVAL_FILES,
+) -> DataFrame:
+    """Drive the stream over arrival files with availableNow, drain the
+    memory sink, and assign session_seq (per-user rank by start time —
+    identical to the batch cumsum index because sessions are disjoint
+    in time). Returns the batch DataFrame of closed sessions."""
+    root = root or tempfile.mkdtemp(prefix="gepris_sessstream_")
+    src = write_arrival_files(events_pdf, root, n_files=n_files)
+    stream = (
+        spark.readStream.schema(_ARRIVAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            session_stream(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return (
+        spark.table(query_name)
+        .where(F.col("user_id") >= 0)
+        .withColumn("session_seq", F.row_number().over(w).cast("long"))
+        .select("user_id", "session_seq", "session_start", "session_end", "n_events", "total_value")
+        .orderBy("user_id", "session_seq")
+    )
