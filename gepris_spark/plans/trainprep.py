@@ -984,6 +984,105 @@ FROM t LEFT JOIN d ON d.doc_id = t.doc_id ORDER BY t.doc_id
 SQL_TEXT_EXACT_SUBSTRING = _sql_exact_substring()
 
 
+# ------------------------------------------- JSON shredding / OLAP ops
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding (every log pipeline's first step): the
+    `props` JSON column is parsed into typed fields scan-side
+    (`from_json` — one pass, whole-stage codegen, no UDF) and the
+    shredded value feeds a normal aggregate. At 100 TB the parse cost
+    is the scan itself; nothing shuffles until the (event_type, bucket)
+    partial agg. Oracle: DuckDB json_extract with the same CASTs."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .withColumn("k_bucket", (F.col("k") % 10).cast("long"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+WITH s AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+SELECT event_type, k % 10 AS k_bucket, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM s GROUP BY event_type, k % 10 ORDER BY event_type, k_bucket
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level OLAP aggregate: event counts and value totals by
+    (event_type, month) with ROLLUP subtotals and a grand total —
+    Spark's `rollup` compiles to ONE Expand + aggregate (each input
+    row fans out to its grouping sets map-side, one shuffle total,
+    not one scan per level). Rollup NULLs are recoded to '(all)'
+    labels via `grouping()` so they can't collide with data values
+    and the row sort is deterministic on both engines."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM").alias("month"),
+        "value",
+    )
+    lab = lambda c: F.when(F.grouping(c) == 1, F.lit("(all)")).otherwise(F.col(c))
+    return (
+        base.rollup("event_type", "month")
+        .agg(
+            lab("event_type").alias("event_type_l"),
+            lab("month").alias("month_l"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("event_type_l").alias("event_type"),
+            F.col("month_l").alias("month"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(month) = 1 THEN '(all)' ELSE month END AS month,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m') AS month, value FROM events)
+GROUP BY ROLLUP (event_type, month)
+ORDER BY 1, 2
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts with one column per
+    event type. The type list is declared explicitly — with it, Spark
+    pivots in a single groupBy(user_id) pass (no extra distinct-values
+    job, one shuffle); an implicit pivot would first run a blocking
+    values scan. Oracle: conditional aggregation (the relational
+    definition of pivot)."""
+    ev = load(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    ).orderBy("user_id")
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events_sessionize` as a Structured Streaming job: the event log
     arrives as three event-time-ordered micro-batch files, sessions
@@ -1001,6 +1100,9 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINPREP_QUERIES = {
+    "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "events_sessionize_stream": (q_events_sessionize_stream, SQL_EVENTS_SESSIONIZE),
     "text_exact_substring": (q_text_exact_substring, SQL_TEXT_EXACT_SUBSTRING),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
