@@ -158,6 +158,26 @@ def cmd_snapshots(args) -> int:
         print(
             json.dumps({"table": args.table, "expired": expired, "keep_last": args.keep_last})
         )
+    elif args.action == "tail":
+        # incremental ledger tail (read_appends_since): O(new batches)
+        # dir-pruned read for downstream consumers resuming at a batch id
+        from gepris_spark import schemas
+
+        schema = getattr(schemas, _APPEND_TABLES[args.table])
+        from pyspark.sql import SparkSession
+
+        pre_existing = SparkSession.getActiveSession()
+        spark = _spark(args)
+        df, report = store.read_appends_since(
+            spark, args.table, schema, min_batch_id=args.since
+        )
+        out = {"table": args.table, "since": args.since, "rows": df.count(), **report}
+        if args.out:
+            df.write.mode("overwrite").json(args.out)
+            out["out"] = args.out
+        print(json.dumps(out))
+        if pre_existing is None:
+            spark.stop()
     elif args.action == "compact":
         # append-ledger compaction (Iceberg rewrite_data_files): the one
         # action here that needs a Spark session — it rewrites parquet
@@ -260,11 +280,13 @@ def main(argv=None) -> int:
     snap = sub.add_parser(
         "snapshots", help="state-table snapshot maintenance (history/rollback/expire)"
     )
-    snap.add_argument("action", choices=["history", "rollback", "expire", "compact"])
+    snap.add_argument("action", choices=["history", "rollback", "expire", "compact", "tail"])
     snap.add_argument("--state", required=True, help="engine state directory")
     snap.add_argument("--table", default="frontier")
     snap.add_argument("--version", type=int, default=None, help="rollback target version")
     snap.add_argument("--keep-last", type=int, default=2, help="snapshots kept by expire")
+    snap.add_argument("--since", type=int, default=0, help="tail: min batch_id (inclusive)")
+    snap.add_argument("--out", default=None, help="tail: optional output JSON directory")
     snap.set_defaults(fn=cmd_snapshots)
 
     chg = sub.add_parser(

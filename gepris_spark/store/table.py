@@ -191,16 +191,226 @@ class SnapshotStore:
             os.path.join(self._table_dir(name), f"v{version}")
         )
 
-    def commit_snapshot(self, df: DataFrame, name: str, num_files: int | None = None) -> int:
-        """Write the next snapshot version and atomically flip the pointer."""
+    def commit_snapshot(
+        self,
+        df: DataFrame,
+        name: str,
+        num_files: int | None = None,
+        cluster_by: str | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Write the next snapshot version and atomically flip the pointer.
+
+        `cluster_by` range-clusters the write on a column (Iceberg
+        sort-order / range distribution): each output file covers a
+        disjoint value range, which is what makes the footer min/max
+        stats selective. `stats_cols` persists a `_STATS.json` manifest
+        from the file footers at commit time (Iceberg manifest min/max
+        parity) for `read_pruned` to skip files against."""
         version = (self.current_version(name) or 0) + 1
         path = os.path.join(self._table_dir(name), f"v{version}")
         if os.path.exists(path):  # leftover from a killed run — never committed
             shutil.rmtree(path)
-        writer = df.coalesce(num_files) if num_files else df
+        if cluster_by is not None:
+            writer = (
+                df.repartitionByRange(num_files, F.col(cluster_by))
+                if num_files
+                else df.repartitionByRange(F.col(cluster_by))
+            )
+        else:
+            writer = df.coalesce(num_files) if num_files else df
         writer.write.mode("overwrite").parquet(path)
         self._flip_version(name, version)
+        if stats_cols:
+            self._write_stats_manifest(name, version, list(stats_cols))
         return version
+
+    # ------------------------------- column stats & file skipping
+    # Iceberg keeps per-data-file column min/max in manifest files and
+    # prunes scans against them; parquet already stores the same stats
+    # in every file footer. This block is that parity: clustered
+    # snapshot writes (sort-order), a `_STATS.json` manifest derived
+    # from the footers at commit (no data read — footer metadata
+    # only), and a pruned read that opens only files whose [min, max]
+    # intersects the predicate. Hash-bucketed tables deliberately get
+    # no range stats: hashing destroys value locality, so min/max on a
+    # hash layout never prunes — range pruning needs a range-clustered
+    # write, which is what `cluster_by` provides.
+
+    STATS_FILE = "_STATS.json"
+
+    @staticmethod
+    def _footer_stats(path: str, cols: list[str]) -> dict | None:
+        """Per-file column min/max + row count from the parquet FOOTER
+        (statistics written by every writer; ~KB read per file). None
+        when any requested column lacks stats — the caller must treat
+        the file as unpruneable."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict = {"rows": md.num_rows}
+        for col in cols:
+            if col not in names:
+                return None
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mins.append(st.min)
+                maxs.append(st.max)
+            lo, hi = min(mins), max(maxs)
+            if not isinstance(lo, (int, float, str)):
+                return None  # manifest stays JSON-plain; exotic types fall back
+            out[col] = [lo, hi]
+        return out
+
+    def _stats_path(self, name: str, version: int) -> str:
+        return os.path.join(self._table_dir(name), f"v{version}", self.STATS_FILE)
+
+    def _write_stats_manifest(self, name: str, version: int, cols: list[str]) -> dict:
+        """Scan the snapshot's file footers once at commit and persist
+        the manifest next to the data (underscore-prefixed: invisible
+        to Spark's directory reader, hardlink-carried by rollback)."""
+        vdir = os.path.join(self._table_dir(name), f"v{version}")
+        manifest: dict = {"cols": cols, "files": {}}
+        for dirpath, _d, files in os.walk(vdir):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fname), vdir)
+                st = self._footer_stats(os.path.join(dirpath, fname), cols)
+                if st is not None:
+                    manifest["files"][rel] = st
+        tmp = self._stats_path(name, version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._stats_path(name, version))
+        return manifest
+
+    def file_stats(self, name: str, cols: list[str], version: int | None = None) -> dict:
+        """The stats manifest for a snapshot: persisted `_STATS.json`
+        when it covers `cols`, else a footer scan (same content, not
+        persisted). {} for an empty table."""
+        version = self._resolve_version(name, version)
+        if version is None:
+            return {"cols": cols, "files": {}}
+        try:
+            with open(self._stats_path(name, version)) as fh:
+                manifest = json.load(fh)
+            if set(cols) <= set(manifest.get("cols", [])):
+                return manifest
+        except (OSError, ValueError):
+            pass
+        vdir = os.path.join(self._table_dir(name), f"v{version}")
+        manifest = {"cols": cols, "files": {}}
+        for dirpath, _d, files in os.walk(vdir):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, fname), vdir)
+                    st = self._footer_stats(os.path.join(dirpath, fname), cols)
+                    if st is not None:
+                        manifest["files"][rel] = st
+        return manifest
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Range-predicate read that opens ONLY files whose footer
+        [min, max] intersects [lo, hi] (either bound may be None =
+        unbounded). Files without usable stats are conservatively
+        read. The residual predicate is still applied — pruning is an
+        IO optimization, never a correctness dependency. Returns
+        (DataFrame, report) where report counts files_total/files_read
+        so callers (and tests) can assert the skip actually happened."""
+        version = self._resolve_version(name, version)
+        if version is None:
+            empty = spark.createDataFrame([], schema)
+            return empty, {"files_total": 0, "files_read": 0}
+        vdir = os.path.join(self._table_dir(name), f"v{version}")
+        manifest = self.file_stats(name, [col], version=version)
+        all_files = []
+        for dirpath, _d, files in os.walk(vdir):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    all_files.append(os.path.relpath(os.path.join(dirpath, fname), vdir))
+        keep = []
+        for rel in all_files:
+            st = manifest["files"].get(rel, {}).get(col)
+            if st is None:
+                keep.append(rel)  # no stats — cannot prune
+                continue
+            fmin, fmax = st
+            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                continue
+            keep.append(rel)
+        report = {"files_total": len(all_files), "files_read": len(keep)}
+        if not keep:
+            return spark.createDataFrame([], schema), report
+        df = spark.read.schema(schema).parquet(*[os.path.join(vdir, rel) for rel in keep])
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df, report
+
+    def read_appends_since(
+        self, spark: SparkSession, name: str, schema: T.StructType, min_batch_id: int
+    ) -> tuple[DataFrame, dict]:
+        """Incremental tail read of an append ledger: list ONLY the
+        live `batch_id >= min_batch_id` dirs and touch the compacted
+        segment only when it still holds batches in range — the
+        O(new-batches) consumption path an incremental consumer needs
+        (the ledger analogue of snapshot CDC's changed-bucket pruning).
+        Returns (DataFrame, report with dirs_total/dirs_read/
+        segment_read)."""
+        table_dir = self._table_dir(name)
+        if "batch_id" in schema.fieldNames():
+            full = schema
+        else:
+            full = T.StructType(
+                list(schema.fields) + [T.StructField("batch_id", T.LongType())]
+            )
+        live = self._live_batch_dirs(name)
+        keep = [b for b in live if b >= min_batch_id]
+        manifest = self._compact_manifest(name)
+        seg_in_range = bool(manifest["segment"]) and any(
+            b >= min_batch_id for b in manifest["batch_ids"]
+        )
+        report = {
+            "dirs_total": len(live),
+            "dirs_read": len(keep),
+            "segment_read": seg_in_range,
+        }
+        parts: list[DataFrame] = []
+        if keep:
+            live_df = spark.read.schema(schema).option("basePath", table_dir).parquet(
+                *[os.path.join(table_dir, f"batch_id={b}") for b in keep]
+            )
+            parts.append(live_df.withColumn("batch_id", F.col("batch_id").cast("long")))
+        if seg_in_range:
+            seg = spark.read.schema(full).parquet(
+                os.path.join(table_dir, manifest["segment"])
+            )
+            seg = seg.where(F.col("batch_id") >= F.lit(min_batch_id))
+            refolded = sorted(set(manifest["batch_ids"]) & set(keep))
+            if refolded:
+                seg = seg.where(~F.col("batch_id").isin(refolded))
+            parts.append(seg)
+        if not parts:
+            return spark.createDataFrame([], full), report
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out, report
 
     # ----------------------------------------- bucketed mutable tables
     BUCKET_COL = "_bucket"

@@ -1,0 +1,130 @@
+"""Column-stats file skipping (Iceberg manifest min/max parity):
+clustered snapshot writes, footer-derived `_STATS.json`, `read_pruned`
+range scans, and `read_appends_since` incremental ledger tails.
+
+The invariant under test everywhere: pruning is an IO optimization —
+the pruned read returns EXACTLY the rows of the unpruned read +
+filter, while provably opening fewer files/dirs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gepris_spark.store.table import SnapshotStore
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("seen_run", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _rows(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("seen_run"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "store"))
+
+
+def test_clustered_commit_writes_manifest_and_prunes(spark, store):
+    store.commit_snapshot(
+        _rows(spark), "frontier", num_files=10, cluster_by="seen_run", stats_cols=["seen_run"]
+    )
+    # manifest exists and covers every data file
+    manifest = store.file_stats("frontier", ["seen_run"])
+    assert manifest["files"], "stats manifest is empty"
+    df, report = store.read_pruned(spark, "frontier", SCHEMA, "seen_run", lo=90)
+    assert report["files_read"] < report["files_total"]
+    expected = (
+        store.read(spark, "frontier", SCHEMA).where(F.col("seen_run") >= 90).count()
+    )
+    assert df.count() == expected == 100
+    # values identical, not just counts
+    a = sorted(r.id for r in df.collect())
+    b = sorted(
+        r.id
+        for r in store.read(spark, "frontier", SCHEMA).where(F.col("seen_run") >= 90).collect()
+    )
+    assert a == b
+
+
+def test_pruned_read_is_exact_on_interval_and_empty_range(spark, store):
+    store.commit_snapshot(
+        _rows(spark), "t", num_files=8, cluster_by="seen_run", stats_cols=["seen_run"]
+    )
+    df, rep = store.read_pruned(spark, "t", SCHEMA, "seen_run", lo=10, hi=19)
+    assert df.count() == 100 and rep["files_read"] <= rep["files_total"]
+    # a range outside the data reads zero files
+    df0, rep0 = store.read_pruned(spark, "t", SCHEMA, "seen_run", lo=1000)
+    assert df0.count() == 0 and rep0["files_read"] == 0
+
+
+def test_unclustered_commit_still_correct_just_unpruned(spark, store):
+    """Hash-ish layout (no cluster_by): stats exist but every file
+    spans the full range — pruning must stay correct and read all."""
+    store.commit_snapshot(_rows(spark), "t", num_files=6, stats_cols=["seen_run"])
+    df, rep = store.read_pruned(spark, "t", SCHEMA, "seen_run", lo=90)
+    assert df.count() == 100
+    assert rep["files_read"] == rep["files_total"]  # nothing pruneable — by design
+
+
+def test_footer_fallback_without_manifest(spark, store):
+    """A snapshot committed WITHOUT stats_cols still prunes via a
+    read-time footer scan (manifest is an optimization, not a
+    requirement)."""
+    store.commit_snapshot(_rows(spark), "t", num_files=10, cluster_by="seen_run")
+    version = store.current_version("t")
+    assert not os.path.exists(store._stats_path("t", version))
+    df, rep = store.read_pruned(spark, "t", SCHEMA, "seen_run", lo=95)
+    assert rep["files_read"] < rep["files_total"]
+    assert df.count() == 50
+
+
+def test_read_appends_since_prunes_dirs_and_segment(spark, store):
+    for b in range(6):
+        store.append_batch(
+            spark.range(10).select(
+                F.col("id"), F.lit(b).cast("long").alias("seen_run"), F.lit("x").alias("payload")
+            ),
+            "ledger",
+            batch_id=b,
+        )
+    df, rep = store.read_appends_since(spark, "ledger", SCHEMA, min_batch_id=4)
+    assert rep == {"dirs_total": 6, "dirs_read": 2, "segment_read": False}
+    assert df.count() == 20 and set(r.batch_id for r in df.collect()) == {4, 5}
+
+
+def test_read_appends_since_after_compaction(spark, store):
+    for b in range(6):
+        store.append_batch(
+            spark.range(10).select(
+                F.col("id"), F.lit(b).cast("long").alias("seen_run"), F.lit("x").alias("payload")
+            ),
+            "ledger",
+            batch_id=b,
+        )
+    store.compact_appends(spark, "ledger", SCHEMA, keep_last=2)  # folds 0-3
+    # tail entirely in live dirs: the segment must not be touched
+    df, rep = store.read_appends_since(spark, "ledger", SCHEMA, min_batch_id=4)
+    assert rep["segment_read"] is False and rep["dirs_read"] == 2
+    assert df.count() == 20
+    # tail reaching into folded batches: segment read, rows exact
+    df2, rep2 = store.read_appends_since(spark, "ledger", SCHEMA, min_batch_id=2)
+    assert rep2["segment_read"] is True
+    assert df2.count() == 40 and set(r.batch_id for r in df2.collect()) == {2, 3, 4, 5}
+    full = store.read_appends(spark, "ledger", SCHEMA).where(F.col("batch_id") >= 2)
+    assert sorted((r.batch_id, r.id) for r in df2.collect()) == sorted(
+        (r.batch_id, r.id) for r in full.collect()
+    )
