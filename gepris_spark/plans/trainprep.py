@@ -1083,6 +1083,113 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (the feature-pipeline staple): per
+    user, DAILY event counts over the corpus' full calendar with gaps
+    zero-filled, plus a forward-filled `last_active_day` carrying the
+    most recent day that had activity.
+
+    Shape at 100 TB: the calendar is ONE 1-row min/max agg exploded to
+    a bounded day list (broadcast side of the grid build — whitelisted
+    1-row NLJ, same as bm25's stats join); the user×day grid is
+    |users|·|days| rows, linear; daily counts shuffle once on
+    (user_id, day); the fill join and the forward-fill window share
+    the user_id partitioning. No per-row Python anywhere."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day"), "value")
+    daily = base.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("day_value"),
+    )
+    cal = (
+        base.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"))
+    )
+    grid = base.select("user_id").distinct().crossJoin(F.broadcast(cal))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("day_value"), F.lit(0.0)).alias("day_value"),
+        F.when(F.col("n_events").isNotNull(), F.col("day")).alias("_active"),
+    )
+    return (
+        filled.withColumn("last_active_day", F.last("_active", ignorenulls=True).over(w))
+        .drop("_active")
+        # DATE -> TIMESTAMP for the comparator (pandas keeps DATE as
+        # python objects; both engines emit datetime64 this way)
+        .withColumn("day", F.col("day").cast("timestamp"))
+        .withColumn("last_active_day", F.col("last_active_day").cast("timestamp"))
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_EVENTS_DAILY_FILL = """
+WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+daily AS (SELECT user_id, day, count(*) AS n_events, round(sum(value), 6) AS day_value
+          FROM b GROUP BY user_id, day),
+cal AS (SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day FROM b),
+grid AS (SELECT u.user_id, c.day FROM (SELECT DISTINCT user_id FROM b) u CROSS JOIN cal c),
+f AS (SELECT g.user_id, g.day,
+             coalesce(d.n_events, 0) AS n_events,
+             coalesce(d.day_value, 0.0) AS day_value,
+             CASE WHEN d.n_events IS NOT NULL THEN g.day END AS _active
+      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day)
+SELECT user_id, day::TIMESTAMP AS day, n_events, day_value,
+       (max(_active) OVER (PARTITION BY user_id ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )::TIMESTAMP AS last_active_day
+FROM f ORDER BY user_id, day
+"""
+
+_HOP_WINDOW_MIN = 10
+_HOP_SLIDE_MIN = 5
+
+
+def q_events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: per event_type counts over
+    10-minute windows sliding every 5 — the smoothing shape rate
+    monitors use. Spark's `window(ts, len, slide)` compiles to ONE
+    Expand (each row fans out to len/slide = 2 windows map-side) +
+    aggregate — one shuffle total; the oracle mirrors the fan-out with
+    an explicit unnest([0, 1]) over epoch-aligned buckets, which is
+    the relational definition of the operator."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window(
+        F.col("ts").cast("timestamp"), f"{_HOP_WINDOW_MIN} minutes", f"{_HOP_SLIDE_MIN} minutes"
+    )
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_EVENTS_HOPPING_WINDOW = f"""
+WITH fan AS (
+  SELECT time_bucket(INTERVAL {_HOP_SLIDE_MIN} MINUTE, ts)
+           - k * INTERVAL {_HOP_SLIDE_MIN} MINUTE AS window_start,
+         event_type, value
+  FROM events CROSS JOIN unnest([0, 1]) AS u(k)
+)
+SELECT window_start, window_start + INTERVAL {_HOP_WINDOW_MIN} MINUTE AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM fan GROUP BY window_start, event_type ORDER BY window_start, event_type
+"""
+
+
 def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events_sessionize` as a Structured Streaming job: the event log
     arrives as three event-time-ordered micro-batch files, sessions
@@ -1100,6 +1207,8 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINPREP_QUERIES = {
+    "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
+    "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
     "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),

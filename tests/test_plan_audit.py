@@ -97,6 +97,9 @@ def test_no_cartesian_products_anywhere(spark):
         # bm25 cross-joins the ONE-row (n_docs, sum_dl) corpus-stats agg
         # back onto the pruned postings — a 1-row broadcast NLJ
         "text_bm25_topk",
+        # the calendar grid build broadcasts the bounded day list
+        # (|days| rows from a 1-row min/max agg) onto the user set
+        "events_daily_fill",
     }
     offenders = []
     for name, fn in entry.queries().items():
@@ -290,6 +293,26 @@ def test_pagerank_no_nlj_no_single_partition(spark):
     plan = _plan(q_graph_pagerank(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan.split("rangepartitioning")[0]
+
+
+def test_hopping_window_single_expand_pass(spark):
+    """The sliding window must compile to ONE Expand + aggregate (each
+    row fans out map-side), never a self-join of tumbling windows."""
+    from gepris_spark.plans.trainprep import q_events_hopping_window
+
+    plan = _plan(q_events_hopping_window(spark, SF))
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_daily_fill_broadcasts_calendar(spark):
+    """The gap-fill grid must broadcast the bounded calendar; the
+    event side joins and forward-fills inside user_id partitions."""
+    from gepris_spark.plans.trainprep import q_events_daily_fill
+
+    plan = _plan(q_events_daily_fill(spark, SF))
+    assert "SortMergeJoin" not in plan or "BroadcastNestedLoopJoin" in plan
     assert "Exchange SinglePartition" not in plan.split("rangepartitioning")[0]
 
 
