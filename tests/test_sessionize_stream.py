@@ -51,6 +51,17 @@ def test_stream_equals_batch(spark):
     pd.testing.assert_frame_equal(stream, batch)
 
 
+def test_rerun_replaces_memory_sink(spark):
+    """bench runs every contract query twice (cold + warm): restarting
+    the stream under the SAME memory-sink name must replace the table,
+    never append to it (doubled rows would silently pass rows>0
+    checks but fail the oracle)."""
+    pdf = _events_pdf(spark)
+    a = _canon(run_sessionize_stream(spark, pdf, query_name="sess_rerun").toPandas())
+    b = _canon(run_sessionize_stream(spark, pdf, query_name="sess_rerun").toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_stream_invariant_to_arrival_cut(spark):
     """The session set must not depend on how the log is chopped into
     micro-batch files (1 file = everything in one batch; 5 files =
