@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _oracle_checked() -> dict[str, tuple]:
+    from gepris_spark.plans.batchprep import BATCHPREP_QUERIES
     from gepris_spark.plans.contract_extra import CONTRACT_EXTRA_QUERIES
     from gepris_spark.plans.contract_truth import TRUTH_QUERIES
     from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
@@ -48,6 +49,7 @@ def _oracle_checked() -> dict[str, tuple]:
         **CONTRACT_EXTRA_QUERIES,
         **TRUTH_QUERIES,
         **TRAINPREP_QUERIES,
+        **BATCHPREP_QUERIES,
     }
 
 

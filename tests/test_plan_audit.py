@@ -97,6 +97,9 @@ def test_no_cartesian_products_anywhere(spark):
         # bm25 cross-joins the ONE-row (n_docs, sum_dl) corpus-stats agg
         # back onto the pruned postings — a 1-row broadcast NLJ
         "text_bm25_topk",
+        # the bigram LM cross-joins the ONE-row vocab-size agg onto the
+        # bigram-count table — the same 1-row broadcast NLJ
+        "text_lm_perplexity",
         # the calendar grid build broadcasts the bounded day list
         # (|days| rows from a 1-row min/max agg) onto the user set
         "events_daily_fill",
