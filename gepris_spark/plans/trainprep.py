@@ -387,6 +387,135 @@ ORDER BY cnt DESC, pair LIMIT {_BPE_K}
 """
 
 
+# ------------------------------------------- iterative BPE training
+_BPE_TRAIN_ROUNDS = 6
+# symbol separator inside the per-word symbol string: a control char
+# that cannot occur in [a-z0-9]+ tokens, so `replace` on
+# SEP+lhs+SEP+rhs+SEP can never match across symbol boundaries
+_BPE_SEP = "\x1f"
+_SQL_SEP = "chr(31)"
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE tokenizer induction (Sennrich et al. 2016),
+    K=_BPE_TRAIN_ROUNDS merge rounds: start from characters, each round count
+    adjacent symbol pairs weighted by word frequency, merge the argmax
+    pair (count desc, pair asc tie-break) everywhere, repeat. Output is
+    the learned merge table, one row per round: (merge_round, lhs, rhs,
+    merged, cnt).
+
+    Shape at 100 TB — the reason BPE training distributes at all: the
+    corpus is touched ONCE (explode tokens -> groupBy(word)), and every
+    merge round thereafter runs over the word-FREQUENCY table (vocab-
+    sized, millions of rows, not trillions), persisted across rounds.
+    Per round: one vocab-table aggregation with map-side partial sums,
+    then a 1-row `TakeOrderedAndProject` collect — the merge pair is
+    the model and lives on the driver, exactly like the IVF centroids.
+    The merge itself never reshuffles: it is a chained string `replace`
+    expression over the cached base table.
+
+    Cross-engine exactness: pair counting follows the classic
+    `get_stats` overlap semantics (word "aaa" counts (a,a) twice —
+    zip_with over slices mirrors DuckDB's list_transform over range);
+    merge application follows the classic replace-all semantics
+    (left-to-right NON-overlapping, "aaa" -> ("aa","a")), which is
+    exactly what SQL `replace` does on the separator-joined symbol
+    string on both engines; counts are BIGINTs and the argmax
+    tie-break is total, so the K-round trajectory is value-exact
+    against the unrolled-CTE oracle.
+    """
+    docs = load(spark, sf_dir, "documents", spread=True)
+    words = (
+        docs.select(F.explode(TS.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(_BPE_SEP), F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP)
+            ).alias("sym"),
+            "cnt",
+        )
+    )
+    words = cacheutil.track(words.persist())
+    cur_sym = F.col("sym")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, _BPE_TRAIN_ROUNDS + 1):
+        syms = TS._bind(
+            F.filter(F.split(cur_sym, _BPE_SEP), lambda x: x != F.lit("")),
+            lambda s: F.when(
+                F.size(s) >= 2,
+                F.zip_with(
+                    F.slice(s, F.lit(1), F.size(s) - 1),
+                    F.slice(s, F.lit(2), F.size(s) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        best = (
+            words.select("cnt", F.explode(syms).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pr"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pr, c = best[0]["pr"], int(best[0]["c"])
+        lhs, rhs = pr.split(" ")
+        merges.append((rnd, lhs, rhs, lhs + rhs, c))
+        cur_sym = F.replace(
+            cur_sym,
+            F.lit(_BPE_SEP + lhs + _BPE_SEP + rhs + _BPE_SEP),
+            F.lit(_BPE_SEP + lhs + rhs + _BPE_SEP),
+        )
+    return spark.createDataFrame(
+        merges, "merge_round long, lhs string, rhs string, merged string, cnt long"
+    ).orderBy("merge_round")
+
+
+def _sql_bpe_train() -> str:
+    stages = []
+    picks = []
+    prev = "w0"
+    for i in range(1, _BPE_TRAIN_ROUNDS + 1):
+        stages.append(
+            f"""p{i} AS (
+  SELECT pr, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(syms)),
+                                     j -> syms[j] || ' ' || syms[j+1])) AS pr
+        FROM (SELECT cnt, list_filter(string_split(sym, {_SQL_SEP}), x -> x <> '') AS syms
+              FROM {prev}))
+  GROUP BY pr),
+b{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1),
+w{i} AS (SELECT replace(w.sym,
+                        {_SQL_SEP} || replace(b.pr, ' ', {_SQL_SEP}) || {_SQL_SEP},
+                        {_SQL_SEP} || replace(b.pr, ' ', '') || {_SQL_SEP}) AS sym,
+                w.cnt
+         FROM {prev} w, b{i} b)"""
+        )
+        picks.append(
+            f"SELECT CAST({i} AS BIGINT) AS merge_round,"
+            f" split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,"
+            f" replace(pr, ' ', '') AS merged, c AS cnt FROM b{i}"
+        )
+        prev = f"w{i}"
+    body = ",\n".join(stages)
+    union = "\nUNION ALL\n".join(picks)
+    return f"""
+WITH w0 AS (SELECT {_SQL_SEP} || regexp_replace(w, '(.)', '\\1' || {_SQL_SEP}, 'g') AS sym,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({_SQL_TOKENS_TRAINPREP}) AS w FROM documents)
+            GROUP BY 1),
+{body}
+SELECT * FROM ({union}) ORDER BY merge_round
+"""
+
+
+SQL_BPE_TRAIN_MERGES = _sql_bpe_train()
+
+
 # ----------------------------------------------------------- domain cap
 _DOMAIN_CAP = 10
 
@@ -1224,5 +1353,6 @@ TRAINPREP_QUERIES = {
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "text_boilerplate_lines": (q_text_boilerplate_lines, SQL_TEXT_BOILERPLATE_LINES),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
 }

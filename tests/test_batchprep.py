@@ -116,3 +116,48 @@ def test_lm_perplexity_gate_separates_boilerplate_from_noise(spark):
     # zero-bigram docs (too short to score) are never kept by default
     empty = pdf[pdf["n_bigrams"] == 0]
     assert (~empty["kept"]).all()
+
+
+def test_bpe_train_merges_equal_sennrich_reference(spark):
+    """Re-run classic BPE training (Sennrich et al. 2016 get_stats /
+    merge_vocab semantics: overlap-counted pairs, greedy left-to-right
+    non-overlapping merge, count-desc pair-asc tie-break) in plain
+    Python over the same corpus, and demand the engine's K-round merge
+    table matches exactly."""
+    import re
+    from collections import Counter
+
+    from gepris_spark.plans import trainprep as tp
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    vocab = Counter()
+    for text in docs["text"]:
+        for w in re.findall(r"[a-z0-9]+", text.lower()):
+            vocab[tuple(w)] += 1
+    expected = []
+    for rnd in range(1, tp._BPE_TRAIN_ROUNDS + 1):
+        stats = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += cnt
+        if not stats:
+            break
+        (lhs, rhs), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rnd, lhs, rhs, lhs + rhs, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    got = [
+        tuple(r) for r in tp.q_bpe_train_merges(spark, SF_DIR)
+        .toPandas().itertuples(index=False)
+    ]
+    assert got == expected
