@@ -516,6 +516,88 @@ SELECT * FROM ({union}) ORDER BY merge_round
 SQL_BPE_TRAIN_MERGES = _sql_bpe_train()
 
 
+# ------------------------------------------- corpus token profiling
+_PROFILE_PCTS = [50, 90, 99]
+
+
+def q_corpus_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length profile: doc count, total/min/max tokens
+    and EXACT rank-based percentiles (p50/p90/p99 = the value at rank
+    ceil(q*n/100) in the sorted per-source length list) — the
+    statistics a pipeline computes before choosing shuffle partition
+    counts, packing budgets, and length buckets.
+
+    Shape at 100 TB: percentiles come from a VALUE HISTOGRAM, never a
+    row-level sort — groupBy(source, n_tokens) collapses the corpus to
+    at most |sources| x |distinct lengths| rows (bounded by the token
+    ceiling, not the corpus), and the cumulative window runs over those
+    bounded histogram partitions. Two shuffles total, both with
+    map-side partial aggregation. Rank arithmetic is all-integer
+    ((n*q + 99) div 100), so the oracle is value-exact with no
+    interpolation-convention risk (Spark `percentile` and DuckDB
+    `quantile_cont` interpolate differently — rank-based sidesteps it).
+    """
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "source", TS.token_count(F.col("text")).alias("n_tokens")
+    )
+    hist = docs.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy("n_tokens")
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * F.col("n_tokens")).alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    j = cum.join(tot, "source")
+    aggs = [
+        F.first("n_docs").alias("n_docs"),
+        F.first("total_tokens").alias("total_tokens"),
+        F.first("min_tokens").alias("min_tokens"),
+        F.first("max_tokens").alias("max_tokens"),
+    ]
+    for q in _PROFILE_PCTS:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n_docs * {q} + 99) div 100"),
+                    F.col("n_tokens"),
+                )
+            ).alias(f"p{q}_tokens")
+        )
+    return j.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _sql_token_profile() -> str:
+    pcols = ",\n       ".join(
+        f"min(CASE WHEN cum >= (n_docs * {q} + 99) // 100 THEN n_tokens END)"
+        f" AS p{q}_tokens"
+        for q in _PROFILE_PCTS
+    )
+    return f"""
+WITH t AS (SELECT source, CAST(len({_SQL_TOKENS_TRAINPREP}) AS BIGINT) AS n_tokens
+           FROM documents),
+h AS (SELECT source, n_tokens, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY source, n_tokens),
+cum AS (SELECT *, sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum FROM h),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(c * n_tokens) AS BIGINT) AS total_tokens,
+               min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        FROM h GROUP BY source)
+SELECT source,
+       CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+       CAST(any_value(total_tokens) AS BIGINT) AS total_tokens,
+       any_value(min_tokens) AS min_tokens,
+       any_value(max_tokens) AS max_tokens,
+       {pcols}
+FROM cum JOIN tot USING (source)
+GROUP BY source ORDER BY source
+"""
+
+
+SQL_CORPUS_TOKEN_PROFILE = _sql_token_profile()
+
+
 # ----------------------------------------------------------- domain cap
 _DOMAIN_CAP = 10
 
@@ -1354,5 +1436,6 @@ TRAINPREP_QUERIES = {
     "text_boilerplate_lines": (q_text_boilerplate_lines, SQL_TEXT_BOILERPLATE_LINES),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES),
+    "corpus_token_profile": (q_corpus_token_profile, SQL_CORPUS_TOKEN_PROFILE),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
 }
