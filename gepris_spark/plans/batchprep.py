@@ -403,8 +403,90 @@ FROM s JOIN n USING (bucket_id) ORDER BY image_id
 """
 
 
+# ------------------------------------------------------------------
+# image_train_manifest — the image-axis capstone (curation -> aspect
+# buckets -> packed batches -> shard manifest), one oracle-checked plan
+# ------------------------------------------------------------------
+def q_image_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image-side training-data pipeline composed end-to-end,
+    the image twin of datapipe.q_corpus_curation: LAION-style curation
+    (size / aspect / caption gates + exact-pHash dedup, imagepipe's
+    funnel), survivors bucketed by nearest aspect ratio, each bucket
+    packed into fixed-size batches, and the FULL batches emitted as a
+    shard manifest — one row per shard: (bucket_id, bucket_w, bucket_h,
+    batch_id, n_images, first_image, last_image, checksum), where
+    `checksum` is the order-invariant BIGINT sum of hash60(image_id)
+    over the shard's members — the integrity record a shard writer
+    publishes so a training job can verify what it reads.
+
+    Shape at 100 TB: curation is metadata-only (bytes/caption never
+    scanned — the imagepipe column-pruning contract), its one shuffle
+    is the phash dedup window; bucketing is a per-row literal argmin;
+    packing is `bucketed_pack` (range partition + driver offsets, no
+    single-partition window); the manifest is one further groupBy over
+    (bucket, batch) with map-side partial sums."""
+    from gepris_spark.plans.imagepipe import _staged, _with_dedup_reason
+
+    cur = (
+        _with_dedup_reason(_staged(spark))
+        .where(F.col("reason").isNull())
+        .select("image_id", "w", "h")
+    )
+    b = cur.withColumn("bucket_id", F.expr(_ASPECT_BUCKET_CASE).cast("long"))
+    sizes = {i: _ASPECT_BATCH for i in range(len(_ASPECT_BUCKETS))}
+    packed = bucketed_pack(b, "bucket_id", "image_id", sizes)
+    return (
+        packed.where(F.col("full_batch"))
+        .groupBy("bucket_id", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("image_id").alias("first_image"),
+            F.max("image_id").alias("last_image"),
+            F.sum(TS.hash60(F.col("image_id"))).alias("checksum"),
+        )
+        .withColumn("bucket_w", F.expr(_ASPECT_W).cast("long"))
+        .withColumn("bucket_h", F.expr(_ASPECT_H).cast("long"))
+        .select(
+            "bucket_id", "bucket_w", "bucket_h", "batch_id",
+            "n_images", "first_image", "last_image", "checksum",
+        )
+        .orderBy("bucket_id", "batch_id")
+    )
+
+
+def _sql_train_manifest() -> str:
+    from gepris_spark.plans.imagepipe import _SQL_REASONED
+
+    return f"""
+WITH cur AS (SELECT image_id, w, h FROM ({_SQL_REASONED}) WHERE reason IS NULL),
+b AS (SELECT image_id, w, h, CAST({_ASPECT_BUCKET_CASE} AS BIGINT) AS bucket_id
+      FROM cur),
+s AS (SELECT *, row_number() OVER (PARTITION BY bucket_id ORDER BY image_id) - 1
+               AS seq0
+      FROM b),
+n AS (SELECT bucket_id, CAST(count(*) AS BIGINT) AS tot FROM b GROUP BY bucket_id),
+p AS (SELECT s.*, CAST(floor(seq0 / {_ASPECT_BATCH}) AS BIGINT) AS batch_id
+      FROM s JOIN n USING (bucket_id)
+      WHERE CAST(floor(seq0 / {_ASPECT_BATCH}) AS BIGINT)
+              < CAST(floor(tot / {_ASPECT_BATCH}) AS BIGINT))
+SELECT bucket_id,
+       CAST({_ASPECT_W} AS BIGINT) AS bucket_w,
+       CAST({_ASPECT_H} AS BIGINT) AS bucket_h,
+       batch_id,
+       CAST(count(*) AS BIGINT) AS n_images,
+       min(image_id) AS first_image,
+       max(image_id) AS last_image,
+       CAST(sum(('0x' || substr(md5(image_id), 1, 15))::BIGINT) AS BIGINT) AS checksum
+FROM p GROUP BY bucket_id, batch_id ORDER BY bucket_id, batch_id
+"""
+
+
+SQL_IMAGE_TRAIN_MANIFEST = _sql_train_manifest()
+
+
 BATCHPREP_QUERIES: dict[str, tuple] = {
     "text_lm_perplexity": (q_text_lm_perplexity, SQL_TEXT_LM_PERPLEXITY),
     "corpus_length_buckets": (q_corpus_length_buckets, SQL_CORPUS_LENGTH_BUCKETS),
     "image_aspect_buckets": (q_image_aspect_buckets, SQL_IMAGE_ASPECT_BUCKETS),
+    "image_train_manifest": (q_image_train_manifest, SQL_IMAGE_TRAIN_MANIFEST),
 }
