@@ -132,6 +132,23 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """Materialize the image training shards (plans/shardwriter.py):
+    one parquet file per full aspect-bucketed batch plus the manifest,
+    then verify the written files against the manifest checksums.
+    Exit 0 only when every shard round-trips."""
+    from pyspark.sql import functions as F
+
+    from gepris_spark.plans.shardwriter import verify_shards, write_image_shards
+
+    spark = _spark(args)
+    info = write_image_shards(spark, args.out)
+    bad = verify_shards(spark, args.out).where(~F.col("ok")).count()
+    print(json.dumps({**info, "verified_ok": bad == 0, "n_bad_shards": int(bad)}))
+    spark.stop()
+    return 0 if bad == 0 else 1
+
+
 def cmd_snapshots(args) -> int:
     """Iceberg-style table maintenance on an engine state dir: snapshot
     history, rollback-to-version, expiration, append-ledger compaction.
@@ -298,6 +315,12 @@ def main(argv=None) -> int:
     chg.add_argument("--to-version", type=int, required=True)
     chg.add_argument("--out", required=True, help="output JSON directory")
     chg.set_defaults(fn=cmd_changes)
+
+    prep = sub.add_parser(
+        "prep", help="write image training shards + manifest, verify round-trip"
+    )
+    prep.add_argument("--out", required=True, help="output dataset directory")
+    prep.set_defaults(fn=cmd_prep)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,110 @@
+"""Shard writer: materialize the image training shards that
+`q_image_train_manifest` describes — one parquet file per shard plus
+the manifest — and verify what was written against the manifest.
+
+This is the sink half of the image-axis capstone: the manifest query
+computes (bucket, batch, checksum) assignments; `write_image_shards`
+writes the actual image+caption payload rows shard-by-shard so a
+training job can consume directory-per-shard input, and
+`verify_shards` re-reads the files and proves the content checksums
+match the manifest — the integrity round-trip a 100 TB shard publisher
+runs before flipping a dataset pointer.
+
+Scale shape: ONE shuffle co-locates every shard's members
+(`repartition` on the exact (bucket_id, batch_id) key — each shard
+lives wholly in one task), so `partitionBy` emits exactly ONE file per
+shard directory; rows are sorted by slot within the file so readers
+stream in batch order. The batch size (batchprep._ASPECT_BATCH) is the
+knob that makes a shard ≈ one parquet-file budget at real payload
+sizes. The manifest is written from the same packed assignment the
+shards are, never recomputed separately.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gepris_spark.functions import textstats as TS
+from gepris_spark.plans import batchprep as BP
+from gepris_spark.plans.imagepipe import _staged, _with_dedup_reason, load_catalog
+
+
+def _packed_full_batches(spark: SparkSession) -> DataFrame:
+    """Curated catalog rows with their (bucket_id, batch_id, slot)
+    assignment, full batches only — the exact rows the manifest counts."""
+    cur = (
+        _with_dedup_reason(_staged(spark))
+        .where(F.col("reason").isNull())
+        .select("image_id", "w", "h")
+    )
+    b = cur.withColumn("bucket_id", F.expr(BP._ASPECT_BUCKET_CASE).cast("long"))
+    sizes = {i: BP._ASPECT_BATCH for i in range(len(BP._ASPECT_BUCKETS))}
+    return BP.bucketed_pack(b, "bucket_id", "image_id", sizes).where(
+        F.col("full_batch")
+    )
+
+
+def write_image_shards(spark: SparkSession, out_dir: str) -> dict:
+    """Write one parquet file per full batch under
+    `out_dir/shards/bucket_id=B/batch_id=N/` carrying the payload rows
+    (image_id, slot, bytes, caption, w, h, fmt), plus the manifest at
+    `out_dir/manifest.parquet`. Returns {n_shards, n_rows}."""
+    packed = _packed_full_batches(spark).select(
+        "image_id", "bucket_id", "batch_id", "slot"
+    )
+    payload = packed.join(
+        load_catalog(spark).select("image_id", "bytes", "caption", "w", "h", "fmt"),
+        "image_id",
+    )
+    (
+        payload.repartition(F.col("bucket_id"), F.col("batch_id"))
+        .sortWithinPartitions("bucket_id", "batch_id", "slot")
+        .write.mode("overwrite")
+        .partitionBy("bucket_id", "batch_id")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    manifest = BP.q_image_train_manifest(spark, "")
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest.parquet")
+    )
+    m = spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+    n_shards = m.count()
+    n_rows = int(m.agg(F.sum("n_images")).collect()[0][0] or 0)
+    return {"n_shards": n_shards, "n_rows": n_rows, "out": out_dir}
+
+
+def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Re-read the written shard files, recompute each shard's count /
+    id-range / hash60-sum checksum from the BYTES ON DISK, and join the
+    manifest: one row per shard with an `ok` flag. A publisher gates the
+    dataset-pointer flip on every row being ok."""
+    shards = spark.read.parquet(os.path.join(out_dir, "shards"))
+    got = shards.groupBy("bucket_id", "batch_id").agg(
+        F.count(F.lit(1)).alias("got_n"),
+        F.min("image_id").alias("got_first"),
+        F.max("image_id").alias("got_last"),
+        F.sum(TS.hash60(F.col("image_id"))).alias("got_checksum"),
+    )
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+    return (
+        manifest.join(got, ["bucket_id", "batch_id"], "full")
+        .select(
+            "bucket_id",
+            "batch_id",
+            "n_images",
+            "got_n",
+            # a vanished shard (or an unmanifested extra file) joins as
+            # NULLs — that is a failure, not an unknown: coalesce to False
+            F.coalesce(
+                (F.col("got_n") == F.col("n_images"))
+                & (F.col("got_first") == F.col("first_image"))
+                & (F.col("got_last") == F.col("last_image"))
+                & (F.col("got_checksum") == F.col("checksum")),
+                F.lit(False),
+            ).alias("ok"),
+        )
+        .orderBy("bucket_id", "batch_id")
+    )
