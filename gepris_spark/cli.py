@@ -42,10 +42,22 @@ def _spark(args):
     return spark
 
 
+def _stop_unless_owned(spark, pre_existing) -> None:
+    """Stop the session only if this command created it. getOrCreate
+    returns the CALLER's live session when one exists (a test harness,
+    a notebook embedding main()); stopping that kills every downstream
+    use of it."""
+    if pre_existing is None:
+        spark.stop()
+
+
 def cmd_crawl(args) -> int:
     from gepris_spark.operators import politeness
     from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
 
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession()
     spark = _spark(args)
     seeds = spark.read.parquet(args.seeds)
     robots = (
@@ -62,7 +74,7 @@ def cmd_crawl(args) -> int:
     )
     ledger = engine.run_seed_list(seeds, robots)
     print(json.dumps({"batches": len(ledger), "visited": sum(r["n_visited"] for r in ledger)}))
-    spark.stop()
+    _stop_unless_owned(spark, pre_existing)
     return 0
 
 
@@ -73,6 +85,9 @@ def cmd_replay(args) -> int:
     from gepris_spark.operators import politeness
     from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
 
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession()
     spark = _spark(args)
     seeds = spark.read.parquet(args.seeds)
     engine = CrawlEngine(spark, args.state, EngineConfig(batch_size=args.batch_size))
@@ -86,14 +101,17 @@ def cmd_replay(args) -> int:
     want = [(v["seq"], v["url"]) for v in expected.visits]
     match = got == want
     print(json.dumps({"n_visits": len(got), "exact_match": match}))
-    spark.stop()
+    _stop_unless_owned(spark, pre_existing)
     return 0 if match else 1
 
 
 def cmd_bench(args) -> int:
+    from pyspark.sql import SparkSession
+
     from gepris_spark.sources.corpus import gen_seeds_df
     from gepris_spark.streaming.microbatch import CrawlEngine, EngineConfig
 
+    pre_existing = SparkSession.getActiveSession()
     spark = _spark(args)
     import tempfile
 
@@ -106,16 +124,19 @@ def cmd_bench(args) -> int:
     wall = time.perf_counter() - t0
     visited = sum(r["n_visited"] for r in ledger)
     print(json.dumps({"urls": visited, "sec": round(wall, 2), "urls_per_sec": round(visited / wall, 1)}))
-    spark.stop()
+    _stop_unless_owned(spark, pre_existing)
     return 0
 
 
 def cmd_export(args) -> int:
     """K6 — JSON feed export (the reference's `scrapy crawl … -O
     test.json`, README.md:58-65): dump an engine state table as JSON."""
+    from pyspark.sql import SparkSession
+
     from gepris_spark import schemas
     from gepris_spark.store.table import SnapshotStore
 
+    pre_existing = SparkSession.getActiveSession()
     spark = _spark(args)
     store = SnapshotStore(args.state)
     if args.table == "visit_log":
@@ -128,7 +149,7 @@ def cmd_export(args) -> int:
         raise SystemExit(f"unknown table {args.table!r}")
     df.write.mode("overwrite").json(args.out)
     print(json.dumps({"table": args.table, "rows": df.count(), "out": args.out}))
-    spark.stop()
+    _stop_unless_owned(spark, pre_existing)
     return 0
 
 
@@ -137,15 +158,17 @@ def cmd_prep(args) -> int:
     one parquet file per full aspect-bucketed batch plus the manifest,
     then verify the written files against the manifest checksums.
     Exit 0 only when every shard round-trips."""
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from gepris_spark.plans.shardwriter import verify_shards, write_image_shards
 
+    pre_existing = SparkSession.getActiveSession()
     spark = _spark(args)
     info = write_image_shards(spark, args.out)
     bad = verify_shards(spark, args.out).where(~F.col("ok")).count()
     print(json.dumps({**info, "verified_ok": bad == 0, "n_bad_shards": int(bad)}))
-    spark.stop()
+    _stop_unless_owned(spark, pre_existing)
     return 0 if bad == 0 else 1
 
 
@@ -233,7 +256,10 @@ def cmd_changes(args) -> int:
     from gepris_spark import schemas
     from gepris_spark.store.table import SnapshotStore
 
+    from pyspark.sql import SparkSession
+
     schema_name, keys = _CDC_TABLES[args.table]
+    pre_existing = SparkSession.getActiveSession()
     spark = _spark(args)
     store = SnapshotStore(args.state)
     df = store.changes(
@@ -256,7 +282,7 @@ def cmd_changes(args) -> int:
             }
         )
     )
-    spark.stop()
+    _stop_unless_owned(spark, pre_existing)
     return 0
 
 
