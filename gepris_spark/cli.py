@@ -154,20 +154,27 @@ def cmd_export(args) -> int:
 
 
 def cmd_prep(args) -> int:
-    """Materialize the image training shards (plans/shardwriter.py):
-    one parquet file per full aspect-bucketed batch plus the manifest,
-    then verify the written files against the manifest checksums.
-    Exit 0 only when every shard round-trips."""
+    """Materialize training shards (plans/shardwriter.py): one parquet
+    file per shard plus the manifest, then verify the written files
+    against the manifest checksums. `--kind image` packs the curated
+    input_hint catalog into aspect-bucketed batches; `--kind text`
+    writes the deterministically-shuffled document corpus from
+    --sf-dir. Exit 0 only when every shard round-trips."""
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from gepris_spark.plans.shardwriter import verify_shards, write_image_shards
+    from gepris_spark.plans import shardwriter as SW
 
     pre_existing = SparkSession.getActiveSession()
     spark = _spark(args)
-    info = write_image_shards(spark, args.out)
-    bad = verify_shards(spark, args.out).where(~F.col("ok")).count()
-    print(json.dumps({**info, "verified_ok": bad == 0, "n_bad_shards": int(bad)}))
+    if args.kind == "image":
+        info = SW.write_image_shards(spark, args.out)
+        bad = SW.verify_shards(spark, args.out).where(~F.col("ok")).count()
+    else:
+        info = SW.write_text_shards(spark, args.sf_dir, args.out)
+        bad = SW.verify_text_shards(spark, args.out).where(~F.col("ok")).count()
+    print(json.dumps({**info, "kind": args.kind, "verified_ok": bad == 0,
+                      "n_bad_shards": int(bad)}))
     _stop_unless_owned(spark, pre_existing)
     return 0 if bad == 0 else 1
 
@@ -343,9 +350,12 @@ def main(argv=None) -> int:
     chg.set_defaults(fn=cmd_changes)
 
     prep = sub.add_parser(
-        "prep", help="write image training shards + manifest, verify round-trip"
+        "prep", help="write training shards + manifest, verify round-trip"
     )
     prep.add_argument("--out", required=True, help="output dataset directory")
+    prep.add_argument("--kind", choices=("image", "text"), default="image")
+    prep.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                      help="documents table dir (text shards only)")
     prep.set_defaults(fn=cmd_prep)
 
     args = ap.parse_args(argv)

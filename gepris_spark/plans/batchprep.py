@@ -417,7 +417,11 @@ def q_image_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_id, n_images, first_image, last_image, checksum), where
     `checksum` is the order-invariant BIGINT sum of hash60(image_id)
     over the shard's members — the integrity record a shard writer
-    publishes so a training job can verify what it reads.
+    publishes so a training job can verify what it reads. The sum is
+    provably overflow-free here: a full batch has exactly
+    _ASPECT_BATCH=8 members and hash60 < 2^60, so the sum is at most
+    8*(2^60-1) < 2^63 (larger shard sizes must switch to bit_xor, as
+    shardwriter.write_text_shards does).
 
     Shape at 100 TB: curation is metadata-only (bytes/caption never
     scanned — the imagepipe column-pruning contract), its one shuffle

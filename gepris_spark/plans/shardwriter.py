@@ -47,6 +47,22 @@ def _packed_full_batches(spark: SparkSession) -> DataFrame:
     )
 
 
+def _write_one_file_per_shard(
+    payload: DataFrame, shard_keys: list[str], order_col: str, path: str
+) -> None:
+    """The shared sink core: ONE shuffle co-locates each shard's rows
+    (`repartition` on the exact shard key — a shard never straddles
+    tasks), so `partitionBy` emits exactly one parquet file per shard
+    directory, rows in `order_col` order within the file."""
+    (
+        payload.repartition(*[F.col(k) for k in shard_keys])
+        .sortWithinPartitions(*shard_keys, order_col)
+        .write.mode("overwrite")
+        .partitionBy(*shard_keys)
+        .parquet(path)
+    )
+
+
 def write_image_shards(spark: SparkSession, out_dir: str) -> dict:
     """Write one parquet file per full batch under
     `out_dir/shards/bucket_id=B/batch_id=N/` carrying the payload rows
@@ -59,12 +75,8 @@ def write_image_shards(spark: SparkSession, out_dir: str) -> dict:
         load_catalog(spark).select("image_id", "bytes", "caption", "w", "h", "fmt"),
         "image_id",
     )
-    (
-        payload.repartition(F.col("bucket_id"), F.col("batch_id"))
-        .sortWithinPartitions("bucket_id", "batch_id", "slot")
-        .write.mode("overwrite")
-        .partitionBy("bucket_id", "batch_id")
-        .parquet(os.path.join(out_dir, "shards"))
+    _write_one_file_per_shard(
+        payload, ["bucket_id", "batch_id"], "slot", os.path.join(out_dir, "shards")
     )
     manifest = BP.q_image_train_manifest(spark, "")
     manifest.coalesce(1).write.mode("overwrite").parquet(
@@ -74,6 +86,74 @@ def write_image_shards(spark: SparkSession, out_dir: str) -> dict:
     n_shards = m.count()
     n_rows = int(m.agg(F.sum("n_images")).collect()[0][0] or 0)
     return {"n_shards": n_shards, "n_rows": n_rows, "out": out_dir}
+
+
+def write_text_shards(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """The text-axis twin: write the deterministically-shuffled corpus
+    (datapipe.q_shuffle_shards — hash-keyed global shuffle, shard = key
+    mod N, pos = rank within shard) as one parquet file per shard under
+    `out_dir/shards/shard=S/`, rows in pos order carrying (pos, doc_id,
+    text, lang, source), plus a manifest with per-shard counts and an
+    order-invariant doc_id checksum. Unlike the 8-member image batches
+    (whose hash60 SUM is provably <= 8*(2^60-1) < 2^63), a text shard
+    holds corpus/N_SHARDS rows, so the checksum is bit_xor of hash60 —
+    order-invariant and overflow-free at any shard size."""
+    from gepris_spark.plans.datapipe import q_shuffle_shards
+    from gepris_spark.plans.relational import load
+
+    assign = q_shuffle_shards(spark, sf_dir).select("shard", "pos", "doc_id")
+    payload = assign.join(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source"),
+        "doc_id",
+    )
+    _write_one_file_per_shard(payload, ["shard"], "pos", os.path.join(out_dir, "shards"))
+    manifest = (
+        assign.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            F.bit_xor(TS.hash60(F.col("doc_id").cast("string"))).alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest.parquet")
+    )
+    m = spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+    n_shards = m.count()
+    n_rows = int(m.agg(F.sum("n_docs")).collect()[0][0] or 0)
+    return {"n_shards": n_shards, "n_rows": n_rows, "out": out_dir}
+
+
+def verify_text_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Text-shard round-trip gate: recompute each shard's count /
+    pos-range / checksum from the files on disk and join the manifest;
+    vanished or extra shards coalesce to ok=false (fails closed)."""
+    shards = spark.read.parquet(os.path.join(out_dir, "shards"))
+    got = shards.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("got_n"),
+        F.min("pos").alias("got_first"),
+        F.max("pos").alias("got_last"),
+        F.bit_xor(TS.hash60(F.col("doc_id").cast("string"))).alias("got_checksum"),
+    )
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+    return (
+        manifest.join(got, ["shard"], "full")
+        .select(
+            "shard",
+            "n_docs",
+            "got_n",
+            F.coalesce(
+                (F.col("got_n") == F.col("n_docs"))
+                & (F.col("got_first") == F.col("first_pos"))
+                & (F.col("got_last") == F.col("last_pos"))
+                & (F.col("got_checksum") == F.col("checksum")),
+                F.lit(False),
+            ).alias("ok"),
+        )
+        .orderBy("shard")
+    )
 
 
 def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -97,3 +97,55 @@ def test_cli_prep_round_trip(tmp_path, capsys):
     line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][-1]
     rep = json.loads(line)
     assert rep["verified_ok"] is True and rep["n_shards"] > 0
+
+
+# ------------------------------------------------------- text shards
+@pytest.fixture(scope="module")
+def text_dataset(spark, tmp_path_factory):
+    from gepris_spark.plans.shardwriter import write_text_shards
+
+    out = str(tmp_path_factory.mktemp("txtds"))
+    info = write_text_shards(spark, "/root/testdata/sf0.001", out)
+    return out, info
+
+
+def test_text_one_file_per_shard_and_pos_order(text_dataset):
+    out, info = text_dataset
+    dirs = sorted(glob.glob(os.path.join(out, "shards", "shard=*")))
+    assert len(dirs) == info["n_shards"] > 0
+    total = 0
+    for d in dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+        pdf = pd.read_parquet(d)
+        total += len(pdf)
+        # file row order IS pos order, dense 1..n
+        assert list(pdf["pos"]) == list(range(1, len(pdf) + 1))
+        assert pdf["text"].map(len).gt(0).all()
+    assert total == info["n_rows"] == 500  # every doc lands in exactly one shard
+
+
+def test_text_verify_all_ok_and_detects_missing_shard(spark, text_dataset):
+    from gepris_spark.plans.shardwriter import verify_text_shards
+
+    out, _ = text_dataset
+    v = verify_text_shards(spark, out).toPandas()
+    assert v["ok"].all() and len(v) > 0
+    broken = out + "_broken"
+    shutil.copytree(out, broken)
+    shutil.rmtree(sorted(glob.glob(os.path.join(broken, "shards", "shard=*")))[0])
+    vb = verify_text_shards(spark, broken).toPandas()
+    assert (~vb["ok"]).sum() == 1
+
+
+def test_cli_prep_text_round_trip(tmp_path, capsys):
+    from gepris_spark.cli import main
+
+    out = str(tmp_path / "txt")
+    rc = main(["--master", "local[4]", "--shuffle-partitions", "4",
+               "prep", "--kind", "text", "--out", out,
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["verified_ok"] is True and rep["kind"] == "text"
