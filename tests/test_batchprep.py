@@ -161,3 +161,36 @@ def test_bpe_train_merges_equal_sennrich_reference(spark):
         .toPandas().itertuples(index=False)
     ]
     assert got == expected
+
+
+def test_bucketed_pack_property_random_layouts(spark):
+    """Property test: for random bucket assignments, batch sizes and
+    input partitioning, the distributed pack equals the naive pandas
+    single-window reference. Deterministic derandomized hypothesis
+    profile (CI-stable)."""
+    from hypothesis import given, settings, HealthCheck, strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        n=st.integers(1, 120),
+        n_buckets=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+        parts=st.integers(1, 9),
+    )
+    def prop(n, n_buckets, seed, parts):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, rng.randrange(n_buckets)) for i in range(n)]
+        sizes = {b: rng.randint(1, 10) for b in range(n_buckets)}
+        pdf = pd.DataFrame(rows, columns=["k", "b"])
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = bp.bucketed_pack(df, "b", "k", sizes).toPandas()
+        _assert_matches_naive(got, pdf, "b", "k", sizes)
+
+    prop()
