@@ -80,6 +80,39 @@ def _link_tree(src_root: str, dst_root: str) -> None:
                 shutil.copy2(src, dst)
 
 
+_Z_BITS = 16
+
+
+def _norm16(col, lo, hi):
+    """Scale a numeric column from [lo, hi] onto [0, 2^16-1]. The
+    result drives FILE LAYOUT only (pruning selectivity), never
+    correctness — `read_pruned` stats come from the real column values
+    — so double arithmetic is fine and nulls pass through."""
+    lo = float(lo) if lo is not None else 0.0
+    hi = float(hi) if hi is not None else 0.0
+    span = max(hi - lo, 1.0)
+    top = (1 << _Z_BITS) - 1
+    scaled = ((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(top))).cast(
+        "long"
+    )
+    return F.greatest(F.lit(0), F.least(F.lit(top), scaled))
+
+
+def _morton_key(ca, a0, a1, cb, b0, b1):
+    """Bit-interleave two 16-bit-normalized columns into a 32-bit
+    Morton (Z-order) key: locality on the key implies locality on both
+    inputs, which is why one range-clustered layout prunes either
+    column's range predicates."""
+    na = _norm16(ca, a0, a1)
+    nb = _norm16(cb, b0, b1)
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(na, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(nb, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -197,6 +230,7 @@ class SnapshotStore:
         name: str,
         num_files: int | None = None,
         cluster_by: str | None = None,
+        zorder_by: tuple[str, str] | None = None,
         stats_cols: list[str] | None = None,
     ) -> int:
         """Write the next snapshot version and atomically flip the pointer.
@@ -204,14 +238,43 @@ class SnapshotStore:
         `cluster_by` range-clusters the write on a column (Iceberg
         sort-order / range distribution): each output file covers a
         disjoint value range, which is what makes the footer min/max
-        stats selective. `stats_cols` persists a `_STATS.json` manifest
-        from the file footers at commit time (Iceberg manifest min/max
-        parity) for `read_pruned` to skip files against."""
+        stats selective. `zorder_by` instead interleaves TWO integer
+        columns into a Morton key and range-clusters on that (Iceberg
+        `rewrite_data_files(sort_order => zorder(a, b))` / Delta
+        `OPTIMIZE ... ZORDER BY`): one layout keeps value locality on
+        BOTH columns, so `read_pruned` skips files for range predicates
+        on either — a single-column cluster prunes only its own column
+        and reads ~everything for the other. `stats_cols` persists a
+        `_STATS.json` manifest from the file footers at commit time
+        (Iceberg manifest min/max parity) for `read_pruned` to skip
+        files against."""
+        if cluster_by is not None and zorder_by is not None:
+            raise ValueError("commit_snapshot: cluster_by and zorder_by are exclusive")
         version = (self.current_version(name) or 0) + 1
         path = os.path.join(self._table_dir(name), f"v{version}")
         if os.path.exists(path):  # leftover from a killed run — never committed
             shutil.rmtree(path)
-        if cluster_by is not None:
+        if zorder_by is not None:
+            a, b = zorder_by
+            # normalize each column to a 16-bit rank-free scale using
+            # the batch min/max (ONE tiny agg job), then interleave —
+            # monotone per column, so per-file min/max stay selective
+            # on both; ties/skew only cost pruning, never correctness
+            bounds = df.agg(
+                F.min(a).alias("_a0"), F.max(a).alias("_a1"),
+                F.min(b).alias("_b0"), F.max(b).alias("_b1"),
+            ).collect()[0]
+            z = _morton_key(
+                F.col(a), bounds["_a0"], bounds["_a1"],
+                F.col(b), bounds["_b0"], bounds["_b1"],
+            )
+            keyed = df.withColumn("_z", z)
+            writer = (
+                keyed.repartitionByRange(num_files, F.col("_z"))
+                if num_files
+                else keyed.repartitionByRange(F.col("_z"))
+            ).sortWithinPartitions("_z").drop("_z")
+        elif cluster_by is not None:
             writer = (
                 df.repartitionByRange(num_files, F.col(cluster_by))
                 if num_files

@@ -128,3 +128,51 @@ def test_read_appends_since_after_compaction(spark, store):
     assert sorted((r.batch_id, r.id) for r in df2.collect()) == sorted(
         (r.batch_id, r.id) for r in full.collect()
     )
+
+
+# ------------------------------------------------------------ Z-order
+def test_zorder_commit_prunes_on_both_columns(spark, store):
+    """The Z-order claim: ONE layout keeps file-level locality on BOTH
+    interleaved columns, so read_pruned skips files for a range
+    predicate on either. Contrast layout: a single-column cluster_by
+    write prunes its own column but reads ~everything for the other.
+    The invariant stays: pruned == unpruned+filter, exactly."""
+    # two INDEPENDENT integer dimensions (id-derived but decorrelated)
+    rows = spark.range(4096).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000))).alias("seen_run"),
+        (F.pmod(F.xxhash64(F.concat(F.lit("y"), "id")), F.lit(1000))).alias("payload_len"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seen_run", T.LongType()),
+            T.StructField("payload_len", T.LongType()),
+        ]
+    )
+    store.commit_snapshot(
+        rows, "zt", num_files=16, zorder_by=("seen_run", "payload_len"),
+        stats_cols=["seen_run", "payload_len"],
+    )
+    store.commit_snapshot(
+        rows, "ct", num_files=16, cluster_by="seen_run",
+        stats_cols=["seen_run", "payload_len"],
+    )
+    full = store.read(spark, "zt", schema)
+    for col in ("seen_run", "payload_len"):
+        df, rep = store.read_pruned(spark, "zt", schema, col, lo=0, hi=120)
+        assert rep["files_read"] < rep["files_total"], (col, rep)
+        exp = full.where((F.col(col) >= 0) & (F.col(col) <= 120))
+        assert sorted(r.id for r in df.collect()) == sorted(r.id for r in exp.collect())
+    # z-order prunes the SECOND column strictly better than the
+    # single-column layout does (which keeps no payload_len locality)
+    _, z_rep = store.read_pruned(spark, "zt", schema, "payload_len", lo=0, hi=120)
+    _, c_rep = store.read_pruned(spark, "ct", schema, "payload_len", lo=0, hi=120)
+    assert z_rep["files_read"] < c_rep["files_read"], (z_rep, c_rep)
+
+
+def test_zorder_rejects_combined_cluster_by(spark, store):
+    with pytest.raises(ValueError, match="exclusive"):
+        store.commit_snapshot(
+            _rows(spark), "zt", cluster_by="seen_run", zorder_by=("id", "seen_run")
+        )
