@@ -179,6 +179,30 @@ def cmd_prep(args) -> int:
     return 0 if bad == 0 else 1
 
 
+def cmd_pipeline(args) -> int:
+    """The north-star flow end-to-end (plans/pipeline.py): seed parquet
+    -> checkpointed crawl -> fetch+parse (image decode) -> input_hint
+    catalog -> curated aspect-bucketed shards + manifest -> fail-closed
+    verification. Resumable: re-running with the same --state skips
+    committed crawl batches via the ledger."""
+    from pyspark.sql import SparkSession
+
+    from gepris_spark.plans.pipeline import run_pipeline
+
+    pre_existing = SparkSession.getActiveSession()
+    spark = _spark(args)
+    seeds = spark.read.parquet(args.seeds)
+    pages = spark.read.parquet(args.pages)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    report = run_pipeline(
+        spark, seeds, pages, args.state, args.out, batch_size=args.batch_size,
+        robots=robots,
+    )
+    print(json.dumps(report))
+    _stop_unless_owned(spark, pre_existing)
+    return 0 if report["verified_ok"] else 1
+
+
 def cmd_snapshots(args) -> int:
     """Iceberg-style table maintenance on an engine state dir: snapshot
     history, rollback-to-version, expiration, append-ledger compaction.
@@ -357,6 +381,17 @@ def main(argv=None) -> int:
     prep.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                       help="documents table dir (text shards only)")
     prep.set_defaults(fn=cmd_prep)
+
+    pipe = sub.add_parser(
+        "pipeline", help="seeds -> crawl -> parse -> catalog -> verified shards"
+    )
+    pipe.add_argument("--seeds", required=True, help="seed parquet path")
+    pipe.add_argument("--pages", required=True, help="page store parquet path")
+    pipe.add_argument("--robots", default=None, help="robots rules parquet")
+    pipe.add_argument("--state", required=True, help="crawl state directory (resumable)")
+    pipe.add_argument("--out", required=True, help="output dataset directory")
+    pipe.add_argument("--batch-size", type=int, default=10_000)
+    pipe.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -120,10 +120,12 @@ ORDER BY image_a, image_b
 
 
 # --------------------------------------------------------- curation
-def _staged(spark: SparkSession) -> DataFrame:
+def _staged(spark: SparkSession, cat: DataFrame | None = None) -> DataFrame:
     """Catalog rows + the sequential drop-reason column (the funnel
-    order is part of the contract: size -> aspect -> caption -> dedup)."""
-    cat = load_catalog(spark)
+    order is part of the contract: size -> aspect -> caption -> dedup).
+    `cat` overrides the fixture catalog with any input_hint-shaped
+    table (e.g. one a crawl just produced, plans/pipeline.py)."""
+    cat = cat if cat is not None else load_catalog(spark)
     return cat.select(
         "image_id",
         "fmt",

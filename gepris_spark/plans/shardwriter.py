@@ -32,11 +32,14 @@ from gepris_spark.plans import batchprep as BP
 from gepris_spark.plans.imagepipe import _staged, _with_dedup_reason, load_catalog
 
 
-def _packed_full_batches(spark: SparkSession) -> DataFrame:
+def _packed_full_batches(
+    spark: SparkSession, catalog: DataFrame | None = None
+) -> DataFrame:
     """Curated catalog rows with their (bucket_id, batch_id, slot)
-    assignment, full batches only — the exact rows the manifest counts."""
+    assignment, full batches only — the exact rows the manifest counts.
+    `catalog` overrides the fixture with any input_hint-shaped table."""
     cur = (
-        _with_dedup_reason(_staged(spark))
+        _with_dedup_reason(_staged(spark, catalog))
         .where(F.col("reason").isNull())
         .select("image_id", "w", "h")
     )
@@ -63,22 +66,44 @@ def _write_one_file_per_shard(
     )
 
 
-def write_image_shards(spark: SparkSession, out_dir: str) -> dict:
+def write_image_shards(
+    spark: SparkSession, out_dir: str, catalog: DataFrame | None = None
+) -> dict:
     """Write one parquet file per full batch under
     `out_dir/shards/bucket_id=B/batch_id=N/` carrying the payload rows
     (image_id, slot, bytes, caption, w, h, fmt), plus the manifest at
-    `out_dir/manifest.parquet`. Returns {n_shards, n_rows}."""
-    packed = _packed_full_batches(spark).select(
+    `out_dir/manifest.parquet`. `catalog` overrides the fixture with
+    any input_hint-shaped table (the crawl pipeline's output). Returns
+    {n_shards, n_rows}."""
+    cat = catalog if catalog is not None else load_catalog(spark)
+    packed = _packed_full_batches(spark, catalog).select(
         "image_id", "bucket_id", "batch_id", "slot"
     )
     payload = packed.join(
-        load_catalog(spark).select("image_id", "bytes", "caption", "w", "h", "fmt"),
-        "image_id",
+        cat.select("image_id", "bytes", "caption", "w", "h", "fmt"), "image_id"
     )
     _write_one_file_per_shard(
         payload, ["bucket_id", "batch_id"], "slot", os.path.join(out_dir, "shards")
     )
-    manifest = BP.q_image_train_manifest(spark, "")
+    # the manifest is derived from the SAME packed assignment the
+    # shards were written from (batchprep.q_image_train_manifest is the
+    # fixture-bound oracle twin of this aggregation)
+    manifest = (
+        packed.groupBy("bucket_id", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("image_id").alias("first_image"),
+            F.max("image_id").alias("last_image"),
+            F.sum(TS.hash60(F.col("image_id"))).alias("checksum"),
+        )
+        .withColumn("bucket_w", F.expr(BP._ASPECT_W).cast("long"))
+        .withColumn("bucket_h", F.expr(BP._ASPECT_H).cast("long"))
+        .select(
+            "bucket_id", "bucket_w", "bucket_h", "batch_id",
+            "n_images", "first_image", "last_image", "checksum",
+        )
+        .orderBy("bucket_id", "batch_id")
+    )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "manifest.parquet")
     )
