@@ -98,18 +98,22 @@ def _norm16(col, lo, hi):
     return F.greatest(F.lit(0), F.least(F.lit(top), scaled))
 
 
-def _morton_key(ca, a0, a1, cb, b0, b1):
-    """Bit-interleave two 16-bit-normalized columns into a 32-bit
-    Morton (Z-order) key: locality on the key implies locality on both
-    inputs, which is why one range-clustered layout prunes either
-    column's range predicates."""
-    na = _norm16(ca, a0, a1)
-    nb = _norm16(cb, b0, b1)
+def _morton_key(normed: list) -> "F.Column":
+    """Bit-interleave k 16-bit-normalized columns into a 16k-bit Morton
+    (Z-order) key, round-robin from the high bit: locality on the key
+    implies locality on every input, which is why one range-clustered
+    layout prunes any column's range predicates. k*16 must fit a long
+    (k <= 3 at 16 bits; commit_snapshot enforces it)."""
+    k = len(normed)
     z = F.lit(0).cast("long")
     for i in range(_Z_BITS):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(na, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(F.shiftleft(F.shiftright(nb, i).bitwiseAND(F.lit(1)), 2 * i))
+        for j, col in enumerate(normed):
+            # bit i of column j lands at position i*k + (k-1-j)
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(col, i).bitwiseAND(F.lit(1)), i * k + (k - 1 - j)
+                )
+            )
     return z
 
 
@@ -230,7 +234,7 @@ class SnapshotStore:
         name: str,
         num_files: int | None = None,
         cluster_by: str | None = None,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
         stats_cols: list[str] | None = None,
     ) -> int:
         """Write the next snapshot version and atomically flip the pointer.
@@ -238,35 +242,38 @@ class SnapshotStore:
         `cluster_by` range-clusters the write on a column (Iceberg
         sort-order / range distribution): each output file covers a
         disjoint value range, which is what makes the footer min/max
-        stats selective. `zorder_by` instead interleaves TWO integer
+        stats selective. `zorder_by` instead interleaves 2-3 integer
         columns into a Morton key and range-clusters on that (Iceberg
-        `rewrite_data_files(sort_order => zorder(a, b))` / Delta
+        `rewrite_data_files(sort_order => zorder(a, b, ...))` / Delta
         `OPTIMIZE ... ZORDER BY`): one layout keeps value locality on
-        BOTH columns, so `read_pruned` skips files for range predicates
-        on either — a single-column cluster prunes only its own column
-        and reads ~everything for the other. `stats_cols` persists a
-        `_STATS.json` manifest from the file footers at commit time
-        (Iceberg manifest min/max parity) for `read_pruned` to skip
-        files against."""
+        EVERY interleaved column, so `read_pruned` skips files for
+        range predicates on any of them — a single-column cluster
+        prunes only its own column and reads ~everything for the
+        others. `stats_cols` persists a `_STATS.json` manifest from
+        the file footers at commit time (Iceberg manifest min/max
+        parity) for `read_pruned` to skip files against."""
         if cluster_by is not None and zorder_by is not None:
             raise ValueError("commit_snapshot: cluster_by and zorder_by are exclusive")
+        if zorder_by is not None and not 2 <= len(zorder_by) <= 3:
+            raise ValueError("commit_snapshot: zorder_by takes 2-3 columns")
         version = (self.current_version(name) or 0) + 1
         path = os.path.join(self._table_dir(name), f"v{version}")
         if os.path.exists(path):  # leftover from a killed run — never committed
             shutil.rmtree(path)
         if zorder_by is not None:
-            a, b = zorder_by
             # normalize each column to a 16-bit rank-free scale using
             # the batch min/max (ONE tiny agg job), then interleave —
             # monotone per column, so per-file min/max stay selective
-            # on both; ties/skew only cost pruning, never correctness
-            bounds = df.agg(
-                F.min(a).alias("_a0"), F.max(a).alias("_a1"),
-                F.min(b).alias("_b0"), F.max(b).alias("_b1"),
-            ).collect()[0]
+            # on all; ties/skew only cost pruning, never correctness
+            aggs = []
+            for i, c in enumerate(zorder_by):
+                aggs += [F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}")]
+            bounds = df.agg(*aggs).collect()[0]
             z = _morton_key(
-                F.col(a), bounds["_a0"], bounds["_a1"],
-                F.col(b), bounds["_b0"], bounds["_b1"],
+                [
+                    _norm16(F.col(c), bounds[f"_lo{i}"], bounds[f"_hi{i}"])
+                    for i, c in enumerate(zorder_by)
+                ]
             )
             keyed = df.withColumn("_z", z)
             writer = (

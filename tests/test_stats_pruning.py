@@ -176,3 +176,27 @@ def test_zorder_rejects_combined_cluster_by(spark, store):
         store.commit_snapshot(
             _rows(spark), "zt", cluster_by="seen_run", zorder_by=("id", "seen_run")
         )
+
+
+def test_zorder_three_columns_prune_each(spark, store):
+    rows = spark.range(4096).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("a"),
+        F.pmod(F.xxhash64(F.concat(F.lit("y"), "id")), F.lit(1000)).alias("b"),
+        F.pmod(F.xxhash64(F.concat(F.lit("z"), "id")), F.lit(1000)).alias("c"),
+    )
+    schema = T.StructType([T.StructField(n, T.LongType()) for n in ("id", "a", "b", "c")])
+    store.commit_snapshot(
+        rows, "z3", num_files=16, zorder_by=("a", "b", "c"), stats_cols=["a", "b", "c"]
+    )
+    full = store.read(spark, "z3", schema)
+    for col in ("a", "b", "c"):
+        df, rep = store.read_pruned(spark, "z3", schema, col, lo=0, hi=60)
+        assert rep["files_read"] < rep["files_total"], (col, rep)
+        exp = full.where((F.col(col) >= 0) & (F.col(col) <= 60))
+        assert sorted(r.id for r in df.collect()) == sorted(r.id for r in exp.collect())
+
+
+def test_zorder_rejects_bad_arity(spark, store):
+    with pytest.raises(ValueError, match="2-3 columns"):
+        store.commit_snapshot(_rows(spark), "zz", zorder_by=("id",))
