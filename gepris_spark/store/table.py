@@ -432,6 +432,57 @@ class SnapshotStore:
             df = df.where(F.col(col) <= F.lit(hi))
         return df, report
 
+    def read_pruned_multi(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: T.StructType,
+        ranges: dict,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Conjunctive range-predicate read: `ranges` maps column ->
+        (lo, hi) (either bound None = unbounded); a file is skipped
+        when ANY predicate's [lo, hi] misses its footer [min, max] —
+        the payoff of a Z-ordered layout, where every interleaved
+        column's stats are selective at once. Same contract as
+        `read_pruned`: residual predicates still applied, files
+        without stats conservatively read, returns (df, report)."""
+        version = self._resolve_version(name, version)
+        if version is None:
+            return spark.createDataFrame([], schema), {"files_total": 0, "files_read": 0}
+        vdir = os.path.join(self._table_dir(name), f"v{version}")
+        cols = list(ranges)
+        manifest = self.file_stats(name, cols, version=version)
+        all_files = []
+        for dirpath, _d, files in os.walk(vdir):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    all_files.append(os.path.relpath(os.path.join(dirpath, fname), vdir))
+        keep = []
+        for rel in all_files:
+            st_all = manifest["files"].get(rel, {})
+            skip = False
+            for col, (lo, hi) in ranges.items():
+                st = st_all.get(col)
+                if st is None:
+                    continue  # no stats for this column — cannot use it
+                fmin, fmax = st
+                if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                    skip = True
+                    break
+            if not skip:
+                keep.append(rel)
+        report = {"files_total": len(all_files), "files_read": len(keep)}
+        if not keep:
+            return spark.createDataFrame([], schema), report
+        df = spark.read.schema(schema).parquet(*[os.path.join(vdir, rel) for rel in keep])
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(col) <= F.lit(hi))
+        return df, report
+
     def read_appends_since(
         self, spark: SparkSession, name: str, schema: T.StructType, min_batch_id: int
     ) -> tuple[DataFrame, dict]:

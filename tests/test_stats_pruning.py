@@ -200,3 +200,30 @@ def test_zorder_three_columns_prune_each(spark, store):
 def test_zorder_rejects_bad_arity(spark, store):
     with pytest.raises(ValueError, match="2-3 columns"):
         store.commit_snapshot(_rows(spark), "zz", zorder_by=("id",))
+
+
+def test_zorder_conjunctive_pruning_beats_single_predicate(spark, store):
+    """The point of the Z layout: an AND of range predicates prunes the
+    INTERSECTION of each column's file sets — strictly fewer files than
+    either predicate alone — while returning exactly the filtered rows."""
+    rows = spark.range(4096).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("a"),
+        F.pmod(F.xxhash64(F.concat(F.lit("y"), "id")), F.lit(1000)).alias("b"),
+    )
+    schema = T.StructType([T.StructField(n, T.LongType()) for n in ("id", "a", "b")])
+    store.commit_snapshot(
+        rows, "zc", num_files=16, zorder_by=("a", "b"), stats_cols=["a", "b"]
+    )
+    df, rep = store.read_pruned_multi(
+        spark, "zc", schema, {"a": (0, 200), "b": (0, 200)}
+    )
+    _, rep_a = store.read_pruned(spark, "zc", schema, "a", lo=0, hi=200)
+    _, rep_b = store.read_pruned(spark, "zc", schema, "b", lo=0, hi=200)
+    assert rep["files_read"] <= min(rep_a["files_read"], rep_b["files_read"])
+    assert rep["files_read"] < rep["files_total"]
+    full = store.read(spark, "zc", schema)
+    exp = full.where(
+        (F.col("a") >= 0) & (F.col("a") <= 200) & (F.col("b") >= 0) & (F.col("b") <= 200)
+    )
+    assert sorted(r.id for r in df.collect()) == sorted(r.id for r in exp.collect())
