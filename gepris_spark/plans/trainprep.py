@@ -598,6 +598,67 @@ GROUP BY source ORDER BY source
 SQL_CORPUS_TOKEN_PROFILE = _sql_token_profile()
 
 
+# ---------------------------------------- late-data watermark stream
+def q_events_late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windowed counts as a Structured Streaming job where a
+    deterministic subset of events arrives LATE (two micro-batch files
+    after their event-time slot) behind a 30-minute watermark: a late
+    row is dropped iff its window end <= the watermark in force for
+    its batch, absorbed as normal otherwise — the accepted-late vs
+    dropped-late distinction that watermarks exist for
+    (streaming/latestream.py has the determinism scaffolding).
+
+    Oracle: the watermark trajectory is a pure function of the data,
+    so the SQL replays the same file assignment (row r of n -> file
+    r*4 div n; late -> +2 capped), the same per-file running-max
+    watermark, and the same window_end <= wm drop rule. One empirical
+    subtlety, pinned by reconstructing Spark's per-row accept/drop set
+    from the sink: the late filter in micro-batch k uses the watermark
+    computed from batches <= k-2 — the advancement from batch k-1
+    applies to eviction but reaches the FILTER one batch later (the
+    progress log's per-batch `watermark` shows the k-1 value while the
+    dropped rows bound the effective cutoff at k-2; run the
+    reconstruction in tests/test_late_stream.py to re-verify on a
+    Spark upgrade)."""
+    from gepris_spark.streaming.latestream import run_late_stream
+
+    events_pdf = (
+        load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value").toPandas()
+    )
+    return run_late_stream(spark, events_pdf, query_name="events_late_data_sink")
+
+
+SQL_EVENTS_LATE_DATA = """
+WITH ord AS (
+  SELECT event_id, ts, value,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM events),
+assign AS (
+  SELECT *,
+         CASE WHEN ('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 0
+              THEN least((r * 4) // n + 2, 3)
+              ELSE (r * 4) // n END AS f
+  FROM ord),
+fmax AS (SELECT f, max(ts) AS fm FROM assign GROUP BY f),
+wm AS (SELECT d.f,
+              -- one-batch lag: the filter in batch k uses the watermark
+              -- computed from batches <= k-2 (see q docstring)
+              (SELECT max(fm) FROM fmax WHERE fmax.f <= d.f - 2)
+                - INTERVAL 30 MINUTE AS wm
+       FROM (SELECT DISTINCT f FROM assign) d),
+acc AS (
+  SELECT a.*, date_trunc('hour', a.ts) AS ws
+  FROM assign a JOIN wm ON wm.f = a.f
+  WHERE wm.wm IS NULL
+     OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR > wm.wm)
+SELECT ws AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM acc GROUP BY ws ORDER BY ws
+"""
+
+
 # ----------------------------------------------------------- domain cap
 _DOMAIN_CAP = 10
 
@@ -1437,5 +1498,6 @@ TRAINPREP_QUERIES = {
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES),
     "corpus_token_profile": (q_corpus_token_profile, SQL_CORPUS_TOKEN_PROFILE),
+    "events_late_data_stream": (q_events_late_data_stream, SQL_EVENTS_LATE_DATA),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
 }

@@ -1,0 +1,96 @@
+"""Late-data watermark stream (streaming/latestream.py): semantic
+invariants beyond the DuckDB parity in tests/test_contract_oracle.py.
+
+The load-bearing test is the per-row RECONSTRUCTION: Spark's effective
+late filter is empirical (the watermark reaching the filter lags one
+batch behind the one the progress log displays), so this suite
+re-derives every row's accept/drop decision in plain pandas under the
+documented rule (drop iff window_end <= max(event time over batches
+<= k-2) - delay) and demands the sink's per-window counts match
+exactly. If a Spark upgrade changes the lag, THIS test is the one
+that fails with a readable diff — fix the oracle SQL and the module
+docstring together."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from gepris_spark.streaming import latestream as LS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")[
+        ["event_id", "ts", "user_id", "value"]
+    ]
+
+
+def _expected_counts(events: pd.DataFrame) -> pd.Series:
+    """Plain-pandas replay of the documented accept/drop rule."""
+    pdf = events.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    slot = pd.Series(range(n), dtype="int64") * LS._N_FILES // max(n, 1)
+    late = pdf["event_id"].map(LS._is_late)
+    pdf = pdf.assign(
+        f=slot.where(~late, (slot + LS._LATE_SHIFT).clip(upper=LS._N_FILES - 1))
+    )
+    pdf["we"] = pdf["ts"].dt.floor("h") + pd.Timedelta(hours=1)
+    fmax = pdf.groupby("f")["ts"].max()
+    keep = pd.Series(True, index=pdf.index)
+    for k in sorted(pdf["f"].unique()):
+        prior = fmax[fmax.index <= k - 2]
+        if len(prior):
+            wm = prior.max() - pd.Timedelta(minutes=30)
+            sel = pdf["f"] == k
+            keep.loc[sel] = pdf.loc[sel, "we"] > wm
+    return pdf[keep].groupby(pdf["ts"].dt.floor("h")).size()
+
+
+def test_stream_counts_equal_reconstructed_rule(spark, events):
+    got = (
+        LS.run_late_stream(spark, events, query_name="late_recon")
+        .toPandas()
+        .set_index("window_start")["n_events"]
+        .sort_index()
+    )
+    exp = _expected_counts(events).sort_index()
+    assert list(got.index) == list(exp.index)
+    assert list(got.values) == list(exp.values)
+
+
+def test_late_rows_actually_drop(spark, events):
+    """The corpus must exercise the semantics: some rows drop (output
+    total < input) and some survive as accepted-late (windows spanning
+    batches with partial counts exist)."""
+    out = LS.run_late_stream(spark, events, query_name="late_drops").toPandas()
+    assert out["n_events"].sum() < len(events)
+    full = events.groupby(events["ts"].dt.floor("h")).size()
+    merged = out.set_index("window_start")["n_events"].to_frame("acc").join(
+        full.to_frame("tot")
+    )
+    partial = merged[(merged["acc"] < merged["tot"]) & (merged["acc"] > 0)]
+    assert len(partial) > 0, "no window with BOTH accepted and dropped rows"
+
+
+def test_rerun_replaces_memory_sink(spark, events):
+    a = LS.run_late_stream(spark, events, query_name="late_rerun").toPandas()
+    b = LS.run_late_stream(spark, events, query_name="late_rerun").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_single_file_arrival_drops_nothing(spark, events):
+    """With one arrival file nothing is late relative to anything:
+    the stream must equal the plain batch windowed count."""
+    out = LS.run_late_stream(
+        spark, events, query_name="late_single", n_files=1
+    ).toPandas()
+    full = events.groupby(events["ts"].dt.floor("h")).size()
+    assert out["n_events"].sum() == len(events)
+    assert len(out) == len(full)
