@@ -1478,6 +1478,94 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_stream(spark, events_pdf, query_name="events_sessionize_stream_sink")
 
 
+# ------------------------------------------------------- range join
+_RANGE_WINDOW_US = 2 * 3600 * 1_000_000  # 2-hour attribution window, in micros
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment range join (self-join on the event log):
+    every `view` event opens a 2-hour attribution window [ts, ts+2h),
+    and every later `click`/`purchase` by the same user inside the
+    window attaches to it; the rollup is per window (count / value sum
+    / latest witness id). Completes the temporal-join family next to
+    the as-of join (q_events_asof_enrich): as-of = most recent single
+    match, range = every overlapping match.
+
+    Spark-first shape: a naive `v.ts <= e.ts AND e.ts < v.ts + 2h`
+    join is a per-user nested loop — Catalyst plans O(n*m) per key,
+    which dies at 100 TB on power users. This query buckets event time
+    at exactly the interval width W, so every window spans at most 2
+    buckets (explode x2) and every probe event exactly 1 — the range
+    join becomes an EQUI-join on (user_id, epoch_bucket) followed by
+    the exact residual predicate. One shuffle for the join, partial-agg
+    for the rollup; the 2x duplication is the entire cost, vs the
+    quadratic blowup. Bucket granularity = max interval width is the
+    standard binned-range-join construction (same family as the LSH
+    band trick in datapipe.q_dedup_minhash_lsh). A pair can never match
+    twice — the exploded window rows carry distinct bucket ids and a
+    probe event has exactly one — so no post-join distinct is needed.
+
+    Exactness vs the oracle: microsecond-integer time (unix_micros /
+    epoch_us — unix_timestamp would truncate sub-second parts and
+    diverge on boundary rows), value sums in integer micro-units, and
+    the DuckDB SUM cast back to BIGINT (HUGEINT hash-mismatches)."""
+    W = _RANGE_WINDOW_US
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        # ts is TIMESTAMP_NTZ in the parquet; the session TZ is pinned
+        # UTC, so the cast is the identity and unix_micros stays exact
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    windows = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("window_id"),
+            "user_id",
+            F.col("t_us").alias("w_start"),
+        )
+        .withColumn("_b", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("bucket", (F.col("w_start") / W).cast("long") + F.col("_b"))
+        .drop("_b")
+    )
+    probes = ev.where(F.col("event_type").isin("click", "purchase")).withColumn(
+        "bucket", (F.col("t_us") / W).cast("long")
+    )
+    joined = probes.join(windows, ["user_id", "bucket"]).where(
+        (F.col("w_start") <= F.col("t_us")) & (F.col("t_us") < F.col("w_start") + W)
+    )
+    return (
+        joined.groupBy("window_id", "user_id")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "attributed_value_micro"
+            ),
+            F.max("event_id").alias("latest_event_id"),
+        )
+        .orderBy("window_id")
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = f"""
+SELECT v.event_id AS window_id, v.user_id,
+       COUNT(*) AS n_attributed,
+       CAST(SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) AS BIGINT)
+         AS attributed_value_micro,
+       MAX(e.event_id) AS latest_event_id
+FROM events v
+JOIN events e
+  ON e.user_id = v.user_id
+ AND epoch_us(v.ts) <= epoch_us(e.ts)
+ AND epoch_us(e.ts) < epoch_us(v.ts) + {_RANGE_WINDOW_US}
+WHERE v.event_type = 'view' AND e.event_type IN ('click', 'purchase')
+GROUP BY v.event_id, v.user_id
+ORDER BY v.event_id
+"""
+
+
 TRAINPREP_QUERIES = {
     "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
     "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
@@ -1500,4 +1588,5 @@ TRAINPREP_QUERIES = {
     "corpus_token_profile": (q_corpus_token_profile, SQL_CORPUS_TOKEN_PROFILE),
     "events_late_data_stream": (q_events_late_data_stream, SQL_EVENTS_LATE_DATA),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
 }

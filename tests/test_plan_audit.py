@@ -344,3 +344,19 @@ def test_hard_negatives_broadcasts_query_set(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(query_id" in plan
+
+
+def test_events_range_join_is_equi_join(spark):
+    """The binned range join must compile to a pure equi-join on
+    (user_id, bucket) — never the nested-loop plan a raw interval
+    predicate produces — with the residual containment as a post-join
+    filter and a partial-agg rollup."""
+    from gepris_spark.plans.trainprep import q_events_range_join
+
+    plan = _plan(q_events_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    # all codegen — no Python stage anywhere in this query
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
