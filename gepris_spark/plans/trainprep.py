@@ -1566,6 +1566,165 @@ ORDER BY v.event_id
 """
 
 
+# ------------------------------------------------------- KMV sketch
+_KMV_K = 32
+
+
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type —
+    the mergeable-sketch family (crawl analogue: per-host distinct-URL
+    cardinality without holding the URL set, next to the bloom filter
+    in operators/urlseen.py which answers membership, not cardinality).
+
+    The estimator is the classic order-statistic: hash every distinct
+    key uniformly into [0, 2^60), keep the k smallest hashes, and the
+    k-th smallest h_k gives estimate = (k-1) * 2^60 / h_k. Groups with
+    fewer than k distinct keys fall back to the exact count (both
+    branches are exercised by the testdata: 15 users/type at sf0.001,
+    150 at sf0.01 vs k=32). Unlike HLL/approx_count_distinct, the
+    whole computation is DETERMINISTIC given the hash (the engine-
+    neutral md5-based hash60), so the DuckDB oracle is value-exact —
+    a sketch whose correctness is graded, not eyeballed.
+
+    Shape at 100 TB: one shuffle for the distinct, one for the
+    per-group rank; the window sorts only distinct keys. (A production
+    run would fold the min-k into a bounded-buffer partial aggregate —
+    Spark lacks a built-in bounded top-k UDAF, so the rank formulation
+    keeps the plan whole-stage-codegen instead of dropping to Python.)
+    Float discipline: (k-1)*2^60 is exactly representable in float64
+    and both engines evaluate the single IEEE division then half-up
+    round identically."""
+    k = _KMV_K
+    d = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type",
+        TS.hash60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    agg = (
+        h.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
+        )
+    )
+    est = (
+        F.when(
+            F.col("kth_hash").isNotNull(),
+            F.round(F.lit(float((k - 1) * (1 << 60))) / F.col("kth_hash")).cast("long"),
+        )
+        .otherwise(F.col("n_exact"))
+        .alias("kmv_estimate")
+    )
+    return agg.select("event_type", "n_exact", "kth_hash", est).orderBy("event_type")
+
+
+SQL_EVENTS_KMV_DISTINCT = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM d),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+a AS (SELECT event_type, count(*) AS n_exact,
+             max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash
+      FROM r GROUP BY event_type)
+SELECT event_type, n_exact, kth_hash,
+       CAST(CASE WHEN kth_hash IS NOT NULL
+                 THEN round({float((_KMV_K - 1) * (1 << 60))!r} / kth_hash)
+                 ELSE n_exact END AS BIGINT) AS kmv_estimate
+FROM a ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------- k-core peel
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round degree peeling toward the 3-core of the
+    customer–supplier graph (same edge derivation as q_graph_pagerank;
+    crawl analogue: pruning weakly-connected hosts from the frontier
+    before spending fetch budget on them). Each round drops every node
+    whose current degree is below k together with its incident edges;
+    like the pagerank query, the round count is fixed and unrolled so
+    the DuckDB oracle is the same R rounds as CTEs (a fixpoint loop
+    would terminate identically once no round removes a node — R=3
+    reaches it on this graph shape; the convergence pattern for
+    unbounded R is dedup_clusters' raise-on-no-fixpoint loop).
+
+    Shape at 100 TB: per round ONE groupBy for degrees (map-side
+    partial on the node key) and two semi-joins of edges against the
+    survivor set. The survivor set is O(|nodes|) — on this bipartite
+    graph bounded by |customer| + |supplier|, orders of magnitude below
+    the edge count — so it broadcasts and the edge relation never
+    reshuffles; each round's surviving edges are persisted so round
+    r+1's degree count starts from blocks, not from a re-derivation of
+    the whole prefix (the unpersisted form re-ran the orders⋈lineitem
+    distinct once per downstream round: 9.8 s → 3.1 s warm at sf0.1).
+    Caches are registered with cacheutil (callers release per the
+    documented lifecycle). Output is the surviving nodes with their
+    final in-core degree."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    edges = cacheutil.track(edges.persist())
+    for _ in range(_KCORE_ROUNDS):
+        keep = _deg(edges).where(F.col("deg") >= _KCORE_K).select("node")
+        edges = cacheutil.track(
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "src")), "src", "left_semi"
+            )
+            .join(F.broadcast(keep.withColumnRenamed("node", "dst")), "dst", "left_semi")
+            .persist()
+        )
+    return _deg(edges).orderBy("node")
+
+
+def _kcore_round_sql(i: int) -> str:
+    return f"""
+d{i} AS (SELECT node, count(*) AS deg FROM
+         (SELECT src AS node FROM e{i} UNION ALL SELECT dst FROM e{i})
+         GROUP BY node),
+e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e
+         JOIN d{i} a ON e.src = a.node AND a.deg >= {_KCORE_K}
+         JOIN d{i} b ON e.dst = b.node AND b.deg >= {_KCORE_K})"""
+
+
+_KCORE_ROUNDS_SQL = ",".join(_kcore_round_sql(i) for i in range(_KCORE_ROUNDS))
+
+SQL_GRAPH_KCORE = f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),{_KCORE_ROUNDS_SQL}
+SELECT node, count(*) AS deg FROM
+(SELECT src AS node FROM e{_KCORE_ROUNDS}
+ UNION ALL SELECT dst FROM e{_KCORE_ROUNDS})
+GROUP BY node ORDER BY node
+"""
+
+
 TRAINPREP_QUERIES = {
     "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
     "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
@@ -1589,4 +1748,6 @@ TRAINPREP_QUERIES = {
     "events_late_data_stream": (q_events_late_data_stream, SQL_EVENTS_LATE_DATA),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "events_kmv_distinct": (q_events_kmv_distinct, SQL_EVENTS_KMV_DISTINCT),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
 }

@@ -360,3 +360,25 @@ def test_events_range_join_is_equi_join(spark):
     assert plan.count("HashAggregate") >= 2
     # all codegen — no Python stage anywhere in this query
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_distinct_stays_codegen(spark):
+    """The KMV sketch is hash + window rank + aggregate — no Python
+    stage, no cartesian anything."""
+    from gepris_spark.plans.trainprep import q_events_kmv_distinct
+
+    plan = _plan(q_events_kmv_distinct(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_broadcasts_survivor_set(spark):
+    """Every peel round must broadcast the bounded survivor set — the
+    edge relation never reshuffles for the semi-joins."""
+    from gepris_spark import cacheutil
+    from gepris_spark.plans.trainprep import q_graph_kcore
+
+    plan = _plan(q_graph_kcore(spark, SF))
+    cacheutil.release_caches()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
