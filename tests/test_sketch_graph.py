@@ -1,0 +1,93 @@
+"""Semantic tests for the session-7 contract queries: the binned range
+join, the KMV distinct sketch, and the k-core peel. Oracle parity is
+covered by tests/test_contract_oracle.py; these pin the claims the
+docstrings make beyond parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gepris_spark import cacheutil
+from gepris_spark.plans.relational import load
+from gepris_spark.plans.trainprep import (
+    _KCORE_K,
+    _KMV_K,
+    _RANGE_WINDOW_US,
+    q_events_kmv_distinct,
+    q_events_range_join,
+    q_graph_kcore,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_range_join_equals_naive_inequality_join(spark):
+    """The binned equi-join formulation must return exactly what the
+    direct (nested-loop) interval predicate returns — bucketing is a
+    plan optimization, never a semantics change."""
+    ev = load(spark, SF, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("window_id"), "user_id", F.col("t_us").alias("w_start")
+    )
+    e = ev.where(F.col("event_type").isin("click", "purchase"))
+    naive = (
+        e.join(v, "user_id")
+        .where(
+            (F.col("w_start") <= F.col("t_us"))
+            & (F.col("t_us") < F.col("w_start") + _RANGE_WINDOW_US)
+        )
+        .groupBy("window_id", "user_id")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "attributed_value_micro"
+            ),
+            F.max("event_id").alias("latest_event_id"),
+        )
+    )
+    got = {tuple(r) for r in q_events_range_join(spark, SF).collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_kmv_fallback_and_estimate_branches(spark):
+    """sf0.001 has 15 users per type (< k=32): every row must take the
+    exact-count fallback with a null k-th hash."""
+    rows = q_events_kmv_distinct(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.kth_hash is None
+        assert r.kmv_estimate == r.n_exact
+
+
+def test_kmv_estimator_accuracy_at_sf001(spark):
+    """sf0.01 has 150 users per type (> k=32): the sketch branch fires
+    and the deterministic estimate lands near the true cardinality.
+    k=32 gives a ~18% standard error; 50% is a loose, stable bound for
+    this fixed dataset + fixed hash."""
+    rows = q_events_kmv_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert all(r.kth_hash is not None for r in rows)
+    for r in rows:
+        assert abs(r.kmv_estimate - r.n_exact) / r.n_exact < 0.5, (
+            r.event_type,
+            r.kmv_estimate,
+            r.n_exact,
+        )
+
+
+def test_kcore_rounds_reach_fixpoint(spark):
+    """The docstring claims R=3 peel rounds reach the 3-core fixpoint
+    on this graph shape: every surviving node's final degree must be
+    >= k (one more round would remove nobody)."""
+    out = q_graph_kcore(spark, SF)
+    below = out.where(F.col("deg") < _KCORE_K).count()
+    total = out.count()
+    cacheutil.release_caches()
+    assert total > 0
+    assert below == 0
