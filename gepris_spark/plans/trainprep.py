@@ -1725,6 +1725,148 @@ GROUP BY node ORDER BY node
 """
 
 
+# ------------------------------------------------------- DSIR selection
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_KEEP_DEN = 4  # keep the top 1/4 by importance weight
+
+
+def _ln_micro(x) -> "F.Column":
+    """ln snapped to integer micro-nats — the sole libm call is rounded
+    immediately so everything downstream is order-invariant BIGINT
+    arithmetic (same discipline as batchprep.q_text_lm_perplexity)."""
+    return F.round(F.log(x) * F.lit(1000000.0), 0).cast("long")
+
+
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): score every document
+    by the log-likelihood ratio of a target unigram distribution (here:
+    the English subset) vs the raw corpus distribution, over HASHED
+    feature buckets, and keep the top quarter by weight. This is the
+    importance-weighting step every pretraining-mix pipeline runs
+    between raw crawl and tokenizer.
+
+    Shape at 100 TB: tokenization is scan-side; ONE corpus shuffle
+    builds the per-bucket raw/target counts (a single groupBy with a
+    conditional sum — the target distribution is not a second pass);
+    the bucket table is B=256 rows, so the per-token scoring join is a
+    broadcast and the per-doc weight a map-side partial sum. The keep
+    threshold is the k-th largest weight via TakeOrderedAndProject
+    (partial top-k per partition, never a global sort), broadcast back
+    as a 1-row literal relation. The one driver-side count() that sizes
+    k is a metadata count at store scale.
+
+    Cross-engine exactness: each of the four ln() calls snaps to
+    integer micro-nats immediately (_ln_micro); bucket lambdas and doc
+    weights are BIGINT sums of those — addition-order invariant — and
+    `kept` is a pure integer comparison against the rank-based (never
+    interpolated) threshold, tie-inclusive by construction."""
+    B = _DSIR_B
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text", "lang")
+    inst = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(TS.tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (TS.hash60(F.concat(F.lit("dsir:"), F.col("tok"))) % B).alias("bucket"),
+    )
+    bstats = inst.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_b"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t_b"),
+    )
+    tot = bstats.agg(F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot"))
+    lam = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            _ln_micro(F.col("t_b") + 1)
+            - _ln_micro(F.col("t_tot") + B)
+            - _ln_micro(F.col("r_b") + 1)
+            + _ln_micro(F.col("r_tot") + B)
+        ).alias("lam_micro"),
+    )
+    doc_w = (
+        inst.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lam_micro").alias("weight_micro"),
+        )
+    )
+    allw = (
+        docs.select("doc_id")
+        .join(doc_w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("weight_micro"), F.lit(0)).alias("weight_micro"),
+        )
+    )
+    n_docs = docs.count()
+    k = -(-n_docs // _DSIR_KEEP_DEN)  # ceil
+    thr = (
+        allw.orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(k)
+        .agg(F.min("weight_micro").alias("thr_w"))
+    )
+    return (
+        allw.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_micro",
+            (F.col("weight_micro") >= F.col("thr_w")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_LNM = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+
+SQL_CORPUS_DSIR_WEIGHTS = f"""
+WITH inst AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         ('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT % {_DSIR_B} AS bucket
+  FROM documents, unnest({_SQL_TOKENS_TRAINPREP}) AS u(tok)
+),
+b AS (
+  SELECT bucket, count(*) AS r_b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_b
+  FROM inst GROUP BY bucket
+),
+tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM b),
+lam AS (
+  SELECT bucket,
+         {_DSIR_LNM.format(x="t_b + 1")} - {_DSIR_LNM.format(x="t_tot + " + str(_DSIR_B))}
+       - {_DSIR_LNM.format(x="r_b + 1")} + {_DSIR_LNM.format(x="r_tot + " + str(_DSIR_B))}
+         AS lam_micro
+  FROM b, tot
+),
+w AS (
+  SELECT i.doc_id, count(*) AS n_tokens,
+         CAST(sum(l.lam_micro) AS BIGINT) AS weight_micro
+  FROM inst i JOIN lam l USING (bucket) GROUP BY i.doc_id
+),
+allw AS (
+  SELECT d.doc_id, coalesce(w.n_tokens, 0) AS n_tokens,
+         CAST(coalesce(w.weight_micro, 0) AS BIGINT) AS weight_micro
+  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+),
+thr AS (
+  SELECT min(weight_micro) AS thr_w FROM (
+    SELECT weight_micro FROM allw
+    ORDER BY weight_micro DESC, doc_id
+    LIMIT (SELECT CAST(ceil(count(*) * 1.0 / {_DSIR_KEEP_DEN}) AS BIGINT)
+           FROM documents)
+  )
+)
+SELECT a.doc_id, a.n_tokens, a.weight_micro,
+       a.weight_micro >= (SELECT thr_w FROM thr) AS kept
+FROM allw a ORDER BY a.doc_id
+"""
+
+
 TRAINPREP_QUERIES = {
     "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
     "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
@@ -1750,4 +1892,5 @@ TRAINPREP_QUERIES = {
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_kmv_distinct": (q_events_kmv_distinct, SQL_EVENTS_KMV_DISTINCT),
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    "corpus_dsir_weights": (q_corpus_dsir_weights, SQL_CORPUS_DSIR_WEIGHTS),
 }

@@ -382,3 +382,16 @@ def test_kcore_broadcasts_survivor_set(spark):
     cacheutil.release_caches()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_threshold_is_partial_topk(spark):
+    """DSIR's keep threshold must come from TakeOrderedAndProject
+    (partial per-partition top-k), never a global sort; the scoring
+    join must broadcast the 256-bucket lambda table; no Python stage."""
+    from gepris_spark.plans.trainprep import q_corpus_dsir_weights
+
+    plan = _plan(q_corpus_dsir_weights(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
