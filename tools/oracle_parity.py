@@ -91,6 +91,7 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
+    from gepris_spark import cacheutil
     from gepris_spark.session import get_spark
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
@@ -117,6 +118,9 @@ def main() -> int:
             errs = compare(name, s_pdf, d_pdf)
         except Exception:
             errs = [traceback.format_exc(limit=3)]
+        finally:
+            cacheutil.release_caches()
+            spark.catalog.clearCache()
         dt = time.time() - t0
         status = "OK " if not errs else "FAIL"
         print(f"[{i:3}/{len(names)}] {status} {name} ({dt:.1f}s)", flush=True)
