@@ -396,13 +396,15 @@ _BPE_SEP = "\x1f"
 _SQL_SEP = "chr(31)"
 
 
-def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full iterative BPE tokenizer induction (Sennrich et al. 2016),
-    K=_BPE_TRAIN_ROUNDS merge rounds: start from characters, each round count
-    adjacent symbol pairs weighted by word frequency, merge the argmax
-    pair (count desc, pair asc tie-break) everywhere, repeat. Output is
-    the learned merge table, one row per round: (merge_round, lhs, rhs,
-    merged, cnt).
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE learner (Sennrich et al. 2016): start from
+    characters, each round count adjacent symbol pairs weighted by word
+    frequency, merge the argmax pair (count desc, pair asc tie-break)
+    everywhere, repeat for K=_BPE_TRAIN_ROUNDS rounds. Returns
+    (words, cur_sym, merges): the persisted word-frequency base table,
+    the chained-replace symbol column after all merges (the ENCODER —
+    applying it to `words.sym` yields each word's subword tokenization),
+    and the learned merge table rows.
 
     Shape at 100 TB — the reason BPE training distributes at all: the
     corpus is touched ONCE (explode tokens -> groupBy(word)), and every
@@ -469,12 +471,59 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BPE_SEP + lhs + _BPE_SEP + rhs + _BPE_SEP),
             F.lit(_BPE_SEP + lhs + rhs + _BPE_SEP),
         )
+    return words, cur_sym, merges
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table, one row per round: (merge_round,
+    lhs, rhs, merged, cnt). See _bpe_learn for the distribution shape
+    and the cross-engine exactness argument."""
+    _words, _sym, merges = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_round long, lhs string, rhs string, merged string, cnt long"
     ).orderBy("merge_round")
 
 
-def _sql_bpe_train() -> str:
+_ENCODE_VOCAB_K = 64
+
+
+def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of the tokenizer (train is
+    q_bpe_train_merges): run the learned K merges over every word and
+    report the induced subword vocabulary with usage statistics
+    (token, n_words = distinct words whose encoding contains it,
+    total_occ = corpus occurrences weighted by word frequency), top
+    _ENCODE_VOCAB_K by (total_occ desc, token asc). This is the table a
+    tokenizer ships plus the frequency profile a pipeline uses to pick
+    vocab size / byte-fallback cutoffs.
+
+    Shape at 100 TB: encode never touches the corpus again — the
+    chained-replace encoder column evaluates over the persisted
+    word-frequency table (vocab-sized), then one aggregation with
+    map-side partial sums and a TakeOrderedAndProject head. Identical
+    replace semantics on both engines make the encoding value-exact,
+    so the vocabulary and its counts hash-match the unrolled-CTE
+    oracle (which applies the same merges inside SQL)."""
+    words, cur_sym, _merges = _bpe_learn(spark, sf_dir)
+    toks = F.filter(F.split(cur_sym, _BPE_SEP), lambda x: x != F.lit(""))
+    return (
+        words.select(F.col("sym"), F.col("cnt"), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count_distinct(F.col("sym")).alias("n_words"),
+            F.sum("cnt").alias("total_occ"),
+        )
+        .orderBy(F.desc("total_occ"), F.asc("token"))
+        .limit(_ENCODE_VOCAB_K)
+    )
+
+
+def _sql_bpe_stages() -> tuple[str, str, list[str]]:
+    """Shared unrolled-CTE body for the BPE oracles: returns (with_body,
+    final_table, per-round pick selects). w0 is the word-frequency base;
+    each round i adds p{i} (pair counts), b{i} (argmax pair), w{i}
+    (post-merge symbol table); the final table is w{K} — the ENCODED
+    corpus vocabulary the encode oracle aggregates."""
     stages = []
     picks = []
     prev = "w0"
@@ -501,19 +550,39 @@ w{i} AS (SELECT replace(w.sym,
             f" replace(pr, ' ', '') AS merged, c AS cnt FROM b{i}"
         )
         prev = f"w{i}"
-    body = ",\n".join(stages)
-    union = "\nUNION ALL\n".join(picks)
-    return f"""
-WITH w0 AS (SELECT {_SQL_SEP} || regexp_replace(w, '(.)', '\\1' || {_SQL_SEP}, 'g') AS sym,
+    body = f"""w0 AS (SELECT {_SQL_SEP} || regexp_replace(w, '(.)', '\\1' || {_SQL_SEP}, 'g') AS sym,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest({_SQL_TOKENS_TRAINPREP}) AS w FROM documents)
             GROUP BY 1),
-{body}
+{",".join(stages)}"""
+    return body, prev, picks
+
+
+def _sql_bpe_train() -> str:
+    body, _final, picks = _sql_bpe_stages()
+    union = "\nUNION ALL\n".join(picks)
+    return f"""
+WITH {body}
 SELECT * FROM ({union}) ORDER BY merge_round
 """
 
 
+def _sql_bpe_encode() -> str:
+    body, final, _picks = _sql_bpe_stages()
+    return f"""
+WITH {body},
+enc AS (SELECT sym, cnt,
+               unnest(list_filter(string_split(sym, {_SQL_SEP}), x -> x <> '')) AS token
+        FROM {final})
+SELECT token, CAST(count(DISTINCT sym) AS BIGINT) AS n_words,
+       CAST(sum(cnt) AS BIGINT) AS total_occ
+FROM enc GROUP BY token
+ORDER BY total_occ DESC, token LIMIT {_ENCODE_VOCAB_K}
+"""
+
+
 SQL_BPE_TRAIN_MERGES = _sql_bpe_train()
+SQL_BPE_ENCODE_VOCAB = _sql_bpe_encode()
 
 
 # ------------------------------------------- corpus token profiling
@@ -1886,6 +1955,7 @@ TRAINPREP_QUERIES = {
     "text_boilerplate_lines": (q_text_boilerplate_lines, SQL_TEXT_BOILERPLATE_LINES),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES),
+    "bpe_encode_vocab": (q_bpe_encode_vocab, SQL_BPE_ENCODE_VOCAB),
     "corpus_token_profile": (q_corpus_token_profile, SQL_CORPUS_TOKEN_PROFILE),
     "events_late_data_stream": (q_events_late_data_stream, SQL_EVENTS_LATE_DATA),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),

@@ -163,6 +163,60 @@ def test_bpe_train_merges_equal_sennrich_reference(spark):
     assert got == expected
 
 
+def test_bpe_encode_vocab_equals_sennrich_reference(spark):
+    """The ENCODE half: re-run classic BPE training + application in
+    plain Python (same semantics as the train test), aggregate the
+    final encoded vocabulary (token, distinct words carrying it,
+    frequency-weighted occurrences), and demand the engine's top-K
+    vocabulary table matches exactly."""
+    import re
+    from collections import Counter, defaultdict
+
+    from gepris_spark.plans import trainprep as tp
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    vocab = Counter()
+    for text in docs["text"]:
+        for w in re.findall(r"[a-z0-9]+", text.lower()):
+            vocab[tuple(w)] += 1
+    for _rnd in range(tp._BPE_TRAIN_ROUNDS):
+        stats = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += cnt
+        if not stats:
+            break
+        (lhs, rhs), _cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    n_words: dict[str, int] = defaultdict(int)
+    total_occ: dict[str, int] = defaultdict(int)
+    for syms, cnt in vocab.items():
+        for tok in set(syms):
+            n_words[tok] += 1
+        for tok in syms:
+            total_occ[tok] += cnt
+    expected = sorted(
+        ((tok, n_words[tok], total_occ[tok]) for tok in total_occ),
+        key=lambda r: (-r[2], r[0]),
+    )[: tp._ENCODE_VOCAB_K]
+    got = [
+        tuple(r) for r in tp.q_bpe_encode_vocab(spark, SF_DIR)
+        .toPandas().itertuples(index=False)
+    ]
+    assert got == expected
+
+
 def test_bucketed_pack_property_random_layouts(spark):
     """Property test: for random bucket assignments, batch sizes and
     input partitioning, the distributed pack equals the naive pandas
