@@ -155,8 +155,117 @@ ORDER BY c_custkey
 """
 
 
+# ------------------------------------------- sitemap seed discovery
+# Input fixtures (both engines read the SAME files; the oracle SQL
+# recomputes the operator from them, the imagepipe pattern): per-host
+# sitemap XML + the replay visit log as the frontier's seen set.
+from gepris_spark.plans.contract_truth import FIXTURE_DIR  # noqa: E402
+
+_SITEMAPS_PATH = str(FIXTURE_DIR / "sitemaps.parquet")
+_VISIT_LOG_PATH = str(FIXTURE_DIR / "crawl_replay_visit_log.parquet")
+# the canonical-url grammar (F2, functions/canonical.py:39-77):
+# scheme://host/gepris/{context}/{numeric id}, query/fragment stripped
+_CANON_RE = r"^https://([^/]+)/gepris/(projekt|person|institution)/([0-9]+)([?#].*)?$"
+
+
+def q_crawl_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven frontier expansion (the reference discovers new
+    ids by re-crawling search pages, search_results.py:28-63; a
+    web-scale crawler gets the same signal from /sitemap.xml): parse
+    `<loc>`/`<lastmod>` entries out of each host's sitemap, apply the
+    F2 canonical-url grammar (strip query/fragment, reject non-numeric
+    ids and non-gepris paths), anti-join against the frontier's seen
+    set, and emit one row per newly-discovered url with the freshest
+    lastmod, its listing count, and the type-priority the frontier
+    enqueues it under.
+
+    Shape at 100 TB: sitemap parsing is a pure map stage (regexps, no
+    shuffle — one task per sitemap blob); the anti-join is the same
+    url-keyed shuffle as A7 re-discovery (frontier.py:158); the final
+    dedup groups on the canonical url, uniformly hash-distributed.
+    Nothing is collected; the discovery set streams straight into the
+    frontier MERGE."""
+    sm = spark.read.parquet(_SITEMAPS_PATH)
+    entries = sm.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("sitemap_xml"), F.lit("<url>(.*?)</url>"), F.lit(1)
+            )
+        ).alias("entry")
+    )
+    parsed = entries.select(
+        F.regexp_extract("entry", "<loc>([^<]+)</loc>", 1).alias("loc"),
+        # ISO yyyy-mm-dd kept as STRING: lexicographic max == date max,
+        # and the cross-engine dtype is unambiguous (DATE round-trips
+        # differently through arrow on the two engines)
+        F.regexp_extract("entry", "<lastmod>([^<]+)</lastmod>", 1).alias("lastmod"),
+    ).select(
+        F.regexp_extract("loc", _CANON_RE, 1).alias("host"),
+        F.regexp_extract("loc", _CANON_RE, 2).alias("context"),
+        F.regexp_extract("loc", _CANON_RE, 3).alias("id_s"),
+        "lastmod",
+    )
+    canon = parsed.where(F.col("context") != "").select(
+        F.concat(
+            F.lit("https://"),
+            "host",
+            F.lit("/gepris/"),
+            "context",
+            F.lit("/"),
+            "id_s",
+        ).alias("url"),
+        "host",
+        "context",
+        F.col("id_s").cast("long").alias("item_id"),
+        "lastmod",
+    )
+    seen = spark.read.parquet(_VISIT_LOG_PATH).select("url").distinct()
+    priority = (
+        F.when(F.col("context") == "projekt", 0)
+        .when(F.col("context") == "person", 1)
+        .otherwise(2)
+    )
+    return (
+        canon.join(seen, "url", "left_anti")
+        .groupBy("url", "host", "context", "item_id")
+        .agg(F.max("lastmod").alias("lastmod"), F.count(F.lit(1)).alias("n_listings"))
+        .withColumn("priority_type", priority.cast("int"))
+        .orderBy("priority_type", "item_id", "url")
+    )
+
+
+SQL_CRAWL_SITEMAP_EXPAND = f"""
+WITH e AS (
+  SELECT unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS entry
+  FROM read_parquet('{_SITEMAPS_PATH}')),
+p AS (
+  SELECT regexp_extract(entry, '<loc>([^<]+)</loc>', 1) AS loc,
+         regexp_extract(entry, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod
+  FROM e),
+c AS (
+  SELECT regexp_extract(loc, '{_CANON_RE}', 1) AS host,
+         regexp_extract(loc, '{_CANON_RE}', 2) AS context,
+         regexp_extract(loc, '{_CANON_RE}', 3) AS id_s, lastmod
+  FROM p WHERE regexp_extract(loc, '{_CANON_RE}', 2) <> ''),
+u AS (
+  SELECT 'https://' || host || '/gepris/' || context || '/' || id_s AS url,
+         host, context, CAST(id_s AS BIGINT) AS item_id, lastmod
+  FROM c),
+fresh AS (
+  SELECT * FROM u
+  WHERE url NOT IN (SELECT DISTINCT url FROM read_parquet('{_VISIT_LOG_PATH}')))
+SELECT url, host, context, item_id, max(lastmod) AS lastmod,
+       count(*) AS n_listings,
+       CAST(CASE context WHEN 'projekt' THEN 0 WHEN 'person' THEN 1 ELSE 2 END AS INT)
+         AS priority_type
+FROM fresh GROUP BY url, host, context, item_id
+ORDER BY priority_type, item_id, url
+"""
+
+
 CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "normalise_recode": (q_normalise_recode, SQL_NORMALISE_RECODE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "attribute_backprop": (q_attribute_backprop, SQL_ATTRIBUTE_BACKPROP),
+    "crawl_sitemap_expand": (q_crawl_sitemap_expand, SQL_CRAWL_SITEMAP_EXPAND),
 }

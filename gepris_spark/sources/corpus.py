@@ -923,6 +923,78 @@ def gen_latencies_pdf(seeds_pdf: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def gen_sitemaps_pdf(
+    n: int = 30,
+    seed: int = 42,
+    n_extra_hosts: int = 3,
+    n_new_per_context: int = 10,
+) -> pd.DataFrame:
+    """Per-host sitemap XML corpus for the seed-discovery contract
+    (crawl_sitemap_expand): one `<urlset>` per host over the SAME seed
+    universe as the replay fixtures (gen_seeds_pdf(n) hosts/ids), all
+    derived from (seed, index) hash formulas.
+
+    Entry mix per host:
+
+    * ~half of the host's already-crawled urls (must be anti-joined
+      away against the visit-log seen set);
+    * ~10% non-canonical `?language=en#top` variants of crawled urls
+      (must canonicalize, then anti-join away);
+    * every discovery url (item ids n+1 .. n+n_new_per_context per
+      context, host by the same _stable_u64 placement formula as
+      gen_seeds_pdf) — the expected output;
+    * ~1/3 of mirror-host discoveries cross-listed on the
+      gepris.dfg.de sitemap under a DIFFERENT lastmod (the dedup must
+      collapse them to one row keeping the max lastmod);
+    * per-host junk locs (`/gepris/projekt/null`, `/imprint`) the
+      canonical-url grammar must reject.
+    """
+
+    def host_of(context: str, item_id: int) -> str:
+        h = _stable_u64(seed, context, item_id)
+        return GEPRIS_HOST if h % 10 < 7 else f"mirror{h % n_extra_hosts}.example.org"
+
+    def lastmod_of(context: str, item_id, salt: str = "lastmod") -> str:
+        h = _stable_u64(seed, salt, context, item_id)
+        return (BASE_EPOCH - timedelta(days=int(h % 365))).date().isoformat()
+
+    hosts = [GEPRIS_HOST] + [f"mirror{i}.example.org" for i in range(n_extra_hosts)]
+    entries: dict[str, list[str]] = {h: [] for h in hosts}
+
+    def add(host: str, loc: str, lastmod: str) -> None:
+        entries[host].append(f"<url><loc>{loc}</loc><lastmod>{lastmod}</lastmod></url>")
+
+    for context in CONTEXTS:
+        for item_id in range(1, n + 1):  # already-crawled universe
+            h = host_of(context, item_id)
+            url = f"https://{h}/gepris/{context}/{item_id}"
+            sel = _stable_u64(seed, "sm-seen", context, item_id)
+            if sel % 2 == 0:
+                add(h, url, lastmod_of(context, item_id))
+            elif sel % 5 == 1:
+                add(h, url + "?language=en#top", lastmod_of(context, item_id))
+        for item_id in range(n + 1, n + n_new_per_context + 1):  # discoveries
+            h = host_of(context, item_id)
+            url = f"https://{h}/gepris/{context}/{item_id}"
+            add(h, url, lastmod_of(context, item_id))
+            if h != GEPRIS_HOST and _stable_u64(seed, "xlist", context, item_id) % 3 == 0:
+                add(GEPRIS_HOST, url, lastmod_of(context, item_id, salt="lastmod2"))
+    for h in hosts:  # grammar-reject fodder
+        add(h, f"https://{h}/gepris/projekt/null", lastmod_of("junk", 0))
+        add(h, f"https://{h}/imprint", lastmod_of("junk", 1))
+    return pd.DataFrame(
+        [
+            {
+                "host": h,
+                "sitemap_xml": '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+                + "".join(es)
+                + "</urlset>",
+            }
+            for h, es in entries.items()
+        ]
+    )
+
+
 def write_fixtures(out_dir: str, n_per_context: int = 60, n_images: int = 40, seed: int = 42) -> dict:
     """Write the t1-scale fixture parquet files; returns row counts."""
     import os

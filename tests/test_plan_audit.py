@@ -103,6 +103,9 @@ def test_no_cartesian_products_anywhere(spark):
         # the calendar grid build broadcasts the bounded day list
         # (|days| rows from a 1-row min/max agg) onto the user set
         "events_daily_fill",
+        # DSIR cross-joins two ONE-row broadcasts (corpus totals, the
+        # rank-based keep threshold) — same 1-row broadcast NLJ shape
+        "corpus_dsir_weights",
     }
     offenders = []
     for name, fn in entry.queries().items():

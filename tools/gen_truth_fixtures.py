@@ -77,6 +77,12 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("image_id", S), ("bytes", pa.binary()), ("w", pa.int32()),
         ("h", pa.int32()), ("fmt", S), ("caption", S), ("phash", I),
     ],
+    # INPUT fixture: per-host sitemap XML over the replay seed universe
+    # — both engines parse/canonicalize/anti-join from this same file
+    # (plans/contract_extra.py crawl_sitemap_expand).
+    "sitemaps": [
+        ("host", S), ("sitemap_xml", S),
+    ],
     "image_decode_verify": [
         ("image_id", S), ("fmt", S), ("w", pa.int32()), ("h", pa.int32()),
         ("decoded_w", pa.int32()), ("decoded_h", pa.int32()),
@@ -136,6 +142,7 @@ def truth_frames(spark) -> dict:
         "stateful_schedule_stream": truth.stateful_schedule_truth(),
         "crawl_aimd_schedule": truth.crawl_aimd_truth(),
         "image_catalog": corpus.gen_image_catalog_pdf(),
+        "sitemaps": corpus.gen_sitemaps_pdf(),
         "image_dedup_stream": truth.image_dedup_stream_truth(),
         "image_decode_verify": truth.image_decode_verify_truth(),
         "multimodal_decode_verify": truth.multimodal_decode_verify_truth(),
