@@ -9,7 +9,7 @@ sorting columns by name).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gepris_spark.plans.relational import load
@@ -263,9 +263,162 @@ ORDER BY priority_type, item_id, url
 """
 
 
+# --------------------------------------------------- robots policy
+_ROBOTS_PATH = str(FIXTURE_DIR / "robots.parquet")
+_ROBOTS_DEFAULT_DELAY_MS = 2000  # AutoThrottle start delay (settings.py:121)
+
+
+def q_crawl_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 robots policy as a distributed plan (the engine's driver-side
+    parser is politeness.parse_robots_txt; this is the same grammar
+    over a robots.txt TABLE, for frontiers with millions of hosts):
+    per host, the `User-agent: *` group's Disallow prefixes and
+    Crawl-delay (last one wins, seconds -> ms, 2 s default), then the
+    policy evaluated against the visit log's urls (n_blocked = urls a
+    compliant crawler would have skipped).
+
+    The stateful group-membership parse ("which UA group is this line
+    in?") becomes set-based: posexplode lines, and a line is in the
+    star group iff the LAST preceding user-agent line is '*' —
+    `last(ignorenulls)` over a host-partitioned window, mirrored by
+    DuckDB's IGNORE NULLS last_value. No UDF, no driver loop.
+
+    Shape at 100 TB: robots bodies are small per host; everything
+    partitions by host (window + both aggregations share the
+    exchange), and the tiny policy table broadcasts onto the url side
+    exactly like apply_robots does in the engine."""
+    lines = (
+        spark.read.parquet(_ROBOTS_PATH)
+        .select("host", F.posexplode(F.split("robots_txt", "\n")).alias("idx", "raw"))
+        .select(
+            "host",
+            "idx",
+            F.trim(F.split(F.col("raw"), "#", 2).getItem(0)).alias("line"),
+        )
+        .where(F.instr("line", ":") > 0)
+        .select(
+            "host",
+            "idx",
+            F.lower(F.trim(F.substring_index("line", ":", 1))).alias("key"),
+            F.trim(
+                F.substring(F.col("line"), F.instr("line", ":") + 1, F.length("line"))
+            ).alias("value"),
+        )
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = lines.withColumn(
+        "cur_ua",
+        F.last(F.when(F.col("key") == "user-agent", F.col("value")), ignorenulls=True).over(w),
+    ).where(F.col("cur_ua") == "*")
+    policy = grouped.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(F.when((F.col("key") == "disallow") & (F.col("value") != ""), F.col("value")))
+        ).alias("disallow"),
+        F.max_by(
+            F.floor(F.col("value").try_cast("double") * 1000).cast("long"),
+            F.when(
+                (F.col("key") == "crawl-delay")
+                & F.col("value").try_cast("double").isNotNull(),
+                F.col("idx"),
+            ),
+        ).alias("delay_ms"),
+    )
+    hosts = spark.read.parquet(_ROBOTS_PATH).select("host")
+    policy = hosts.join(policy, "host", "left").select(
+        "host",
+        F.coalesce(F.col("delay_ms"), F.lit(_ROBOTS_DEFAULT_DELAY_MS).cast("long")).alias(
+            "crawl_delay_ms"
+        ),
+        F.coalesce(F.col("disallow"), F.array().cast("array<string>")).alias("disallow"),
+    )
+    urls = spark.read.parquet(_VISIT_LOG_PATH).select(
+        "host", F.regexp_replace("url", "^https://[^/]+", "").alias("path")
+    )
+    blocked = (
+        urls.join(F.broadcast(policy), "host")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(
+                F.when(
+                    F.exists(
+                        F.col("disallow"), lambda p: F.col("path").startswith(p)
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_blocked"),
+        )
+    )
+    return (
+        policy.join(blocked, "host", "left")
+        .select(
+            "host",
+            "crawl_delay_ms",
+            F.size("disallow").cast("long").alias("n_disallow"),
+            F.to_json("disallow").alias("disallow_json"),
+            F.coalesce(F.col("n_urls"), F.lit(0)).alias("n_urls"),
+            F.coalesce(F.col("n_blocked"), F.lit(0)).alias("n_blocked"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_CRAWL_ROBOTS_POLICY = f"""
+WITH raw AS (
+  SELECT host, u.idx - 1 AS idx, trim(split_part(u.raw, '#', 1)) AS line
+  FROM (SELECT host,
+               unnest(list_transform(string_split(robots_txt, chr(10)),
+                      (x, i) -> {{'idx': i, 'raw': x}})) AS u
+        FROM read_parquet('{_ROBOTS_PATH}'))),
+kv AS (
+  SELECT host, idx,
+         lower(trim(split_part(line, ':', 1))) AS key,
+         trim(substr(line, strpos(line, ':') + 1)) AS value
+  FROM raw WHERE strpos(line, ':') > 0),
+grp AS (
+  SELECT *, last_value(CASE WHEN key = 'user-agent' THEN value END IGNORE NULLS)
+              OVER (PARTITION BY host ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_ua
+  FROM kv),
+star AS (SELECT * FROM grp WHERE cur_ua = '*'),
+pol AS (
+  SELECT host,
+         list_sort(list(value) FILTER (WHERE key = 'disallow' AND value <> '')) AS disallow,
+         arg_max(CAST(floor(TRY_CAST(value AS DOUBLE) * 1000) AS BIGINT), idx)
+           FILTER (WHERE key = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) IS NOT NULL)
+           AS delay_ms
+  FROM star GROUP BY host),
+policy AS (
+  SELECT h.host,
+         coalesce(p.delay_ms, {_ROBOTS_DEFAULT_DELAY_MS}) AS crawl_delay_ms,
+         coalesce(p.disallow, CAST([] AS VARCHAR[])) AS disallow
+  FROM (SELECT host FROM read_parquet('{_ROBOTS_PATH}')) h
+  LEFT JOIN pol p USING (host)),
+blocked AS (
+  SELECT v.host, count(*) AS n_urls,
+         CAST(sum(CASE WHEN len(list_filter(policy.disallow,
+                        pfx -> starts_with(regexp_replace(v.url, '^https://[^/]+', ''), pfx))) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+  FROM read_parquet('{_VISIT_LOG_PATH}') v JOIN policy ON v.host = policy.host
+  GROUP BY v.host)
+SELECT p.host, p.crawl_delay_ms,
+       CAST(len(p.disallow) AS BIGINT) AS n_disallow,
+       to_json(p.disallow)::VARCHAR AS disallow_json,
+       coalesce(b.n_urls, 0) AS n_urls,
+       coalesce(b.n_blocked, 0) AS n_blocked
+FROM policy p LEFT JOIN blocked b USING (host)
+ORDER BY host
+"""
+
+
 CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "normalise_recode": (q_normalise_recode, SQL_NORMALISE_RECODE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "attribute_backprop": (q_attribute_backprop, SQL_ATTRIBUTE_BACKPROP),
     "crawl_sitemap_expand": (q_crawl_sitemap_expand, SQL_CRAWL_SITEMAP_EXPAND),
+    "crawl_robots_policy": (q_crawl_robots_policy, SQL_CRAWL_ROBOTS_POLICY),
 }

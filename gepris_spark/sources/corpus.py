@@ -995,6 +995,41 @@ def gen_sitemaps_pdf(
     )
 
 
+def gen_robots_pdf(seed: int = 42, n_extra_hosts: int = 3) -> pd.DataFrame:
+    """Per-host robots.txt corpus for the robots-policy contract
+    (crawl_robots_policy): deterministic bodies over the replay hosts
+    exercising every branch of the A4 parser (politeness.py:79-106) —
+    a non-star UA group that must be ignored (including its Disallow: /
+    and Crawl-delay), comments, blank lines, the empty-Disallow
+    allow-all line, 0-2 real star-group prefixes, fractional
+    Crawl-delay seconds on some hosts, a Sitemap line the key grammar
+    skips, and one host with no star group at all (default policy)."""
+    hosts = [GEPRIS_HOST] + [f"mirror{i}.example.org" for i in range(n_extra_hosts)]
+    rows = []
+    for i, host in enumerate(hosts):
+        h = _stable_u64(seed, "robots", host)
+        lines = [
+            "# synthetic robots fixture",
+            "User-agent: SpecialBot",
+            "Disallow: /",
+            "Crawl-delay: 99",
+            "",
+        ]
+        # branch mix keyed on the host INDEX so every parser branch is
+        # guaranteed exercised (values stay hash-derived): host 3 has
+        # no star group; hosts 0/1/2 carry 0/1/2 disallow prefixes;
+        # even hosts a fractional Crawl-delay
+        if i != 3:
+            pool = ["/gepris/institution/", f"/gepris/person/{1 + h % 9}", "/private/"]
+            lines += ["User-agent: *", "Disallow:"]
+            lines += [f"Disallow: {pool[k]}" for k in range(i % 3)]
+            if i % 2 == 0:
+                lines.append(f"Crawl-delay: {1 + h % 5}.5")
+            lines.append(f"Sitemap: https://{host}/sitemap.xml")
+        rows.append({"host": host, "robots_txt": "\n".join(lines)})
+    return pd.DataFrame(rows)
+
+
 def write_fixtures(out_dir: str, n_per_context: int = 60, n_images: int = 40, seed: int = 42) -> dict:
     """Write the t1-scale fixture parquet files; returns row counts."""
     import os

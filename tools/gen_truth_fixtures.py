@@ -83,6 +83,11 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
     "sitemaps": [
         ("host", S), ("sitemap_xml", S),
     ],
+    # INPUT fixture: per-host robots.txt bodies for the robots-policy
+    # contract query (plans/contract_extra.py crawl_robots_policy).
+    "robots": [
+        ("host", S), ("robots_txt", S),
+    ],
     "image_decode_verify": [
         ("image_id", S), ("fmt", S), ("w", pa.int32()), ("h", pa.int32()),
         ("decoded_w", pa.int32()), ("decoded_h", pa.int32()),
@@ -143,6 +148,7 @@ def truth_frames(spark) -> dict:
         "crawl_aimd_schedule": truth.crawl_aimd_truth(),
         "image_catalog": corpus.gen_image_catalog_pdf(),
         "sitemaps": corpus.gen_sitemaps_pdf(),
+        "robots": corpus.gen_robots_pdf(),
         "image_dedup_stream": truth.image_dedup_stream_truth(),
         "image_decode_verify": truth.image_decode_verify_truth(),
         "multimodal_decode_verify": truth.multimodal_decode_verify_truth(),
