@@ -185,6 +185,13 @@ def q_crawl_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup groups on the canonical url, uniformly hash-distributed.
     Nothing is collected; the discovery set streams straight into the
     frontier MERGE."""
+    return _sitemap_discoveries_df(spark).orderBy("priority_type", "item_id", "url")
+
+
+def _sitemap_discoveries_df(spark: SparkSession) -> DataFrame:
+    """The deduped discovery set (url, host, context, item_id, lastmod,
+    n_listings, priority_type) — shared by the sitemap query and the
+    frontier-plan capstone."""
     sm = spark.read.parquet(_SITEMAPS_PATH)
     entries = sm.select(
         F.explode(
@@ -230,12 +237,12 @@ def q_crawl_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url", "host", "context", "item_id")
         .agg(F.max("lastmod").alias("lastmod"), F.count(F.lit(1)).alias("n_listings"))
         .withColumn("priority_type", priority.cast("int"))
-        .orderBy("priority_type", "item_id", "url")
     )
 
 
-SQL_CRAWL_SITEMAP_EXPAND = f"""
-WITH e AS (
+# shared CTE body: `disc` is the deduped discovery set — consumed by
+# both the sitemap query and the frontier-plan capstone
+_SQL_SITEMAP_CTES = f"""e AS (
   SELECT unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS entry
   FROM read_parquet('{_SITEMAPS_PATH}')),
 p AS (
@@ -253,13 +260,17 @@ u AS (
   FROM c),
 fresh AS (
   SELECT * FROM u
-  WHERE url NOT IN (SELECT DISTINCT url FROM read_parquet('{_VISIT_LOG_PATH}')))
-SELECT url, host, context, item_id, max(lastmod) AS lastmod,
-       count(*) AS n_listings,
-       CAST(CASE context WHEN 'projekt' THEN 0 WHEN 'person' THEN 1 ELSE 2 END AS INT)
-         AS priority_type
-FROM fresh GROUP BY url, host, context, item_id
-ORDER BY priority_type, item_id, url
+  WHERE url NOT IN (SELECT DISTINCT url FROM read_parquet('{_VISIT_LOG_PATH}'))),
+disc AS (
+  SELECT url, host, context, item_id, max(lastmod) AS lastmod,
+         count(*) AS n_listings,
+         CAST(CASE context WHEN 'projekt' THEN 0 WHEN 'person' THEN 1 ELSE 2 END AS INT)
+           AS priority_type
+  FROM fresh GROUP BY url, host, context, item_id)"""
+
+SQL_CRAWL_SITEMAP_EXPAND = f"""
+WITH {_SQL_SITEMAP_CTES}
+SELECT * FROM disc ORDER BY priority_type, item_id, url
 """
 
 
@@ -287,6 +298,42 @@ def q_crawl_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by host (window + both aggregations share the
     exchange), and the tiny policy table broadcasts onto the url side
     exactly like apply_robots does in the engine."""
+    policy = _robots_policy_df(spark)
+    urls = spark.read.parquet(_VISIT_LOG_PATH).select(
+        "host", F.regexp_replace("url", "^https://[^/]+", "").alias("path")
+    )
+    blocked = (
+        urls.join(F.broadcast(policy), "host")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(
+                F.when(
+                    F.exists(
+                        F.col("disallow"), lambda p: F.col("path").startswith(p)
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_blocked"),
+        )
+    )
+    return (
+        policy.join(blocked, "host", "left")
+        .select(
+            "host",
+            "crawl_delay_ms",
+            F.size("disallow").cast("long").alias("n_disallow"),
+            F.to_json("disallow").alias("disallow_json"),
+            F.coalesce(F.col("n_urls"), F.lit(0)).alias("n_urls"),
+            F.coalesce(F.col("n_blocked"), F.lit(0)).alias("n_blocked"),
+        )
+        .orderBy("host")
+    )
+
+
+def _robots_policy_df(spark: SparkSession) -> DataFrame:
+    """(host, crawl_delay_ms, disallow array<string>) — the parsed
+    star-group policy per robots host, defaults applied."""
     lines = (
         spark.read.parquet(_ROBOTS_PATH)
         .select("host", F.posexplode(F.split("robots_txt", "\n")).alias("idx", "raw"))
@@ -328,47 +375,18 @@ def q_crawl_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delay_ms"),
     )
     hosts = spark.read.parquet(_ROBOTS_PATH).select("host")
-    policy = hosts.join(policy, "host", "left").select(
+    return hosts.join(policy, "host", "left").select(
         "host",
         F.coalesce(F.col("delay_ms"), F.lit(_ROBOTS_DEFAULT_DELAY_MS).cast("long")).alias(
             "crawl_delay_ms"
         ),
         F.coalesce(F.col("disallow"), F.array().cast("array<string>")).alias("disallow"),
     )
-    urls = spark.read.parquet(_VISIT_LOG_PATH).select(
-        "host", F.regexp_replace("url", "^https://[^/]+", "").alias("path")
-    )
-    blocked = (
-        urls.join(F.broadcast(policy), "host")
-        .groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_urls"),
-            F.sum(
-                F.when(
-                    F.exists(
-                        F.col("disallow"), lambda p: F.col("path").startswith(p)
-                    ),
-                    1,
-                ).otherwise(0)
-            ).alias("n_blocked"),
-        )
-    )
-    return (
-        policy.join(blocked, "host", "left")
-        .select(
-            "host",
-            "crawl_delay_ms",
-            F.size("disallow").cast("long").alias("n_disallow"),
-            F.to_json("disallow").alias("disallow_json"),
-            F.coalesce(F.col("n_urls"), F.lit(0)).alias("n_urls"),
-            F.coalesce(F.col("n_blocked"), F.lit(0)).alias("n_blocked"),
-        )
-        .orderBy("host")
-    )
 
 
-SQL_CRAWL_ROBOTS_POLICY = f"""
-WITH raw AS (
+# shared CTE body: `policy` is (host, crawl_delay_ms, disallow) —
+# consumed by both the robots query and the frontier-plan capstone
+_SQL_ROBOTS_CTES = f"""raw AS (
   SELECT host, u.idx - 1 AS idx, trim(split_part(u.raw, '#', 1)) AS line
   FROM (SELECT host,
                unnest(list_transform(string_split(robots_txt, chr(10)),
@@ -397,7 +415,10 @@ policy AS (
          coalesce(p.delay_ms, {_ROBOTS_DEFAULT_DELAY_MS}) AS crawl_delay_ms,
          coalesce(p.disallow, CAST([] AS VARCHAR[])) AS disallow
   FROM (SELECT host FROM read_parquet('{_ROBOTS_PATH}')) h
-  LEFT JOIN pol p USING (host)),
+  LEFT JOIN pol p USING (host))"""
+
+SQL_CRAWL_ROBOTS_POLICY = f"""
+WITH {_SQL_ROBOTS_CTES},
 blocked AS (
   SELECT v.host, count(*) AS n_urls,
          CAST(sum(CASE WHEN len(list_filter(policy.disallow,
@@ -415,10 +436,103 @@ ORDER BY host
 """
 
 
+# ---------------------------------------------- frontier-plan capstone
+_BATCH_WINDOW_MS = 60_000  # one micro-batch's per-host politeness budget
+
+
+def q_crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-tier capstone: compose sitemap discovery, robots policy,
+    and per-host politeness capacity into the next micro-batch's fetch
+    plan — the discovery→admission path the engine runs as
+    frontier MERGE → apply_robots → assign_schedule
+    (frontier.py:65, politeness.py:86,108), here as ONE declarative
+    plan the oracle can replay end-to-end.
+
+    Per host: discovered urls that no Disallow prefix matches are
+    ranked (priority_type, freshest lastmod first, item_id) and the
+    top floor(window / crawl_delay) admitted — a token bucket where
+    the batch window is the budget and the robots crawl-delay is the
+    token cost; each admitted url gets its politeness offset
+    (rank-1) * delay, the same arithmetic assign_schedule uses.
+
+    Shape at 100 TB: the policy side is O(hosts) and broadcast; the
+    discovery side never collects; ranking is a host-partitioned
+    window (the hot-host salt in assign_schedule applies when one
+    host dominates — here admission caps the per-host output at
+    window/delay rows, so the window input, not output, is the skew)."""
+    disc = _sitemap_discoveries_df(spark)
+    policy = _robots_policy_df(spark)
+    joined = disc.join(F.broadcast(policy), "host", "left").select(
+        disc["url"],
+        disc["host"],
+        disc["context"],
+        disc["item_id"],
+        disc["lastmod"],
+        disc["priority_type"],
+        F.coalesce(
+            F.col("crawl_delay_ms"), F.lit(_ROBOTS_DEFAULT_DELAY_MS).cast("long")
+        ).alias("crawl_delay_ms"),
+        F.coalesce(F.col("disallow"), F.array().cast("array<string>")).alias("disallow"),
+        F.regexp_replace(disc["url"], "^https://[^/]+", "").alias("_path"),
+    )
+    allowed = joined.where(
+        ~F.exists(F.col("disallow"), lambda p: F.col("_path").startswith(p))
+    )
+    w = Window.partitionBy("host").orderBy(
+        "priority_type", F.desc("lastmod"), "item_id", "url"
+    )
+    capacity = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(_BATCH_WINDOW_MS) / F.greatest(F.col("crawl_delay_ms"), F.lit(1))),
+    )
+    return (
+        allowed.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("host_rank") <= capacity)
+        .select(
+            "host",
+            "url",
+            "context",
+            "item_id",
+            "priority_type",
+            "lastmod",
+            "crawl_delay_ms",
+            "host_rank",
+            ((F.col("host_rank") - 1) * F.col("crawl_delay_ms")).alias("scheduled_ms"),
+        )
+        .orderBy("host", "host_rank")
+    )
+
+
+SQL_CRAWL_FRONTIER_PLAN = f"""
+WITH {_SQL_SITEMAP_CTES},
+{_SQL_ROBOTS_CTES},
+joined AS (
+  SELECT d.url, d.host, d.context, d.item_id, d.lastmod, d.priority_type,
+         coalesce(p.crawl_delay_ms, {_ROBOTS_DEFAULT_DELAY_MS}) AS crawl_delay_ms,
+         coalesce(p.disallow, CAST([] AS VARCHAR[])) AS disallow
+  FROM disc d LEFT JOIN policy p USING (host)),
+allowed AS (
+  SELECT * FROM joined
+  WHERE len(list_filter(disallow,
+        pfx -> starts_with(regexp_replace(url, '^https://[^/]+', ''), pfx))) = 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority_type, lastmod DESC, item_id, url) AS host_rank
+  FROM allowed)
+SELECT host, url, context, item_id, priority_type, lastmod, crawl_delay_ms,
+       host_rank, (host_rank - 1) * crawl_delay_ms AS scheduled_ms
+FROM ranked
+WHERE host_rank <= greatest(1, CAST(floor({_BATCH_WINDOW_MS} / greatest(crawl_delay_ms, 1))
+                                    AS BIGINT))
+ORDER BY host, host_rank
+"""
+
+
 CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "normalise_recode": (q_normalise_recode, SQL_NORMALISE_RECODE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "attribute_backprop": (q_attribute_backprop, SQL_ATTRIBUTE_BACKPROP),
     "crawl_sitemap_expand": (q_crawl_sitemap_expand, SQL_CRAWL_SITEMAP_EXPAND),
     "crawl_robots_policy": (q_crawl_robots_policy, SQL_CRAWL_ROBOTS_POLICY),
+    "crawl_frontier_plan": (q_crawl_frontier_plan, SQL_CRAWL_FRONTIER_PLAN),
 }
