@@ -398,3 +398,17 @@ def test_dsir_threshold_is_partial_topk(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_frontier_plan_broadcasts_policy_partitions_window(spark):
+    """The frontier-plan capstone must broadcast the O(hosts) policy
+    side onto the discovery set (never shuffle discoveries for it),
+    keep the admission rank a host-partitioned window, and stay free
+    of Python stages — the whole plan is built-ins."""
+    from gepris_spark.plans.contract_extra import q_crawl_frontier_plan
+
+    plan = _plan(q_crawl_frontier_plan(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan and "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
