@@ -443,7 +443,10 @@ _BATCH_WINDOW_MS = 60_000  # one micro-batch's per-host politeness budget
 def q_crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-tier capstone: compose sitemap discovery, robots policy,
     and per-host politeness capacity into the next micro-batch's fetch
-    plan — the discovery→admission path the engine runs as
+    plan — the discovery→admission path the reference runs as scrapy's
+    robots middleware + priority scheduler + AutoThrottle budget
+    (reference settings.py:66 ROBOTSTXT_OBEY, :119-126 delay budget;
+    type order = gepris_helper.py:8 CONTEXTS) and the engine runs as
     frontier MERGE → apply_robots → assign_schedule
     (frontier.py:65, politeness.py:86,108), here as ONE declarative
     plan the oracle can replay end-to-end.
