@@ -531,6 +531,94 @@ ORDER BY host, host_rank
 """
 
 
+# ---------------------------------------------- recrawl scheduling
+def q_crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina):
+    estimate each item's change rate from its own observation history
+    and schedule the next visit one expected change-interval after the
+    last check. The reference's crude version is the boolean
+    `detail_check_needed` flag flipped by MERGE
+    (dfg-gepris.sql:30, database.py:70-90); at 10^10 items a frontier
+    schedules by estimated change rate instead, so hot pages recrawl
+    often and dead ones back off.
+
+    Per item (events = its observation log, value = observed content):
+    a change is an observation whose value differs from the previous
+    one; interval = observed span ÷ change count (integer µs — floor
+    div on BOTH engines, no float in the schedule); zero observed
+    changes back off to the full span. next_due = last check +
+    interval; overdue is measured against the corpus' newest
+    observation as the deterministic "now".
+
+    Shape at 100 TB: ONE shuffle on item — the lag window and the
+    per-item aggregate share the user_id exchange; "now" is a 1-row
+    aggregate broadcast back (the same tiny-side NLJ as bm25's corpus
+    stats); output is O(items), streamed straight into the frontier's
+    priority column (A2)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = events.select(
+        "user_id",
+        "value",
+        # session tz is pinned UTC (session.py:41) so NTZ→TZ cast is
+        # the identity and epoch micros equal DuckDB's epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        F.lag("value").over(w).alias("_prev"),
+    )
+    per = obs.groupBy(F.col("user_id").alias("item_id")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.when(F.col("_prev").isNotNull() & (F.col("value") != F.col("_prev")), 1)
+            .otherwise(0)
+        ).alias("n_changes"),
+        F.min("_us").alias("_first_us"),
+        F.max("_us").alias("_last_us"),
+    )
+    sched = per.withColumn(
+        "interval_us",
+        F.expr("(_last_us - _first_us) div greatest(n_changes, 1L)"),
+    ).withColumn("next_due_us", F.col("_last_us") + F.col("interval_us"))
+    now = sched.agg(F.max("_last_us").alias("_now_us"))
+    return (
+        sched.crossJoin(F.broadcast(now))
+        .select(
+            "item_id",
+            "n_obs",
+            "n_changes",
+            "interval_us",
+            "next_due_us",
+            (F.col("_now_us") - F.col("next_due_us")).alias("overdue_us"),
+            ((F.col("_now_us") - F.col("next_due_us")) >= 0).alias("due"),
+        )
+        .orderBy(F.desc("overdue_us"), "item_id")
+    )
+
+
+SQL_CRAWL_RECRAWL_SCHEDULE = """
+WITH obs AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+per AS (
+  SELECT user_id AS item_id, count(*) AS n_obs,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_changes,
+         min(us) AS first_us, max(us) AS last_us
+  FROM obs GROUP BY user_id),
+sched AS (
+  SELECT item_id, n_obs, n_changes,
+         (last_us - first_us) // greatest(n_changes, 1) AS interval_us,
+         last_us + (last_us - first_us) // greatest(n_changes, 1) AS next_due_us
+  FROM per),
+now_t AS (SELECT max(next_due_us - interval_us) AS now_us FROM sched)
+SELECT s.item_id, s.n_obs, s.n_changes, s.interval_us, s.next_due_us,
+       n.now_us - s.next_due_us AS overdue_us,
+       (n.now_us - s.next_due_us) >= 0 AS due
+FROM sched s CROSS JOIN now_t n
+ORDER BY overdue_us DESC, item_id
+"""
+
+
 CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "normalise_recode": (q_normalise_recode, SQL_NORMALISE_RECODE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
@@ -538,4 +626,5 @@ CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "crawl_sitemap_expand": (q_crawl_sitemap_expand, SQL_CRAWL_SITEMAP_EXPAND),
     "crawl_robots_policy": (q_crawl_robots_policy, SQL_CRAWL_ROBOTS_POLICY),
     "crawl_frontier_plan": (q_crawl_frontier_plan, SQL_CRAWL_FRONTIER_PLAN),
+    "crawl_recrawl_schedule": (q_crawl_recrawl_schedule, SQL_CRAWL_RECRAWL_SCHEDULE),
 }

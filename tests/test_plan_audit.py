@@ -106,6 +106,9 @@ def test_no_cartesian_products_anywhere(spark):
         # DSIR cross-joins two ONE-row broadcasts (corpus totals, the
         # rank-based keep threshold) — same 1-row broadcast NLJ shape
         "corpus_dsir_weights",
+        # recrawl scheduling cross-joins the ONE-row "now" aggregate
+        # onto the per-item schedule — same 1-row broadcast NLJ
+        "crawl_recrawl_schedule",
     }
     offenders = []
     for name, fn in entry.queries().items():
@@ -410,5 +413,18 @@ def test_frontier_plan_broadcasts_policy_partitions_window(spark):
     plan = _plan(q_crawl_frontier_plan(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "Window" in plan and "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_recrawl_schedule_single_item_shuffle(spark):
+    """The lag window and the per-item aggregate must reuse ONE
+    user_id exchange; "now" is a tiny-side broadcast, never a second
+    shuffle of the schedule; no Python stage."""
+    from gepris_spark.plans.contract_extra import q_crawl_recrawl_schedule
+
+    plan = _plan(q_crawl_recrawl_schedule(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1].split("* Sort")[0]
+    assert body.count("Exchange hashpartitioning") <= 1, plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
