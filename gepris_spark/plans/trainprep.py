@@ -16,7 +16,7 @@ bounded set (the boilerplate chunk list, O(corpus-wide repeated chunks)).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gepris_spark import cacheutil
@@ -1936,6 +1936,295 @@ FROM allw a ORDER BY a.doc_id
 """
 
 
+# ----------------------------------------- count-min heavy hitters
+# Count-Min sketch geometry: d independent hash rows x w counters.
+# w=64 keeps the whole sketch at 256 cells — it broadcasts for the
+# estimate join and the overestimate bias (~ n_events/w per row,
+# min over d rows) stays visible in the graded output.
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOPK = 10
+
+
+def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters over event actors — the
+    frequency member of the mergeable-sketch family (KMV answers
+    per-group cardinality, the urlseen bloom answers membership; CMS
+    answers "how often", the crawl analogue being hot-host / hot-URL
+    detection over the fetch log without a full-cardinality groupBy).
+
+    Classic Cormode-Muthukrishnan: every occurrence increments d=4
+    counters (one per hash row, column = h_r(key) mod w); a key's
+    estimate is the MIN over its d counters and is always >= the true
+    count. Both the sketch build and the estimates use the
+    engine-neutral md5 hash60 with per-row salts, so the DuckDB oracle
+    replays the identical sketch and the driver grades the estimator
+    itself, overestimate bias included (`overestimate` is exactly the
+    collision mass of the key's least-collided row).
+
+    Shape at 100 TB: the sketch build is ONE groupBy over (row, col)
+    — 256 cells, map-side combinable, mergeable across partitions,
+    executors, and streaming micro-batches (counter-wise sum). The
+    estimate side joins the broadcast sketch; the candidate set here
+    is the exact distinct-key relation so the oracle can also grade
+    `exact_count` — a production run over 10^10 keys would feed
+    per-partition top-k candidates instead and drop the exact column
+    (the sketch exists precisely so that no exact per-key state is
+    kept). The final top-10 window sorts only the per-key aggregate,
+    never event rows."""
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").cast("long").alias("user_id"))
+
+    def _cells(df: DataFrame) -> DataFrame:
+        # (key, row r, col c) triples for the d salted hash rows
+        return df.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.pmod(
+                                TS.hash60(
+                                    F.concat(
+                                        F.lit(f"cms{r}:"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                F.lit(_CMS_W),
+                            ).alias("c"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("rc"),
+        ).select("user_id", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+
+    sketch = _cells(ev).groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = (
+        _cells(exact.select("user_id"))
+        .join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    ranked = (
+        exact.join(est, "user_id")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("est_count"), F.desc("exact_count"), "user_id")
+            ),
+        )
+        .where(F.col("rank") <= _CMS_TOPK)
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    ).orderBy("rank")
+
+
+_SQL_CMS_ROWS = ", ".join(str(r) for r in range(_CMS_D))
+_SQL_CMS_HASH = (
+    "('0x' || substr(md5('cms' || CAST({r} AS VARCHAR) || ':' "
+    "|| CAST({k} AS VARCHAR)), 1, 15))::BIGINT % " + str(_CMS_W)
+)
+
+SQL_EVENTS_CMS_HEAVY_HITTERS = f"""
+WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id FROM events),
+rows_ AS (SELECT unnest([{_SQL_CMS_ROWS}]) AS r),
+sketch AS (
+  SELECT r, {_SQL_CMS_HASH.format(r="r", k="user_id")} AS c, count(*) AS cnt
+  FROM ev CROSS JOIN rows_ GROUP BY 1, 2
+),
+exact AS (SELECT user_id, count(*) AS exact_count FROM ev GROUP BY 1),
+est AS (
+  SELECT e.user_id, min(s.cnt) AS est_count
+  FROM exact e CROSS JOIN rows_
+  JOIN sketch s
+    ON s.r = rows_.r
+   AND s.c = {_SQL_CMS_HASH.format(r="rows_.r", k="e.user_id")}
+  GROUP BY 1
+),
+ranked AS (
+  SELECT exact.user_id, est_count, exact_count,
+         row_number() OVER (ORDER BY est_count DESC, exact_count DESC,
+                            exact.user_id) AS rank
+  FROM exact JOIN est ON exact.user_id = est.user_id
+)
+SELECT rank, user_id, est_count, exact_count,
+       est_count - exact_count AS overestimate
+FROM ranked WHERE rank <= {_CMS_TOPK} ORDER BY rank
+"""
+
+
+# ------------------------------------------- log-linear quantile sketch
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style log-linear quantile sketch per event type —
+    the quantile member of the mergeable-sketch family (crawl
+    analogue: per-host fetch-latency p50/p90/p99 for the AIMD
+    throttle without ever sorting raw latencies).
+
+    Values go to integer micro-units (cents — the documented
+    cross-engine float discipline), then each collapses to the bucket
+    that keeps its TWO most significant decimal digits (bucket_lo =
+    micro with all lower digits zeroed): a bounded log-linear grid of
+    at most 90 buckets per decade, relative bucket width <= 10%,
+    built from pure string/integer arithmetic so both engines place
+    every value in the identical bucket — no log() boundary ulps.
+    Quantiles are rank-based (ceil(q*n), the engine's documented
+    exact-percentile convention) read off the bucket CDF; the exact
+    rank-based percentile over raw micro values rides along so the
+    driver grades the sketch's error, not just its mechanics.
+
+    Shape at 100 TB: the histogram is ONE groupBy over (event_type,
+    bucket_lo) — map-side combinable, mergeable across partitions and
+    micro-batches (counter-wise sum), O(buckets) state independent of
+    row count. The CDF window sorts only bucket rows (<= ~360 per
+    group). The exact_* columns are the graded error audit and are
+    the one part a production run would drop — they need a per-group
+    sort of raw values; the sketch path never does."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("micro"),
+    )
+    # p = 10^(digits-2): CAST(concat('1', repeat('0', keep)) AS BIGINT)
+    # — the generated-string power-of-ten both engines build identically
+    keep = F.greatest(F.length(F.col("micro").cast("string")) - F.lit(2), F.lit(0))
+    bucketed = ev.withColumn(
+        "bucket_lo",
+        F.col("micro")
+        - F.pmod(F.col("micro"), F.concat(F.lit("1"), F.repeat(F.lit("0"), keep)).cast("long")),
+    )
+    hist = bucketed.groupBy("event_type", "bucket_lo").agg(F.count(F.lit(1)).alias("cnt"))
+    wcdf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = hist.withColumn("cum", F.sum("cnt").over(wcdf))
+    totals = hist.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_buckets")
+    )
+
+    # rank threshold ceil(p% * n) as pure integer arithmetic:
+    # (n*p + 99) DIV 100 — identical to DuckDB's (n*p + 99) // 100
+    def _thr(n: Column, p: int) -> Column:
+        # subtract-the-remainder first so the division is exact
+        return (((n * p + 99) - F.pmod(n * p + 99, F.lit(100))) / 100).cast("long")
+
+    approx = (
+        cdf.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("total").alias("total"),
+            F.first("n_buckets").alias("n_buckets"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= _thr(F.col("total"), p),
+                        F.col("bucket_lo"),
+                    )
+                ).alias(f"approx_p{p}")
+                for p in (50, 90, 99)
+            ],
+        )
+    )
+    # exact rank-based percentiles: the thr-th smallest micro per type
+    # (the graded error audit — the one per-group raw-value sort here)
+    wrank = Window.partitionBy("event_type").orderBy("micro")
+    ranked = ev.withColumn("rn", F.row_number().over(wrank))
+    nper = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        ranked.join(F.broadcast(nper), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("rn") == _thr(F.col("_n"), p), F.col("micro"))
+                ).alias(f"exact_p{p}")
+                for p in (50, 90, 99)
+            ]
+        )
+    )
+    return (
+        approx.join(exact, "event_type")
+        .select(
+            "event_type",
+            "total",
+            "n_buckets",
+            "approx_p50",
+            "exact_p50",
+            "approx_p90",
+            "exact_p90",
+            "approx_p99",
+            "exact_p99",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_QUANTILE_SKETCH = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS micro FROM events
+),
+b AS (
+  SELECT event_type, micro,
+         micro - micro % CAST('1' || repeat('0',
+             greatest(length(CAST(micro AS VARCHAR)) - 2, 0)) AS BIGINT)
+           AS bucket_lo
+  FROM ev
+),
+hist AS (
+  SELECT event_type, bucket_lo, count(*) AS cnt
+  FROM b GROUP BY 1, 2
+),
+cdf AS (
+  SELECT event_type, bucket_lo, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_buckets
+  FROM hist GROUP BY 1
+),
+approx AS (
+  SELECT c.event_type, any_value(t.total) AS total,
+         any_value(t.n_buckets) AS n_buckets,
+         min(CASE WHEN c.cum >= (t.total * 50 + 99) // 100
+                  THEN c.bucket_lo END) AS approx_p50,
+         min(CASE WHEN c.cum >= (t.total * 90 + 99) // 100
+                  THEN c.bucket_lo END) AS approx_p90,
+         min(CASE WHEN c.cum >= (t.total * 99 + 99) // 100
+                  THEN c.bucket_lo END) AS approx_p99
+  FROM cdf c JOIN tot t ON c.event_type = t.event_type
+  GROUP BY 1
+),
+r AS (
+  SELECT event_type, micro,
+         row_number() OVER (PARTITION BY event_type ORDER BY micro) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS _n
+  FROM ev
+),
+exact AS (
+  SELECT event_type,
+         min(CASE WHEN rn = (_n * 50 + 99) // 100 THEN micro END) AS exact_p50,
+         min(CASE WHEN rn = (_n * 90 + 99) // 100 THEN micro END) AS exact_p90,
+         min(CASE WHEN rn = (_n * 99 + 99) // 100 THEN micro END) AS exact_p99
+  FROM r GROUP BY 1
+)
+SELECT a.event_type, a.total, a.n_buckets,
+       a.approx_p50, e.exact_p50,
+       a.approx_p90, e.exact_p90,
+       a.approx_p99, e.exact_p99
+FROM approx a JOIN exact e ON a.event_type = e.event_type
+ORDER BY a.event_type
+"""
+
+
 TRAINPREP_QUERIES = {
     "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
     "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
@@ -1961,6 +2250,11 @@ TRAINPREP_QUERIES = {
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_kmv_distinct": (q_events_kmv_distinct, SQL_EVENTS_KMV_DISTINCT),
+    "events_cms_heavy_hitters": (
+        q_events_cms_heavy_hitters,
+        SQL_EVENTS_CMS_HEAVY_HITTERS,
+    ),
+    "events_quantile_sketch": (q_events_quantile_sketch, SQL_EVENTS_QUANTILE_SKETCH),
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     "corpus_dsir_weights": (q_corpus_dsir_weights, SQL_CORPUS_DSIR_WEIGHTS),
 }
