@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gepris_spark.operators.politeness import DEFAULT_DELAY_MS
 from gepris_spark.plans.relational import load
 
 # ----------------------------------------------------------- N1 recode
@@ -619,6 +620,88 @@ ORDER BY overdue_us DESC, item_id
 """
 
 
+# ---------------------------------------------- politeness audit
+_VISIT_LOG_FIXTURE = FIXTURE_DIR / "crawl_replay_visit_log.parquet"
+
+
+def q_crawl_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness compliance over the engine's own visit log —
+    the audit the reference enforces only implicitly at runtime
+    (DOWNLOAD_DELAY/AutoThrottle, settings.py:119-126): for every host,
+    the minimum inter-visit gap must clear the delay budget. The input
+    is the committed replay fixture (the visit log the engine produces
+    from the seeded corpus, itself pinned byte-identical to the
+    single-threaded oracle by tests/test_replay.py), so this query
+    grades the WINDOW/AGG plan that a production crawl would run
+    nightly over the fetch log to prove the politeness contract held.
+
+    Shape at 100 TB: one shuffle on host; the lag window and the
+    per-host aggregate share the exchange (the politeness scheduler's
+    own partitioning — hosts are already the salt key, operators/
+    politeness.py), and the output is O(hosts). A violation here means
+    the scheduler's token-bucket admission (crawl_frontier_plan) and
+    the AIMD throttle (crawl_aimd_schedule) disagree with what was
+    actually scheduled — the three queries together close the loop
+    plan → schedule → audit."""
+    return politeness_audit(spark.read.parquet(str(_VISIT_LOG_FIXTURE)))
+
+
+def politeness_audit(log: DataFrame, budget_ms: int = DEFAULT_DELAY_MS) -> DataFrame:
+    """The audit plan over any visit log with (host, seq, scheduled_ms,
+    batch_id) columns; see q_crawl_politeness_audit."""
+    w = Window.partitionBy("host").orderBy("seq")
+    gaps = log.withColumn(
+        "gap_ms", F.col("scheduled_ms") - F.lag("scheduled_ms").over(w)
+    )
+    budget = F.lit(budget_ms).cast("long")
+    return (
+        gaps.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.count_distinct("batch_id").alias("n_batches"),
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+            (F.max("scheduled_ms") - F.min("scheduled_ms")).alias("span_ms"),
+            F.coalesce(
+                F.sum(F.when(F.col("gap_ms") < budget, 1).otherwise(0)), F.lit(0)
+            ).alias("violations"),
+        )
+        .select(
+            "host",
+            "n_visits",
+            "n_batches",
+            "min_gap_ms",
+            "max_gap_ms",
+            "span_ms",
+            budget.alias("budget_ms"),
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("compliant"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_CRAWL_POLITENESS_AUDIT = f"""
+WITH g AS (
+  SELECT host, batch_id, scheduled_ms,
+         scheduled_ms - lag(scheduled_ms)
+           OVER (PARTITION BY host ORDER BY seq) AS gap_ms
+  FROM read_parquet('{_VISIT_LOG_FIXTURE}')
+)
+SELECT host, count(*) AS n_visits,
+       count(DISTINCT batch_id) AS n_batches,
+       min(gap_ms) AS min_gap_ms,
+       max(gap_ms) AS max_gap_ms,
+       max(scheduled_ms) - min(scheduled_ms) AS span_ms,
+       CAST({DEFAULT_DELAY_MS} AS BIGINT) AS budget_ms,
+       CAST(coalesce(sum(CASE WHEN gap_ms < {DEFAULT_DELAY_MS} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS violations,
+       coalesce(sum(CASE WHEN gap_ms < {DEFAULT_DELAY_MS} THEN 1 ELSE 0 END), 0) = 0
+         AS compliant
+FROM g GROUP BY host ORDER BY host
+"""
+
+
 CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "normalise_recode": (q_normalise_recode, SQL_NORMALISE_RECODE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
@@ -627,4 +710,5 @@ CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "crawl_robots_policy": (q_crawl_robots_policy, SQL_CRAWL_ROBOTS_POLICY),
     "crawl_frontier_plan": (q_crawl_frontier_plan, SQL_CRAWL_FRONTIER_PLAN),
     "crawl_recrawl_schedule": (q_crawl_recrawl_schedule, SQL_CRAWL_RECRAWL_SCHEDULE),
+    "crawl_politeness_audit": (q_crawl_politeness_audit, SQL_CRAWL_POLITENESS_AUDIT),
 }
