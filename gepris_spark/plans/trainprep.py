@@ -1970,8 +1970,8 @@ def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     `exact_count` — a production run over 10^10 keys would feed
     per-partition top-k candidates instead and drop the exact column
     (the sketch exists precisely so that no exact per-key state is
-    kept). The final top-10 window sorts only the per-key aggregate,
-    never event rows."""
+    kept). The final top-10 is TakeOrderedAndProject over the per-key
+    aggregate — per-partition heads, never a global sort."""
     ev = load(spark, sf_dir, "events").select(F.col("user_id").cast("long").alias("user_id"))
 
     def _cells(df: DataFrame) -> DataFrame:
@@ -2007,23 +2007,20 @@ def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("cnt").alias("est_count"))
     )
-    ranked = (
+    # distributed top-k (TakeOrderedAndProject — per-partition heads
+    # merged on the driver, never a global sort or single-partition
+    # window), fully tiebroken so both engines pick the same boundary
+    return (
         exact.join(est, "user_id")
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("est_count"), F.desc("exact_count"), "user_id")
-            ),
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
         )
-        .where(F.col("rank") <= _CMS_TOPK)
+        .orderBy(F.desc("est_count"), F.desc("exact_count"), "user_id")
+        .limit(_CMS_TOPK)
     )
-    return ranked.select(
-        F.col("rank").cast("long").alias("rank"),
-        "user_id",
-        "est_count",
-        "exact_count",
-        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
-    ).orderBy("rank")
 
 
 _SQL_CMS_ROWS = ", ".join(str(r) for r in range(_CMS_D))
@@ -2048,15 +2045,14 @@ est AS (
    AND s.c = {_SQL_CMS_HASH.format(r="rows_.r", k="e.user_id")}
   GROUP BY 1
 ),
-ranked AS (
+joined AS (
   SELECT exact.user_id, est_count, exact_count,
-         row_number() OVER (ORDER BY est_count DESC, exact_count DESC,
-                            exact.user_id) AS rank
+         est_count - exact_count AS overestimate
   FROM exact JOIN est ON exact.user_id = est.user_id
 )
-SELECT rank, user_id, est_count, exact_count,
-       est_count - exact_count AS overestimate
-FROM ranked WHERE rank <= {_CMS_TOPK} ORDER BY rank
+SELECT user_id, est_count, exact_count, overestimate
+FROM joined ORDER BY est_count DESC, exact_count DESC, user_id
+LIMIT {_CMS_TOPK}
 """
 
 

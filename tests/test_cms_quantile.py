@@ -23,7 +23,10 @@ def test_cms_never_underestimates_and_ranks_true_heavy_hitters(spark):
     """The Count-Min guarantee: est >= exact for every key. And because
     the estimate is monotone in the true count, the sketch's top-k must
     contain the true top-k's heaviest key."""
-    rows = q_events_cms_heavy_hitters(spark, SF).collect()
+    rows = sorted(
+        q_events_cms_heavy_hitters(spark, SF).collect(),
+        key=lambda r: (-r["est_count"], -r["exact_count"], r["user_id"]),
+    )
     assert len(rows) == _CMS_TOPK
     assert all(r["est_count"] >= r["exact_count"] for r in rows)
     assert all(r["overestimate"] == r["est_count"] - r["exact_count"] for r in rows)

@@ -428,3 +428,43 @@ def test_recrawl_schedule_single_item_shuffle(spark):
     assert body.count("Exchange hashpartitioning") <= 1, plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_heavy_hitters_broadcast_sketch_topk_no_global_sort(spark):
+    """The Count-Min estimate join must broadcast the 256-cell sketch
+    (never shuffle the candidate set for it), the final top-10 must be
+    TakeOrderedAndProject (per-partition heads, no global sort), and
+    every aggregate must have a map-side partial."""
+    from gepris_spark.plans.trainprep import q_events_cms_heavy_hitters
+
+    plan = _plan(q_events_cms_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for sketch and exact
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_sketch_windows_partitioned_totals_broadcast(spark):
+    """The CDF and rank windows must stay partitioned by event_type
+    (never a single-partition window) and the tiny per-type totals
+    must broadcast back onto bucket/value rows, not shuffle them."""
+    from gepris_spark.plans.trainprep import q_events_quantile_sketch
+
+    plan = _plan(q_events_quantile_sketch(spark, SF))
+    assert "Window" in plan and "Exchange SinglePartition" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_politeness_audit_single_host_shuffle(spark):
+    """The gap window and the per-host aggregate must share ONE host
+    exchange — the audit is a single pass over the visit log."""
+    from gepris_spark.plans.contract_extra import q_crawl_politeness_audit
+
+    plan = _plan(q_crawl_politeness_audit(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1].split("* Sort")[0]
+    assert body.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
