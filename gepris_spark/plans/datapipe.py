@@ -2005,6 +2005,103 @@ FROM laid ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------- priority sampling
+_PSAMPLE_K = 16
+_PSAMPLE_SCALE = float(1 << 60)
+
+
+def priority_sample(docs: DataFrame, k: int) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup) over a (doc_id, weight)
+    frame: u_i = (hash+1)/2^60 uniform in (0,1], priority q_i = w_i/u_i,
+    keep the k largest priorities, and estimate each kept item's weight
+    as max(w_i, tau) where tau is the (k+1)-th priority — the classic
+    unbiased subset-sum estimator (sum of est_weight over the sample
+    estimates the total corpus weight). Fewer than k+1 items means no
+    tau: every item is kept and the estimate is exact."""
+    pri = docs.withColumn(
+        "_h", TS.hash60(F.concat(F.lit("psamp:"), F.col("doc_id")))
+    ).withColumn(
+        "priority",
+        F.col("weight").cast("double")
+        * F.lit(_PSAMPLE_SCALE)
+        / (F.col("_h") + F.lit(1)).cast("double"),
+    )
+    topk1 = pri.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
+    tau = topk1.agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("priority").alias("_minq")
+    ).select(F.when(F.col("_cnt") == k + 1, F.col("_minq")).alias("_tau"))
+    sample = topk1.orderBy(F.desc("priority"), "doc_id").limit(k)
+    return (
+        sample.crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            F.greatest(
+                F.col("weight").cast("double"), F.coalesce(F.col("_tau"), F.lit(0.0))
+            ).alias("est_weight"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+    )
+
+
+def q_corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus sampling with unbiased subset-sum estimates —
+    the sampling member of the sketch family (stratified sampling
+    keeps fixed per-stratum RATES; priority sampling keeps a fixed
+    BUDGET of k items while still letting any downstream sum be
+    estimated without bias: sum(est_weight) over the k kept rows
+    estimates sum(weight) over the whole corpus). Crawl analogue:
+    pick k frontier urls under a fetch budget, weighted by expected
+    yield, and still estimate total yield from what was fetched.
+
+    Deterministic throughout: u_i comes from the engine-neutral md5
+    hash60 of the stable doc_id, and priority = weight * 2^60 /
+    (hash+1) is two IEEE ops both engines evaluate identically in the
+    written order — the DuckDB oracle reproduces every double
+    bit-for-bit, so sample membership, tau, and the estimates are all
+    graded exact (the documented float discipline: no reassociation,
+    no libm).
+
+    Shape at 100 TB: priorities are map-only (a scan with the hash
+    fused); top-(k+1) is TakeOrderedAndProject — per-partition heads,
+    no global sort, no window; tau is a 1-row broadcast back onto the
+    k sample rows. Nothing shuffles the corpus."""
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    return priority_sample(docs, _PSAMPLE_K)
+
+
+SQL_CORPUS_PRIORITY_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         {_sql_hash60("'psamp:' || doc_id")} AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, weight,
+         (CAST(weight AS DOUBLE) * {_PSAMPLE_SCALE!r}) / CAST(h + 1 AS DOUBLE)
+           AS priority
+  FROM w
+),
+topk1 AS (
+  SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT {_PSAMPLE_K + 1}
+),
+tau AS (
+  SELECT CASE WHEN count(*) = {_PSAMPLE_K + 1} THEN min(priority) END AS tau_p
+  FROM topk1
+),
+samp AS (
+  SELECT * FROM topk1 ORDER BY priority DESC, doc_id LIMIT {_PSAMPLE_K}
+)
+SELECT s.doc_id, s.weight, s.priority,
+       greatest(CAST(s.weight AS DOUBLE), coalesce(t.tau_p, 0.0)) AS est_weight
+FROM samp s CROSS JOIN tau t
+ORDER BY s.priority DESC, s.doc_id
+"""
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -2030,4 +2127,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
+    "corpus_priority_sample": (q_corpus_priority_sample, SQL_CORPUS_PRIORITY_SAMPLE),
 }

@@ -109,6 +109,9 @@ def test_no_cartesian_products_anywhere(spark):
         # recrawl scheduling cross-joins the ONE-row "now" aggregate
         # onto the per-item schedule — same 1-row broadcast NLJ
         "crawl_recrawl_schedule",
+        # priority sampling cross-joins the ONE-row tau threshold onto
+        # the k sample rows — same 1-row broadcast NLJ
+        "corpus_priority_sample",
     }
     offenders = []
     for name, fn in entry.queries().items():
