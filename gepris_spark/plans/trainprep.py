@@ -1973,36 +1973,45 @@ def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept). The final top-10 is TakeOrderedAndProject over the per-key
     aggregate — per-partition heads, never a global sort."""
     ev = load(spark, sf_dir, "events").select(F.col("user_id").cast("long").alias("user_id"))
+    sketch = cms_cells(ev).groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    return cms_estimates(ev, sketch)
 
-    def _cells(df: DataFrame) -> DataFrame:
-        # (key, row r, col c) triples for the d salted hash rows
-        return df.select(
-            "user_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            F.pmod(
-                                TS.hash60(
-                                    F.concat(
-                                        F.lit(f"cms{r}:"),
-                                        F.col("user_id").cast("string"),
-                                    )
-                                ),
-                                F.lit(_CMS_W),
-                            ).alias("c"),
-                        )
-                        for r in range(_CMS_D)
-                    ]
-                )
-            ).alias("rc"),
-        ).select("user_id", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
 
-    sketch = _cells(ev).groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+def cms_cells(df: DataFrame) -> DataFrame:
+    """(key, row r, col c) triples for the d salted hash rows — shared
+    by the batch query and the streaming per-micro-batch sketch build."""
+    return df.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            TS.hash60(
+                                F.concat(
+                                    F.lit(f"cms{r}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            F.lit(_CMS_W),
+                        ).alias("c"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+
+
+def cms_estimates(ev: DataFrame, sketch: DataFrame) -> DataFrame:
+    """Heavy-hitter estimates from any (r, c, cnt) sketch relation —
+    the batch query passes its one-groupBy sketch, the streaming leg
+    passes the micro-batch-merged one; output shape is identical so
+    both grade against the same oracle."""
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
     est = (
-        _cells(exact.select("user_id"))
+        cms_cells(exact.select("user_id"))
         .join(F.broadcast(sketch), ["r", "c"])
         .groupBy("user_id")
         .agg(F.min("cnt").alias("est_count"))
@@ -2054,6 +2063,22 @@ SELECT user_id, est_count, exact_count, overestimate
 FROM joined ORDER BY est_count DESC, exact_count DESC, user_id
 LIMIT {_CMS_TOPK}
 """
+
+
+def q_events_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_cms_heavy_hitters` with the sketch built INCREMENTALLY
+    as a Structured Streaming job — counters are a monoid, so the
+    per-micro-batch sketches merge by counter-wise sum and the merged
+    sketch equals the batch one for any arrival-file cut. Graded
+    against the SAME DuckDB oracle as the batch query: stream = batch
+    equality is the contract (streaming/cmsstream.py has the
+    O(sketch)-not-O(rows) driver-merge notes)."""
+    from gepris_spark.streaming.cmsstream import run_cms_stream
+
+    events_pdf = (
+        load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value").toPandas()
+    )
+    return run_cms_stream(spark, events_pdf, query_name="events_cms_stream_sink")
 
 
 # ------------------------------------------- log-linear quantile sketch
@@ -2251,6 +2276,7 @@ TRAINPREP_QUERIES = {
         SQL_EVENTS_CMS_HEAVY_HITTERS,
     ),
     "events_quantile_sketch": (q_events_quantile_sketch, SQL_EVENTS_QUANTILE_SKETCH),
+    "events_cms_stream": (q_events_cms_stream, SQL_EVENTS_CMS_HEAVY_HITTERS),
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     "corpus_dsir_weights": (q_corpus_dsir_weights, SQL_CORPUS_DSIR_WEIGHTS),
 }
