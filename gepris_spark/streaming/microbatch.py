@@ -73,6 +73,12 @@ class EngineConfig:
     # cheap, shuffles are not)
     bloom_bits: int = 1 << 24
     bloom_hashes: int = 5
+    # URL-seen filter kind: "bloom" (default; insert+probe only) or
+    # "cuckoo" (operators/cuckooseen.py; adds delete for the
+    # vanished-marking re-discovery path). Both keep the same
+    # no-false-negative + exact-anti-join-on-hit contract, so the
+    # visit ordering is identical whichever is selected.
+    urlseen: str = "bloom"
     # detailed per-batch accounting (input/dup/invalid counts) costs 3
     # extra count jobs per batch; throughput-critical deployments can
     # turn it off — visit counts and stage timings are always kept
@@ -104,12 +110,19 @@ class CrawlEngine:
         self.root = root
         self.config = config or EngineConfig()
         self.store = SnapshotStore(root)
-        self.bloom = BloomUrlSeen(
-            root,
-            n_buckets=self.config.bloom_buckets,
-            m_bits=self.config.bloom_bits,
-            k=self.config.bloom_hashes,
-        )
+        if self.config.urlseen == "cuckoo":
+            from gepris_spark.operators.cuckooseen import CuckooUrlSeen
+
+            # self.bloom is the engine's URL-seen slot whatever the
+            # filter kind — both classes share the filter_new contract
+            self.bloom = CuckooUrlSeen(root, n_buckets=self.config.bloom_buckets)
+        else:
+            self.bloom = BloomUrlSeen(
+                root,
+                n_buckets=self.config.bloom_buckets,
+                m_bits=self.config.bloom_bits,
+                k=self.config.bloom_hashes,
+            )
 
     # ------------------------------------------------------------ state
     def _ledger_path(self) -> str:
