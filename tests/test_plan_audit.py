@@ -471,3 +471,23 @@ def test_politeness_audit_single_host_shuffle(spark):
     assert body.count("Exchange hashpartitioning") <= 1, plan
     assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_balance_counts_broadcast_no_url_reshuffle(spark):
+    """The per-host count table must broadcast back onto the url set
+    (hosts are bounded; never shuffle urls to attach a count), and the
+    skew numbers themselves must show the salt working: unsalted max
+    share >= 3x fair, salted max share <= 2x fair."""
+    from pyspark.sql import functions as F
+
+    from gepris_spark.plans.contract_extra import q_crawl_shard_balance
+
+    df = q_crawl_shard_balance(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan or "Window" not in plan
+    rows = df.collect()
+    assert max(r["unsalted_share_bp"] for r in rows) >= 30000
+    assert max(r["salted_share_bp"] for r in rows) <= 20000
+    # both assignments cover every url exactly once
+    assert sum(r["n_unsalted"] for r in rows) == sum(r["n_salted"] for r in rows)
