@@ -150,6 +150,54 @@ def rgb_feature_stage(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema)
 
 
+SHARPNESS_THRESHOLD = 100.0  # lap_var: corpus images ~1100-1350, 5x5-blurred ~5
+
+
+def sharpness_stage(images: DataFrame, threshold: float = SHARPNESS_THRESHOLD) -> DataFrame:
+    """Blur/sharpness curation signal (the LAION-style quality gate a
+    100 TB image pipeline runs before training): variance of the 3x3
+    Laplacian over the luma plane (the classic variance-of-Laplacian
+    focus measure) plus edge density (fraction of |laplacian| > 16).
+    Pure-numpy slicing — no convolution library — inside the same
+    vectorized mapInPandas contract as the other decode stages; the
+    `sharp` verdict thresholds lap_var where the blurred and unblurred
+    populations are three orders of magnitude apart."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("lap_var", T.DoubleType()),
+            T.StructField("edge_density", T.DoubleType()),
+            T.StructField("sharp", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pixels = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                luma = 0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
+                lap = (
+                    4 * luma[1:-1, 1:-1]
+                    - luma[:-2, 1:-1]
+                    - luma[2:, 1:-1]
+                    - luma[1:-1, :-2]
+                    - luma[1:-1, 2:]
+                )
+                lap_var = round(float(lap.var()), 6)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "lap_var": lap_var,
+                        "edge_density": round(float((np.abs(lap) > 16).mean()), 6),
+                        "sharp": bool(lap_var >= threshold),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema)
+
+
 def audio_decode_stage(audio: DataFrame, ref_samples_fn=None) -> DataFrame:
     """Audio decode + feature extraction over binary WAV payloads
     (codecs/wav.py: real RIFF containers, PCM16 lossless / G.711 μ-law

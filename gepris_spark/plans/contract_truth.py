@@ -100,6 +100,10 @@ TRUTH_QUERIES: dict[str, tuple] = {
         mc.q_multimodal_features,
         _fixture_sql("multimodal_rgb_features"),
     ),
+    "image_sharpness_filter": (
+        mc.q_image_sharpness,
+        _fixture_sql("image_sharpness_filter"),
+    ),
     "multimodal_audio_features": (
         mc.q_multimodal_audio,
         _fixture_sql("multimodal_audio_features"),

@@ -37,6 +37,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rgb_feature_stage(images).orderBy("image_id")
 
 
+def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-of-Laplacian sharpness gate over the corpus images plus
+    their 5x5-box-blurred controls — the verdict must separate the two
+    populations (all originals sharp, all '-blur' rows rejected); the
+    fixture oracle restates the focus-measure formulas sequentially."""
+    from gepris_spark.operators.multimodal import sharpness_stage
+    from gepris_spark.sources import corpus
+
+    images = spark.createDataFrame(corpus.gen_sharpness_pdf(24, seed=42))
+    return sharpness_stage(images).orderBy("image_id")
+
+
 def q_crawl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline engine path as a contract query: replay a seeded
     deterministic seed list through the micro-batch engine (bloom

@@ -112,6 +112,41 @@ def gen_images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def box_blur5(pixels: np.ndarray) -> np.ndarray:
+    """Deterministic 5x5 edge-clamped box blur (padded 2-D cumsum, no
+    scipy) — the generator's 'blurry variant' for the sharpness
+    filter's would-be-rejected control population."""
+
+    def one(ch: np.ndarray) -> np.ndarray:
+        p = np.pad(ch.astype(np.float64), 2, mode="edge")
+        c = p.cumsum(0).cumsum(1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        h, w = ch.shape
+        s = c[5 : 5 + h, 5 : 5 + w] - c[:h, 5 : 5 + w] - c[5 : 5 + h, :w] + c[:h, :w]
+        return s / 25.0
+
+    out = np.stack([one(pixels[:, :, c]) for c in range(pixels.shape[2])], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def gen_sharpness_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Sharpness-filter input: every corpus image plus a 5x5-box-blurred
+    control (png re-encode, lossless — the blur is the only change), so
+    the filter's verdict separates two known populations."""
+    rows = []
+    for r in gen_images_pdf(n, seed=seed).itertuples(index=False):
+        rows.append({"image_id": r.image_id, "bytes": r.bytes, "fmt": r.fmt})
+        blurred = box_blur5(imagecodec.decode(bytes(r.bytes), r.fmt))
+        rows.append(
+            {
+                "image_id": f"{r.image_id}-blur",
+                "bytes": imagecodec.encode(blurred, "png"),
+                "fmt": "png",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def _noise_variant(pixels: np.ndarray, image_index: int, seed: int = 42) -> np.ndarray:
     """The catalog's near-duplicate: base pixels + sigma-1.5 gaussian
     noise from a (seed, index) generator — shared by the generator and

@@ -390,6 +390,37 @@ def multimodal_rgb_features_truth() -> pd.DataFrame:
     return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
 
 
+def image_sharpness_truth() -> pd.DataFrame:
+    """Sequential re-derivation of q_image_sharpness over
+    gen_sharpness_pdf(24, seed=42): variance-of-Laplacian + edge
+    density restated, threshold verdict at lap_var >= 100."""
+    import numpy as np
+
+    from gepris_spark.codecs import image as imagecodec
+
+    out = []
+    for r in corpus.gen_sharpness_pdf(24, seed=42).itertuples(index=False):
+        px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.float64)
+        luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        lap = (
+            4 * luma[1:-1, 1:-1]
+            - luma[:-2, 1:-1]
+            - luma[2:, 1:-1]
+            - luma[1:-1, :-2]
+            - luma[1:-1, 2:]
+        )
+        lap_var = round(float(lap.var()), 6)
+        out.append(
+            {
+                "image_id": r.image_id,
+                "lap_var": lap_var,
+                "edge_density": round(float((np.abs(lap) > 16).mean()), 6),
+                "sharp": bool(lap_var >= 100.0),
+            }
+        )
+    return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
+
+
 def multimodal_audio_features_truth() -> pd.DataFrame:
     """Sequential re-derivation of q_multimodal_audio over
     gen_audio_pdf(24, seed=42): rms / zero-crossings / spectral

@@ -105,6 +105,10 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("mean_b", pa.float64()), ("std_luma", pa.float64()),
         ("entropy_luma", pa.float64()),
     ],
+    "image_sharpness_filter": [
+        ("image_id", S), ("lap_var", pa.float64()),
+        ("edge_density", pa.float64()), ("sharp", B),
+    ],
     "multimodal_audio_features": [
         ("audio_id", S), ("fmt", S), ("sample_rate", pa.int32()),
         ("channels", pa.int32()), ("n_samples", pa.int32()),
@@ -153,6 +157,7 @@ def truth_frames(spark) -> dict:
         "image_decode_verify": truth.image_decode_verify_truth(),
         "multimodal_decode_verify": truth.multimodal_decode_verify_truth(),
         "multimodal_rgb_features": truth.multimodal_rgb_features_truth(),
+        "image_sharpness_filter": truth.image_sharpness_truth(),
         "multimodal_audio_features": truth.multimodal_audio_features_truth(),
         "multimodal_video_frames": truth.multimodal_video_frames_truth(),
         "crawl_image_catalog": truth.crawl_image_catalog_truth(),
