@@ -16,6 +16,8 @@ bounded set (the boilerplate chunk list, O(corpus-wide repeated chunks)).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2246,6 +2248,128 @@ ORDER BY a.event_type
 """
 
 
+# -------------------------------------------------- HyperLogLog sketch
+_HLL_P = 6  # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.709  # Flajolet et al. 2007, alpha_64
+# hash60 leaves 60 - p = 54 payload bits; an all-zero payload means 54
+# leading zeros -> rho = 55
+_HLL_RHO_MAX = 60 - _HLL_P + 1
+# raw-estimate numerator alpha * m^2 * 2^55, one Python float literal
+# shipped verbatim to both engines (S is the integer harmonic sum in
+# units of 2^-55, so raw = _HLL_NUM / S is a single IEEE division)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RHO_MAX)
+# linear-counting correction m*ln(m/V) has only m possible values —
+# precompute them in Python so neither engine evaluates ln() (the
+# documented ulp discipline: transcendental calls never cross the
+# oracle boundary)
+_HLL_LINEAR = [round(_HLL_M * math.log(_HLL_M / v), 4) for v in range(1, _HLL_M + 1)]
+
+
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event type — the
+    constant-space member of the mergeable-sketch family, next to KMV
+    (order statistic, k words) and CMS (frequency). Crawl analogue:
+    per-host distinct-URL cardinality in the frontier dashboard at
+    10^10 urls, 64 bytes of state per host, registers merged across
+    executors/micro-batches by element-wise max.
+
+    Classic Flajolet construction, made oracle-exact: hash60 splits
+    into p=6 register-index bits and a 54-bit payload; rho = leading
+    zeros + 1 computed as 55 - bitlen(payload) via the minimal-digit
+    binary string both engines produce (Spark conv(w,10,2), DuckDB
+    bin(w)) — no log2() boundary ulps. The harmonic sum is kept as the
+    INTEGER S = sum(2^(55 - M_j)) over all 64 registers (absent
+    registers contribute 2^55), max 64 * 2^55 < 2^61, so the raw
+    estimate alpha*m^2*2^55 / S is a single IEEE division of two
+    exactly-shared operands — bit-identical on both engines. The
+    small-range branch (raw <= 2.5m and empty registers exist) reads
+    m*ln(m/V) from a 64-entry Python-precomputed table instead of
+    calling ln(). sf0.001 (15 users/type) exercises the linear-counting
+    branch, sf0.01+ the raw branch.
+
+    Shape at 100 TB: one shuffle for the distinct, then a (type,
+    register) groupBy that map-side combines to <= 64 rows per type —
+    the register table IS the mergeable sketch state; everything after
+    it is O(types * 64). Unlike approx_count_distinct (same algorithm
+    inside Spark) every register is driver-visible and the estimate is
+    value-graded against the exact count riding alongside."""
+    d = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type",
+        TS.hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    w = F.shiftright(F.col("h"), _HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        h.select(
+            "event_type",
+            (F.col("h") % _HLL_M).alias("reg"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("cnt"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_MAX} - m_j)")).alias("s_present"),
+    )
+    v_empty = (F.lit(_HLL_M) - F.col("n_regs")).cast("long")
+    s_total = (
+        F.col("s_present") + v_empty * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    ).cast("long")
+    raw = F.lit(_HLL_NUM) / F.col("s_harmonic")
+    linear = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LINEAR]), F.col("v_empty").cast("int")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_empty") > 0), linear
+    ).otherwise(F.round(raw, 4))
+    return (
+        per_type.select(
+            "event_type",
+            "n_exact",
+            v_empty.alias("v_empty"),
+            s_total.alias("s_harmonic"),
+        )
+        .select("event_type", "n_exact", "v_empty", "s_harmonic", est.alias("hll_estimate"))
+        .orderBy("event_type")
+    )
+
+
+_HLL_LINEAR_SQL = ", ".join(f"{x!r}" for x in _HLL_LINEAR)
+SQL_EVENTS_HLL_DISTINCT = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type,
+             ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM d),
+r AS (SELECT event_type, h % {_HLL_M} AS reg,
+             CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h >> {_HLL_P})) END AS rho
+      FROM h),
+regs AS (SELECT event_type, reg, max(rho) AS m_j, count(*) AS cnt
+         FROM r GROUP BY 1, 2),
+t AS (SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n_exact,
+             count(*) AS n_regs,
+             CAST(sum((1::BIGINT << ({_HLL_RHO_MAX} - m_j))) AS BIGINT) AS s_present
+      FROM regs GROUP BY 1),
+s AS (SELECT event_type, n_exact,
+             CAST({_HLL_M} - n_regs AS BIGINT) AS v_empty,
+             CAST(s_present + ({_HLL_M} - n_regs) * (1::BIGINT << {_HLL_RHO_MAX})
+                  AS BIGINT) AS s_harmonic
+      FROM t)
+SELECT event_type, n_exact, v_empty, s_harmonic,
+       CASE WHEN {_HLL_NUM!r} / s_harmonic <= {2.5 * _HLL_M!r} AND v_empty > 0
+            THEN ([{_HLL_LINEAR_SQL}])[CAST(v_empty AS INT)]
+            ELSE round({_HLL_NUM!r} / s_harmonic, 4) END AS hll_estimate
+FROM s ORDER BY event_type
+"""
+
+
 TRAINPREP_QUERIES = {
     "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
     "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
@@ -2279,4 +2403,5 @@ TRAINPREP_QUERIES = {
     "events_cms_stream": (q_events_cms_stream, SQL_EVENTS_CMS_HEAVY_HITTERS),
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     "corpus_dsir_weights": (q_corpus_dsir_weights, SQL_CORPUS_DSIR_WEIGHTS),
+    "events_hll_distinct": (q_events_hll_distinct, SQL_EVENTS_HLL_DISTINCT),
 }

@@ -491,3 +491,16 @@ def test_shard_balance_counts_broadcast_no_url_reshuffle(spark):
     assert max(r["salted_share_bp"] for r in rows) <= 20000
     # both assignments cover every url exactly once
     assert sum(r["n_unsalted"] for r in rows) == sum(r["n_salted"] for r in rows)
+
+
+def test_hll_distinct_stays_codegen_no_window(spark):
+    """The HLL sketch is hash + two map-side-combinable aggregates —
+    no Python stage, no window at all (unlike KMV's rank), no join:
+    the whole plan past the distinct is O(types * 64) rows."""
+    from gepris_spark.plans.trainprep import q_events_hll_distinct
+
+    plan = _plan(q_events_hll_distinct(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan

@@ -9,10 +9,16 @@ from pyspark.sql import functions as F
 
 from gepris_spark import cacheutil
 from gepris_spark.plans.relational import load
+from gepris_spark.functions import textstats as TS
 from gepris_spark.plans.trainprep import (
+    _HLL_LINEAR,
+    _HLL_M,
+    _HLL_P,
+    _HLL_RHO_MAX,
     _KCORE_K,
     _KMV_K,
     _RANGE_WINDOW_US,
+    q_events_hll_distinct,
     q_events_kmv_distinct,
     q_events_range_join,
     q_graph_kcore,
@@ -91,3 +97,64 @@ def test_kcore_rounds_reach_fixpoint(spark):
     cacheutil.release_caches()
     assert total > 0
     assert below == 0
+
+
+def test_hll_linear_counting_branch_at_sf0001(spark):
+    """sf0.001 has 15 users per type — far below 2.5m=160 with empty
+    registers, so every row must take the linear-counting branch:
+    estimate = m*ln(m/V) from the precomputed table, and the register
+    accounting must be internally consistent (V empty registers each
+    contribute 2^55 to the harmonic sum)."""
+    rows = q_events_hll_distinct(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.v_empty > 0
+        assert r.hll_estimate == _HLL_LINEAR[r.v_empty - 1]
+        # estimate within 20% of truth in the linear regime
+        assert abs(r.hll_estimate - r.n_exact) / r.n_exact < 0.2
+
+
+def test_hll_raw_branch_and_error_at_sf01(spark):
+    """sf0.1 has 1500 users per type — the raw-estimate branch fires
+    (all 64 registers hit, V=0) and the estimate lands within 3 standard
+    errors (3 * 1.04/sqrt(64) ~= 39%) of the true cardinality; for this
+    fixed dataset + fixed hash the value is deterministic, so the bound
+    can never flake."""
+    rows = q_events_hll_distinct(spark, "/root/testdata/sf0.1").collect()
+    for r in rows:
+        assert r.v_empty == 0
+        assert abs(r.hll_estimate - r.n_exact) / r.n_exact < 0.39, (
+            r.event_type,
+            r.hll_estimate,
+            r.n_exact,
+        )
+
+
+def test_hll_registers_merge_across_splits(spark):
+    """Mergeability — the property that makes the sketch usable across
+    executors and micro-batches: building the sketch on two disjoint
+    halves of the users and max-merging the register values must give
+    the harmonic sum the single-pass sketch computes."""
+    ev = load(spark, SF, "events").select("event_type", "user_id").distinct()
+    h = ev.select(
+        "event_type",
+        TS.hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    w = F.shiftright(F.col("h"), _HLL_P)
+    rho = (
+        F.when(w == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.conv(w.cast("string"), 10, 2)))
+        .cast("long")
+    )
+    regs_of = lambda df: (
+        df.select("event_type", (F.col("h") % _HLL_M).alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    halves = regs_of(h.where(F.col("h") % 2 == 0)).unionAll(
+        regs_of(h.where(F.col("h") % 2 == 1))
+    )
+    merged = halves.groupBy("event_type", "reg").agg(F.max("m_j").alias("m_j"))
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r) for r in regs_of(h).collect()}
+    assert got == want and len(got) > 0
