@@ -2370,6 +2370,128 @@ FROM s ORDER BY event_type
 """
 
 
+# ------------------------------------------------- triangle counting
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph — the
+    third graph operator next to pagerank (centrality) and k-core
+    (pruning); triangle participation is the standard local-clustering
+    signal a crawl frontier uses to tell genuine topic hubs from
+    link-farm spam rings (spam clusters are triangle-dense, navigational
+    boilerplate is star-shaped).
+
+    Graph: parts co-occurring on ADJACENT line numbers of the same
+    order (undirected, deduped, self-loops dropped) — ~p*15 edges per
+    order keeps the graph sparse at every scale factor. Counting uses
+    the Suri–Vassilvitskii degree orientation: every edge points from
+    the lexicographically smaller (degree, node) endpoint to the
+    larger, so each triangle is generated by exactly ONE wedge at its
+    lowest-ranked corner and the per-source out-degree is O(sqrt(E)) —
+    the wedge self-join is bounded even on power-law graphs, which is
+    the whole reason this beats the naive e1-e2-e3 id-ordered join at
+    scale (same output, unbounded wedge fan-out on hot nodes).
+
+    Shape at 100 TB: edge derivation is one equi-join on (orderkey,
+    linenumber) + distinct; degrees are one map-side-combinable
+    groupBy; orientation is two equi-joins against the O(|V|) degree
+    table; the wedge join and the closing-edge probe are equi-joins on
+    node keys — no inequality join anywhere (the rank comparison is a
+    post-join FILTER on already-carried columns, never a join
+    condition). Output is per-node, so the final groupBy is on the
+    node key again."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedge = o1.join(o2, F.col("o1.src") == F.col("o2.src")).where(
+        (F.col("o1.ddst") < F.col("o2.ddst"))
+        | ((F.col("o1.ddst") == F.col("o2.ddst")) & (F.col("o1.dst") < F.col("o2.dst")))
+    )
+    o3 = oriented.alias("o3")
+    tri = wedge.join(
+        o3,
+        (F.col("o3.src") == F.col("o1.dst")) & (F.col("o3.dst") == F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("n1"), F.col("o1.dst").alias("n2"), F.col("o2.dst").alias("n3")
+    )
+    per_node = (
+        tri.select(F.col("n1").alias("node"))
+        .unionAll(tri.select(F.col("n2").alias("node")))
+        .unionAll(tri.select(F.col("n3").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.join(deg, "node")
+        .select("node", "deg", "n_triangles")
+        .orderBy(F.desc("n_triangles"), "node")
+    )
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst
+  FROM edges
+  JOIN (SELECT node AS u, deg AS du FROM deg) USING (u)
+  JOIN (SELECT node AS v, deg AS dv FROM deg) USING (v)),
+tri AS (
+  SELECT o1.src AS n1, o1.dst AS n2, o2.dst AS n3
+  FROM oriented o1
+  JOIN oriented o2 ON o1.src = o2.src
+   AND (o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))
+  JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT n1 AS node FROM tri UNION ALL SELECT n2 FROM tri
+    UNION ALL SELECT n3 FROM tri
+  ) GROUP BY node)
+SELECT p.node, d.deg, p.n_triangles
+FROM per_node p JOIN deg d ON p.node = d.node
+ORDER BY p.n_triangles DESC, p.node
+"""
+
+
 TRAINPREP_QUERIES = {
     "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
     "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
@@ -2404,4 +2526,5 @@ TRAINPREP_QUERIES = {
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     "corpus_dsir_weights": (q_corpus_dsir_weights, SQL_CORPUS_DSIR_WEIGHTS),
     "events_hll_distinct": (q_events_hll_distinct, SQL_EVENTS_HLL_DISTINCT),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
 }

@@ -504,3 +504,15 @@ def test_hll_distinct_stays_codegen_no_window(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_triangles_all_equi_joins_rank_filter_post_join(spark):
+    """Every join in the triangle plan is an equi-join (hash or
+    sort-merge); the (degree, node) rank comparison must appear as a
+    post-join filter, never as an inequality join condition — no
+    nested-loop anything."""
+    from gepris_spark.plans.trainprep import q_graph_triangles
+
+    plan = _plan(q_graph_triangles(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

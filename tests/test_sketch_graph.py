@@ -158,3 +158,40 @@ def test_hll_registers_merge_across_splits(spark):
     got = {tuple(r) for r in merged.collect()}
     want = {tuple(r) for r in regs_of(h).collect()}
     assert got == want and len(got) > 0
+
+
+def test_triangles_equal_naive_id_ordered_enumeration(spark):
+    """Degree orientation is a plan optimization, never a semantics
+    change: the per-node counts must equal the naive id-ordered
+    three-way self-join's enumeration (each triangle once as
+    u < v < w by part id)."""
+    from gepris_spark.plans.trainprep import q_graph_triangles
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    naive = {}
+    for r in tri.select(
+        F.col("e1.u").alias("n1"), F.col("e1.v").alias("n2"), F.col("e2.v").alias("n3")
+    ).collect():
+        for n in (r.n1, r.n2, r.n3):
+            naive[n] = naive.get(n, 0) + 1
+    got = {r.node: r.n_triangles for r in q_graph_triangles(spark, SF).collect()}
+    assert got == naive and len(got) > 0
