@@ -847,6 +847,130 @@ ORDER BY g.shard
 """
 
 
+# --------------------------------------------------- crawler-trap guard
+_TRAP_HOSTS = 40
+_TRAP_CAP = 20  # per-(host, template) distinct-URL budget
+_TRAP_BENIGN_PAGES = 12  # < cap: catalog templates never trip the guard
+
+
+def q_crawl_trap_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection + budget admission — the classic frontier
+    defense (Heritrix/Mercator lore: calendar pages, session-id links
+    and faceted search mint unbounded distinct URLs under one path
+    template; an unguarded frontier spends its whole fetch budget
+    there). The reference never needs this (GEPRIS ids are a closed
+    set, SURVEY §2.10 A1) but any open-web deployment of this frontier
+    does, so the guard is graded as a first-class query.
+
+    Events become a URL stream: every host serves bounded catalog
+    pages, and trap hosts (host id % 7 == 0) additionally mint one
+    unique calendar URL per event. URLs collapse to path TEMPLATES by
+    digit-run erasure (regexp, scan-side); a template whose distinct-URL
+    count exceeds the budget is a trap. Admission then THINS trapped
+    templates by deterministic hash: keep urls where
+    hash60(url) % ceil(n/cap) == 0 — expected cap survivors, exact and
+    order-free. The alternative (rank window per template, admit first
+    cap) sorts the very partitions the trap made unbounded — hash
+    thinning is scan-side against a broadcast of the per-template
+    counts, which is O(templates), bounded by construction. Same
+    discipline as corpus_mixture_downsample's hash thresholding.
+
+    Shape at 100 TB: one distinct over (host, template, url) — the
+    only shuffle on url; one map-side-combinable groupBy to template
+    counts; the thinning join broadcasts O(templates) rows; the final
+    rollup groups by host. No window anywhere."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
+    host = F.concat(F.lit("h"), (F.col("user_id") % _TRAP_HOSTS).cast("string"))
+    is_trap_host = (F.col("user_id") % _TRAP_HOSTS) % 7 == 0
+    page = F.round(F.col("value") * 100, 0).cast("long") % _TRAP_BENIGN_PAGES
+    catalog = ev.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("/page/"), F.col("event_type"), F.lit("/"), page.cast("string")
+        ).alias("path"),
+    )
+    calendar = ev.where(is_trap_host).select(
+        host.alias("host"),
+        F.concat(
+            F.lit("/cal/"), F.col("event_type"), F.lit("/"), F.col("event_id").cast("string")
+        ).alias("path"),
+    )
+    urls = (
+        catalog.unionAll(calendar)
+        .select(
+            "host",
+            F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias("url"),
+            F.regexp_replace("path", r"[0-9]+", "<n>").alias("template"),
+        )
+        .distinct()
+    )
+    counts = urls.groupBy("host", "template").agg(F.count(F.lit(1)).alias("n_urls"))
+    thin = F.floor((F.col("n_urls") + _TRAP_CAP - 1) / _TRAP_CAP).cast("long")
+    policy = counts.select(
+        "host", "template", "n_urls", thin.alias("thin"), (thin > 1).alias("is_trap")
+    )
+    admitted = (
+        urls.join(F.broadcast(policy), ["host", "template"])
+        .where(
+            F.pmod(
+                TS.hash60(F.concat(F.lit("trap:"), F.col("url"))), F.col("thin")
+            )
+            == 0
+        )
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+    return (
+        policy.join(admitted, ["host", "template"], "left")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_templates"),
+            F.sum(F.col("is_trap").cast("long")).alias("n_trap_templates"),
+            F.sum("n_urls").alias("n_urls"),
+            F.sum(F.coalesce(F.col("n_admitted"), F.lit(0))).alias("n_admitted"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_CRAWL_TRAP_GUARD = f"""
+WITH ev AS (
+  SELECT 'h' || CAST(user_id % {_TRAP_HOSTS} AS VARCHAR) AS host,
+         (user_id % {_TRAP_HOSTS}) % 7 = 0 AS is_trap_host,
+         event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) % {_TRAP_BENIGN_PAGES} AS page
+  FROM events),
+paths AS (
+  SELECT host, '/page/' || event_type || '/' || CAST(page AS VARCHAR) AS path FROM ev
+  UNION ALL
+  SELECT host, '/cal/' || event_type || '/' || CAST(event_id AS VARCHAR)
+  FROM ev WHERE is_trap_host),
+urls AS (
+  SELECT DISTINCT host, 'https://' || host || path AS url,
+         regexp_replace(path, '[0-9]+', '<n>', 'g') AS template
+  FROM paths),
+counts AS (
+  SELECT host, template, count(*) AS n_urls,
+         (n_urls + {_TRAP_CAP} - 1) // {_TRAP_CAP} AS thin
+  FROM urls GROUP BY host, template),
+adm AS (
+  SELECT u.host, u.template, count(*) AS n_admitted
+  FROM urls u JOIN counts c ON u.host = c.host AND u.template = c.template
+  WHERE ('0x' || substr(md5('trap:' || u.url), 1, 15))::BIGINT % c.thin = 0
+  GROUP BY u.host, u.template)
+SELECT c.host,
+       count(*) AS n_templates,
+       CAST(sum(CASE WHEN c.thin > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_trap_templates,
+       CAST(sum(c.n_urls) AS BIGINT) AS n_urls,
+       CAST(sum(coalesce(a.n_admitted, 0)) AS BIGINT) AS n_admitted
+FROM counts c
+LEFT JOIN adm a ON c.host = a.host AND c.template = a.template
+GROUP BY c.host
+ORDER BY c.host
+"""
+
+
 CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "normalise_recode": (q_normalise_recode, SQL_NORMALISE_RECODE),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
@@ -857,4 +981,5 @@ CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "crawl_recrawl_schedule": (q_crawl_recrawl_schedule, SQL_CRAWL_RECRAWL_SCHEDULE),
     "crawl_politeness_audit": (q_crawl_politeness_audit, SQL_CRAWL_POLITENESS_AUDIT),
     "crawl_shard_balance": (q_crawl_shard_balance, SQL_CRAWL_SHARD_BALANCE),
+    "crawl_trap_guard": (q_crawl_trap_guard, SQL_CRAWL_TRAP_GUARD),
 }

@@ -516,3 +516,17 @@ def test_triangles_all_equi_joins_rank_filter_post_join(spark):
     plan = _plan(q_graph_triangles(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trap_guard_broadcast_policy_no_window(spark):
+    """The admission join must broadcast the O(templates) policy side —
+    the url relation never reshuffles for it — and the plan has no
+    window (thinning replaces the per-template rank exactly because a
+    trap's partition is unbounded)."""
+    from gepris_spark.plans.contract_extra import q_crawl_trap_guard
+
+    plan = _plan(q_crawl_trap_guard(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
