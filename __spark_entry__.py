@@ -41,6 +41,7 @@ def _oracle_checked() -> dict[str, tuple]:
     from gepris_spark.plans.imagepipe import IMAGEPIPE_QUERIES
     from gepris_spark.plans.relational import RELATIONAL_QUERIES
     from gepris_spark.plans.trainprep import TRAINPREP_QUERIES
+    from gepris_spark.plans.websignals import WEBSIGNALS_QUERIES
 
     return {
         **RELATIONAL_QUERIES,
@@ -50,6 +51,7 @@ def _oracle_checked() -> dict[str, tuple]:
         **TRUTH_QUERIES,
         **TRAINPREP_QUERIES,
         **BATCHPREP_QUERIES,
+        **WEBSIGNALS_QUERIES,
     }
 
 

@@ -530,3 +530,60 @@ def test_trap_guard_broadcast_policy_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anchor_text_collapses_before_window_broadcasts_dimension(spark):
+    """The anchor inversion aggregates the raw link relation to
+    per-(target, anchor) counts BEFORE the top-k window (map-side
+    partials around one exchange), the window partitions on dst (never
+    a global sort window), the `part` dimension is broadcast, and the
+    counts relation is persisted so stats and top-k read it once."""
+    from gepris_spark.plans.websignals import q_graph_anchor_text
+
+    plan = _plan(q_graph_anchor_text(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_dust_single_digest_selfjoin_no_window(spark):
+    """DUST mining's only shuffle is the equi-self-join on the content
+    digest; alias generation and rule classification stay scan-side in
+    codegen — no window, no cartesian, no Python stage."""
+    from gepris_spark.plans.websignals import q_dedup_url_dust
+
+    plan = _plan(q_dedup_url_dust(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the self-join keys on the digest: broadcast at toy scale (size-
+    # based), shuffle-hash/sort-merge on the same equi-key at scale
+    assert "BroadcastHashJoin" in plan or plan.count("hashpartitioning(digest") >= 2
+
+
+def test_hits_rounds_are_equi_joins_with_persisted_vectors(spark):
+    """Every HITS round is an equi-join plus a partial-agg groupBy; the
+    per-round raw vectors are persisted (one materialization feeds the
+    total AND the rescale), and the only nested-loop joins are the
+    1-row normalization-total broadcasts — never a real cartesian."""
+    from gepris_spark.plans.websignals import q_graph_hits
+
+    plan = _plan(q_graph_hits(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """All three funnel-step windows and the per-user collapse share
+    ONE hash partitioning on user_id; the only single-partition stage
+    is the final 3-row step rollup."""
+    from gepris_spark.plans.websignals import q_events_funnel
+
+    plan = _plan(q_events_funnel(spark, SF))
+    assert plan.count("hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
