@@ -125,4 +125,10 @@ TRUTH_QUERIES: dict[str, tuple] = {
         mc.q_frontier_changelog,
         _fixture_sql("frontier_changelog"),
     ),
+    # splittable WARC-style archive source — split-aligned distributed
+    # read graded against generator-derived record truth
+    "source_warc_scan": (
+        mc.q_source_warc_scan,
+        _fixture_sql("source_warc_scan"),
+    ),
 }

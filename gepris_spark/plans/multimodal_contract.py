@@ -493,4 +493,25 @@ def q_frontier_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "frontier", schemas.FRONTIER, 2, 3, keys=["id", "context"]
     ).orderBy("id")
 
+
+def q_source_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable WARC-style archive scan (sources/warcish.py): a
+    deterministic 120-record archive is read as 7 byte-range splits —
+    none on a record boundary, 18 payloads embedding the record magic —
+    and every record must come back exactly once with exact offsets
+    and payload digests (the Hadoop InputSplit sync discipline over a
+    crawl's native interchange format). Oracle: the generator-derived
+    fixture (truth.warc_scan_truth — cumulative record lengths, never
+    the reader); split-count invariance and the CDX index path are
+    pinned in tests/test_warcish.py."""
+    import os
+
+    from gepris_spark.sources import warcish
+
+    path = os.path.join(tempfile.mkdtemp(prefix="gepris_warc_"), "archive.warc")
+    with open(path, "wb") as fh:
+        fh.write(warcish.gen_warc_bytes(120, seed=42))
+    return warcish.read_warc(spark, path, n_splits=7).orderBy("rec_offset")
+
+
 MULTIMODAL_QUERIES: dict = {}

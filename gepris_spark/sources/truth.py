@@ -716,3 +716,29 @@ def frontier_changelog_truth() -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out)
+
+
+def warc_scan_truth(n: int = 120, seed: int = 42) -> pd.DataFrame:
+    """Expected rows for source_warc_scan, derived from the archive
+    GENERATOR's per-record formulas and cumulative lengths — never by
+    running the split reader (sources/warcish.py parse_split), whose
+    sync-scan correctness is exactly what the fixture grades."""
+    import hashlib as _hashlib
+
+    from gepris_spark.sources import warcish
+
+    rows, off = [], 0
+    for i in range(n):
+        f = warcish.record_fields(i, seed)
+        rows.append(
+            {
+                "record_id": f["record_id"],
+                "target_uri": f["target_uri"],
+                "rec_offset": off,
+                "content_length": len(f["payload"]),
+                "payload_md5": _hashlib.md5(f["payload"]).hexdigest(),
+                "payload_has_magic": warcish.MAGIC in f["payload"],
+            }
+        )
+        off += len(warcish.record_bytes(i, seed))
+    return pd.DataFrame(rows)

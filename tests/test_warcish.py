@@ -1,0 +1,91 @@
+"""Splittable WARC-style source (sources/warcish.py): split-boundary
+sync, adversarial embedded magic, CDX index-path equality, and the
+generator-derived truth the fixture oracle restates."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from gepris_spark.sources import truth, warcish
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def archive(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("warc") / "archive.warc")
+    with open(path, "wb") as fh:
+        fh.write(warcish.gen_warc_bytes(N, seed=42))
+    return path
+
+
+@pytest.fixture(scope="module")
+def expected():
+    return truth.warc_scan_truth(N, seed=42).sort_values("rec_offset").reset_index(drop=True)
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values("rec_offset").reset_index(drop=True)[
+        ["record_id", "target_uri", "rec_offset", "content_length",
+         "payload_md5", "payload_has_magic"]
+    ]
+
+
+def test_adversarial_payloads_present(expected):
+    """The generator must actually plant the trap the reader defends
+    against: every 7th payload embeds the record magic."""
+    assert expected.payload_has_magic.sum() == len(range(0, N, 7))
+
+
+@pytest.mark.parametrize("n_splits", [1, 2, 3, 7, 13, 64])
+def test_split_invariance_and_truth(spark, archive, expected, n_splits):
+    """Any split count yields every record exactly once with exact
+    offsets/digests — no split boundary lands on a record start, and
+    embedded magic never causes a false sync."""
+    got = _canon(warcish.read_warc(spark, archive, n_splits).toPandas())
+    pd.testing.assert_frame_equal(got, _canon(expected.copy()), check_dtype=False)
+
+
+def test_boundary_in_every_gap(spark, archive, expected):
+    """Force a split boundary INSIDE the record that embeds the magic:
+    splits cutting mid-trap must still sync to the next true record."""
+    trap_row = expected[expected.payload_has_magic].iloc[0]
+    size = os.path.getsize(archive)
+    cut = int(trap_row.rec_offset) + 80 + int(trap_row.content_length) // 2
+    # hand-build a 2-split read at exactly that cut
+    import pandas as pdm
+
+    splits = spark.createDataFrame(pdm.DataFrame({"start": [0, cut], "end": [cut, size]}))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                with open(archive, "rb") as fh:
+                    fh.seek(r.start)
+                    buf = fh.read((r.end - r.start) + warcish.MAX_RECORD_BYTES)
+                rows.extend(warcish.parse_split(buf, int(r.start), int(r.end)))
+            yield pdm.DataFrame(rows, columns=[f.name for f in warcish.SCAN_SCHEMA.fields])
+
+    got = _canon(splits.mapInPandas(run, warcish.SCAN_SCHEMA).toPandas())
+    pd.testing.assert_frame_equal(got, _canon(expected.copy()), check_dtype=False)
+
+
+def test_cdx_index_path_equals_sync_scan(spark, archive, expected):
+    offsets = [int(o) for o in expected.rec_offset]
+    got = _canon(warcish.read_warc_indexed(spark, archive, offsets).toPandas())
+    sync = _canon(warcish.read_warc(spark, archive, 7).toPandas())
+    pd.testing.assert_frame_equal(got, sync, check_dtype=False)
+
+
+def test_embedded_magic_is_structurally_invalid():
+    """The sync validator must reject the planted magic: at the embedded
+    candidate the following line is not a `Key: value` header."""
+    rec = warcish.record_bytes(0, seed=42)
+    payload_start = rec.index(b"\r\n\r\n") + 4
+    cand = rec.index(warcish.MAGIC, payload_start)
+    assert warcish._valid_record_at(rec, cand) is None
+    assert warcish._valid_record_at(rec, 0) is not None

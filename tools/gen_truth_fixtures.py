@@ -134,6 +134,10 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("n_pages", I), ("first_url", S), ("all_pixels_ok", B),
         ("min_psnr_db", pa.float64()),
     ],
+    "source_warc_scan": [
+        ("record_id", S), ("target_uri", S), ("rec_offset", I),
+        ("content_length", I), ("payload_md5", S), ("payload_has_magic", B),
+    ],
 }
 
 
@@ -162,6 +166,7 @@ def truth_frames(spark) -> dict:
         "multimodal_video_frames": truth.multimodal_video_frames_truth(),
         "crawl_image_catalog": truth.crawl_image_catalog_truth(),
         "frontier_changelog": truth.frontier_changelog_truth(),
+        "source_warc_scan": truth.warc_scan_truth(),
     }
 
 
