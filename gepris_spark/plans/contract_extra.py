@@ -983,3 +983,72 @@ CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
     "crawl_shard_balance": (q_crawl_shard_balance, SQL_CRAWL_SHARD_BALANCE),
     "crawl_trap_guard": (q_crawl_trap_guard, SQL_CRAWL_TRAP_GUARD),
 }
+
+
+# ----------------------------------------------------- WARC sink roundtrip
+_WARC_SINK_N_DOCS = 100
+_WARC_SINK_SHARDS = 5
+_WARC_URI_BASE = "https://gepris.dfg.de/gepris/projekt/"
+
+
+def q_warc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl's native OUTPUT format, round-tripped: the first 100
+    documents are written as 5 WARC-style shard files (deterministic
+    hash60 shard assignment, id-ordered records, atomic one-file-per-
+    shard writes — sources/warcish.py:write_warc_shards) and read back
+    one task per shard with the manifest's fail-closed count+digest
+    gate. The oracle never sees the files: it recomputes every output
+    column (shard hash, UTF-8 byte length, payload md5) directly from
+    the documents table, so a sink that corrupted, dropped, reordered
+    or mis-sharded even one record diverges.
+
+    Shape at 100 TB: ONE shuffle co-locates each shard's records at its
+    writer task (shard count sized so a shard is a task-sized file);
+    the manifest is O(shards) driver metadata; re-read is one task per
+    shard with no scan ambiguity (offset 0 is a record start by
+    construction)."""
+    import tempfile
+
+    from gepris_spark.sources import warcish
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _WARC_SINK_N_DOCS)
+        .select(
+            F.concat(
+                F.lit("<urn:gepris:doc:"), F.col("doc_id").cast("string"), F.lit(">")
+            ).alias("record_id"),
+            F.concat(F.lit(_WARC_URI_BASE), F.col("doc_id").cast("string")).alias(
+                "target_uri"
+            ),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="gepris_warcsink_")
+    manifest = warcish.write_warc_shards(docs, out_dir, _WARC_SINK_SHARDS).toPandas()
+    return (
+        warcish.read_warc_shards(spark, manifest)
+        .select("shard", "record_id", "target_uri", "content_length", "payload_md5")
+        .orderBy("record_id")
+    )
+
+
+SQL_WARC_SINK_ROUNDTRIP = f"""
+WITH base AS (
+  SELECT '<urn:gepris:doc:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+         '{_WARC_URI_BASE}' || CAST(doc_id AS VARCHAR) AS target_uri,
+         text
+  FROM documents WHERE doc_id < {_WARC_SINK_N_DOCS})
+SELECT ('0x' || substr(md5('warcshard:' || record_id), 1, 15))::BIGINT
+         % {_WARC_SINK_SHARDS} AS shard,
+       record_id, target_uri,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM base ORDER BY record_id
+"""
+
+
+CONTRACT_EXTRA_QUERIES["warc_sink_roundtrip"] = (
+    q_warc_sink_roundtrip,
+    SQL_WARC_SINK_ROUNDTRIP,
+)

@@ -84,17 +84,23 @@ def record_fields(i: int, seed: int = 42) -> dict:
     }
 
 
-def record_bytes(i: int, seed: int = 42) -> bytes:
-    f = record_fields(i, seed)
+def encode_record(record_id: str, target_uri: str, payload: bytes) -> bytes:
+    """One WARC-style record: header block + payload + terminator —
+    shared by the synthetic generator and the shard sink."""
     header = (
         MAGIC
         + b"WARC-Type: response\r\n"
-        + b"WARC-Record-ID: " + f["record_id"].encode() + b"\r\n"
-        + b"WARC-Target-URI: " + f["target_uri"].encode() + b"\r\n"
-        + b"Content-Length: " + str(len(f["payload"])).encode() + b"\r\n"
+        + b"WARC-Record-ID: " + record_id.encode() + b"\r\n"
+        + b"WARC-Target-URI: " + target_uri.encode() + b"\r\n"
+        + b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
         + b"\r\n"
     )
-    rec = header + f["payload"] + TERMINATOR
+    return header + payload + TERMINATOR
+
+
+def record_bytes(i: int, seed: int = 42) -> bytes:
+    f = record_fields(i, seed)
+    rec = encode_record(f["record_id"], f["target_uri"], f["payload"])
     assert len(rec) <= MAX_RECORD_BYTES, "generator exceeded the split overlap bound"
     return rec
 
@@ -224,3 +230,112 @@ def read_warc_indexed(spark: SparkSession, path: str, offsets: list[int]) -> Dat
             yield pd.DataFrame(rows, columns=cols)
 
     return idx.mapInPandas(run, SCAN_SCHEMA)
+
+
+# ---------------------------------------------------------------- sink
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("max_record_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def write_warc_shards(records: DataFrame, out_dir: str, n_shards: int) -> DataFrame:
+    """Materialize (record_id, target_uri, payload) rows as WARC-style
+    shard files, one file per shard: the crawl's native OUTPUT format,
+    closing the loop with `read_warc` (fetch -> archive -> splittable
+    re-read). Deterministic layout — shard = hash60('warcshard:' ||
+    record_id) mod n_shards, records id-ordered within a shard — so a
+    rerun writes byte-identical files. Each shard is written atomically
+    (tmp file + rename) by the ONE task that owns its group
+    (`applyInPandas` after the shard shuffle, the shardwriter
+    discipline, plans/shardwriter.py), and the returned manifest row
+    carries the fail-closed verification state: record count, byte
+    size, the max encoded record (the reader's split-overlap bound —
+    recorded at write time instead of assumed) and a chained digest
+    (md5 over the id-ordered payload md5s)."""
+    import hashlib as _hl
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gepris_spark.functions.textstats import hash60
+
+    os.makedirs(out_dir, exist_ok=True)
+    keyed = records.withColumn(
+        "shard",
+        hash60(F.concat(F.lit("warcshard:"), F.col("record_id"))) % n_shards,
+    )
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("record_id")
+        shard = int(pdf["shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.warc")
+        chain = _hl.md5()
+        max_rec = 0
+        total = 0
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            for r in pdf.itertuples(index=False):
+                rec = encode_record(r.record_id, r.target_uri, bytes(r.payload))
+                fh.write(rec)
+                chain.update(_hl.md5(bytes(r.payload)).hexdigest().encode())
+                max_rec = max(max_rec, len(rec))
+                total += len(rec)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "path": path,
+                    "n_records": len(pdf),
+                    "total_bytes": total,
+                    "max_record_bytes": max_rec,
+                    "digest": chain.hexdigest(),
+                }
+            ]
+        )
+
+    return keyed.groupBy("shard").applyInPandas(write_group, MANIFEST_SCHEMA)
+
+
+def read_warc_shards(spark: SparkSession, manifest: pd.DataFrame) -> DataFrame:
+    """Read back a sharded archive: one task per shard file (a shard is
+    task-sized by construction — splitting WITHIN a file is read_warc's
+    job), carrying the shard id through. Fails closed: a shard whose
+    re-read violates the manifest's record count or chained digest
+    raises in the task rather than returning partial rows."""
+    import hashlib as _hl
+
+    files = spark.createDataFrame(
+        manifest[["shard", "path", "n_records", "digest"]]
+    ).repartition("shard")
+    schema = T.StructType(
+        [T.StructField("shard", T.LongType())] + list(SCAN_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                with open(r.path, "rb") as fh:
+                    buf = fh.read()
+                recs = parse_split(buf, 0, len(buf))
+                chain = _hl.md5()
+                for rec in sorted(recs, key=lambda x: x["record_id"]):
+                    chain.update(rec["payload_md5"].encode())
+                if len(recs) != r.n_records or chain.hexdigest() != r.digest:
+                    raise ValueError(
+                        f"shard {r.shard} re-read mismatch: "
+                        f"{len(recs)} records vs manifest {r.n_records}"
+                    )
+                rows.extend({**rec, "shard": int(r.shard)} for rec in recs)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema)

@@ -89,3 +89,40 @@ def test_embedded_magic_is_structurally_invalid():
     cand = rec.index(warcish.MAGIC, payload_start)
     assert warcish._valid_record_at(rec, cand) is None
     assert warcish._valid_record_at(rec, 0) is not None
+
+
+def test_sink_roundtrip_deterministic_and_fail_closed(spark, tmp_path):
+    """write_warc_shards: reruns are byte-identical, one file per
+    shard, and the shard reader fails closed on a corrupted byte."""
+    import hashlib
+
+    rows = [
+        (f"<urn:t:{i:04d}>", f"https://example.org/{i}", f"payload {i} " .encode() * (i % 9 + 1))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "record_id string, target_uri string, payload binary")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = warcish.write_warc_shards(df, d1, 4).toPandas().sort_values("shard")
+    m2 = warcish.write_warc_shards(df, d2, 4).toPandas().sort_values("shard")
+    assert list(m1.digest) == list(m2.digest)
+    assert sorted(os.listdir(d1)) == sorted(os.listdir(d2))
+    assert len(os.listdir(d1)) == m1.shard.nunique()
+    for p1, p2 in zip(sorted(m1.path), sorted(m2.path)):
+        assert (
+            hashlib.md5(open(p1, "rb").read()).hexdigest()
+            == hashlib.md5(open(p2, "rb").read()).hexdigest()
+        )
+    assert m1.n_records.sum() == 40
+
+    back = warcish.read_warc_shards(spark, m1).toPandas()
+    assert len(back) == 40
+    src = {r[0]: hashlib.md5(r[2]).hexdigest() for r in rows}
+    assert {r.record_id: r.payload_md5 for r in back.itertuples()} == src
+
+    # corrupt one payload byte -> the digest gate must raise
+    victim = m1.path.iloc[0]
+    blob = bytearray(open(victim, "rb").read())
+    blob[-6] ^= 0xFF  # inside the final payload, terminator intact
+    open(victim, "wb").write(bytes(blob))
+    with pytest.raises(Exception):
+        warcish.read_warc_shards(spark, m1).count()
