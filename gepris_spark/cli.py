@@ -170,6 +170,28 @@ def cmd_prep(args) -> int:
     if args.kind == "image":
         info = SW.write_image_shards(spark, args.out)
         bad = SW.verify_shards(spark, args.out).where(~F.col("ok")).count()
+    elif args.kind == "warc":
+        from gepris_spark.sources import warcish
+
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+            F.concat(
+                F.lit("<urn:gepris:doc:"), F.col("doc_id").cast("string"), F.lit(">")
+            ).alias("record_id"),
+            F.concat(
+                F.lit("https://gepris.dfg.de/gepris/projekt/"),
+                F.col("doc_id").cast("string"),
+            ).alias("target_uri"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        manifest = warcish.write_warc_shards(docs, args.out, args.n_shards).toPandas()
+        # read_warc_shards raises on any count/digest mismatch (fail-closed)
+        n_back = warcish.read_warc_shards(spark, manifest).count()
+        info = {
+            "n_shards": int(len(manifest)),
+            "n_records": int(manifest.n_records.sum()),
+            "total_bytes": int(manifest.total_bytes.sum()),
+        }
+        bad = 0 if n_back == info["n_records"] else 1
     else:
         info = SW.write_text_shards(spark, args.sf_dir, args.out)
         bad = SW.verify_text_shards(spark, args.out).where(~F.col("ok")).count()
@@ -377,9 +399,11 @@ def main(argv=None) -> int:
         "prep", help="write training shards + manifest, verify round-trip"
     )
     prep.add_argument("--out", required=True, help="output dataset directory")
-    prep.add_argument("--kind", choices=("image", "text"), default="image")
+    prep.add_argument("--kind", choices=("image", "text", "warc"), default="image")
     prep.add_argument("--sf-dir", default="/root/testdata/sf0.001",
-                      help="documents table dir (text shards only)")
+                      help="documents table dir (text/warc shards only)")
+    prep.add_argument("--n-shards", type=int, default=8,
+                      help="shard count (warc shards only)")
     prep.set_defaults(fn=cmd_prep)
 
     pipe = sub.add_parser(

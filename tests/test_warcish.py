@@ -126,3 +126,23 @@ def test_sink_roundtrip_deterministic_and_fail_closed(spark, tmp_path):
     open(victim, "wb").write(bytes(blob))
     with pytest.raises(Exception):
         warcish.read_warc_shards(spark, m1).count()
+
+
+def test_cli_prep_warc_round_trip(spark, tmp_path, capsys):
+    """`cli prep --kind warc` packs the documents table into WARC
+    shards, re-reads them through the fail-closed gate, and reports the
+    manifest totals; exit 0 only on a clean round-trip."""
+    import json
+
+    from gepris_spark.cli import main
+
+    out = str(tmp_path / "warcout")
+    rc = main(
+        ["prep", "--kind", "warc", "--out", out, "--n-shards", "4",
+         "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["kind"] == "warc" and report["verified_ok"]
+    assert report["n_shards"] == 4 and report["n_records"] == 500
+    assert len([f for f in os.listdir(out) if f.endswith(".warc")]) == 4
