@@ -478,3 +478,83 @@ WEBSIGNALS_QUERIES: dict[str, tuple] = {
     "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
 }
+
+
+
+# --------------------------------------------------------- retention
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (the cohort), counted as active per whole-week age since that
+    week, with cohort size and retention in integer basis points —
+    the canonical product-analytics companion to the funnel, and the
+    crawl-side shape for 'which discovery cohort of URLs is still
+    alive k weeks later' (reference analogue: the data monitor's
+    per-run stats, operators/monitor.py).
+
+    Shape at 100 TB: the cohort week is a min-over-user_id window on
+    the SAME exchange the (cohort, age) distinct-user rollup then
+    keys off; cohort sizes are a second aggregate of the per-user
+    relation (already tiny) broadcast back onto the matrix. Integer
+    week arithmetic (floor-div of day deltas) and basis points keep
+    every value exact on both engines."""
+    ev = load(spark, sf_dir, "events").select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    w = Window.partitionBy("user_id")
+    aged = (
+        ev.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                .cast("long")
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .distinct()
+    )
+    cohorts = (
+        aged.where(F.col("age_weeks") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    matrix = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        matrix.join(F.broadcast(cohorts), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "cohort_size",
+            F.expr("(n_active * 10000) div cohort_size").cast("long").alias("retention_bp"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH u AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+aged AS (
+  SELECT DISTINCT e.user_id, u.cohort_week,
+         CAST(date_diff('day', u.cohort_week, date_trunc('week', e.ts)) // 7
+              AS BIGINT) AS age_weeks
+  FROM events e JOIN u USING (user_id)),
+cohorts AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM aged WHERE age_weeks = 0 GROUP BY cohort_week),
+matrix AS (
+  SELECT cohort_week, age_weeks, CAST(count(*) AS BIGINT) AS n_active
+  FROM aged GROUP BY cohort_week, age_weeks)
+SELECT m.cohort_week, m.age_weeks, m.n_active, c.cohort_size,
+       CAST((m.n_active * 10000) // c.cohort_size AS BIGINT) AS retention_bp
+FROM matrix m JOIN cohorts c USING (cohort_week)
+ORDER BY m.cohort_week, m.age_weeks
+"""
+
+
+WEBSIGNALS_QUERIES["events_retention"] = (q_events_retention, SQL_EVENTS_RETENTION)

@@ -587,3 +587,15 @@ def test_funnel_single_user_exchange(spark):
     assert "hashpartitioning(user_id" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_single_user_exchange_broadcast_cohorts(spark):
+    """The cohort window, the per-user distinct and the matrix rollup
+    share the user-keyed partitioning; cohort sizes come back as a
+    broadcast join, never a re-shuffle of the matrix."""
+    from gepris_spark.plans.websignals import q_events_retention
+
+    plan = _plan(q_events_retention(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -75,3 +75,34 @@ def test_funnel_matches_sequential_pandas_oracle(spark):
     assert got.bp_of_first.iloc[0] == ws._FUNNEL_BP
     expect_bp = [(u * ws._FUNNEL_BP) // max(n["view"], 1) for u in got.n_users]
     assert list(got.bp_of_first) == expect_bp
+
+
+def test_retention_matches_sequential_pandas_oracle(spark):
+    got = ws.q_events_retention(spark, SF).toPandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    ev["week"] = ev.ts.dt.to_period("W-SUN").dt.start_time  # Monday starts
+    first = ev.groupby("user_id").week.min().rename("cohort_week")
+    aged = ev.join(first, on="user_id")
+    aged["age_weeks"] = ((aged.week - aged.cohort_week).dt.days // 7).astype(int)
+    cells = aged.drop_duplicates(["user_id", "cohort_week", "age_weeks"])
+    matrix = (
+        cells.groupby(["cohort_week", "age_weeks"]).size().rename("n_active").reset_index()
+    )
+    size = matrix[matrix.age_weeks == 0].set_index("cohort_week").n_active
+    exp = {
+        (r.cohort_week, r.age_weeks): (
+            r.n_active,
+            int(size[r.cohort_week]),
+            (r.n_active * 10000) // int(size[r.cohort_week]),
+        )
+        for r in matrix.itertuples()
+    }
+    got_map = {
+        (r.cohort_week, r.age_weeks): (r.n_active, r.cohort_size, r.retention_bp)
+        for r in got.itertuples()
+    }
+    assert got_map == exp
+    # matrix is monotone within a cohort only if activity never returns;
+    # the hard invariants: age-0 row equals cohort size, bp <= 10000
+    assert (got[got.age_weeks == 0].n_active == got[got.age_weeks == 0].cohort_size).all()
+    assert got.retention_bp.le(10000).all()
