@@ -112,6 +112,10 @@ def test_no_cartesian_products_anywhere(spark):
         # priority sampling cross-joins the ONE-row tau threshold onto
         # the k sample rows — same 1-row broadcast NLJ
         "corpus_priority_sample",
+        # each HITS round cross-joins the ONE-row L1-mass aggregate
+        # onto the score vector to renormalize — same 1-row broadcast
+        # NLJ, once per (fixed, small) iteration count
+        "graph_hits",
     }
     offenders = []
     for name, fn in entry.queries().items():
