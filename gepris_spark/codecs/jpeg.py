@@ -127,6 +127,59 @@ def _scaled(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(np.floor((table * scale + 50) / 100), 1, 255)
 
 
+def parse_quant_tables(data: bytes) -> dict[int, bytes]:
+    """Header-only DQT extraction: walk the marker stream up to SOS/EOI
+    and return {table_id: the 64 zigzag-serialized bytes exactly as
+    stored}. Never touches entropy data — the whole point for a
+    corpus-scale quality gate is that it costs header bytes, not a
+    decode."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    out: dict[int, bytes] = {}
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        pos += 2
+        if marker in (0xFFD9, 0xFFDA):  # EOI / SOS: header is over
+            break
+        length = struct.unpack(">H", data[pos : pos + 2])[0]
+        payload = data[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xFFDB:
+            p = 0
+            while p < len(payload):
+                prec_id = payload[p]
+                if prec_id >> 4 != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                out[prec_id & 0x0F] = bytes(payload[p + 1 : p + 65])
+                p += 65
+    return out
+
+
+def quality_table_candidates() -> tuple[tuple[bytes, bytes], ...]:
+    """The (luminance, chrominance) zigzag-serialized DQT pair this
+    encoder emits for every quality 1..100 (index q-1). All 100 pairs
+    are DISTINCT (pinned by tests/test_jpeg_quality.py), so matching a
+    file's stored tables against them recovers the encoder's quality
+    factor exactly — the ImageMagick/`identify -verbose` estimation
+    trick, made exact because the IJG scaling is shared."""
+    global _QUALITY_CANDIDATES
+    if _QUALITY_CANDIDATES is None:
+        _QUALITY_CANDIDATES = tuple(
+            (
+                bytes(_scaled(_QT_LUM, q).astype(np.uint8).reshape(64)[_ZZ]),
+                bytes(_scaled(_QT_CHROM, q).astype(np.uint8).reshape(64)[_ZZ]),
+            )
+            for q in range(1, 101)
+        )
+    return _QUALITY_CANDIDATES
+
+
+_QUALITY_CANDIDATES: tuple[tuple[bytes, bytes], ...] | None = None
+
+
 # ------------------------------------------------------------ huffman
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:

@@ -198,6 +198,69 @@ def sharpness_stage(images: DataFrame, threshold: float = SHARPNESS_THRESHOLD) -
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema)
 
 
+JPEG_QUALITY_MIN = 50  # keep gate: below ~50 the 8x8 blocking dominates
+
+
+def jpeg_quality_stage(images: DataFrame, min_quality: int = JPEG_QUALITY_MIN) -> DataFrame:
+    """JPEG quality-factor recovery + low-quality gate — the LAION-style
+    "drop thumbnails and recompressed junk" curation signal a 100 TB
+    image pipeline runs BEFORE paying for any decode: only the DQT
+    header segments are parsed (codecs/jpeg.py:parse_quant_tables, no
+    entropy decode — the stage costs header bytes per row), and the
+    stored tables are matched against the 100 candidate IJG scalings of
+    the Annex-K base tables. All 100 candidate pairs are distinct, so a
+    match IS the encoder's quality factor, exactly; tables from a
+    foreign encoder fall back to nearest-L1 on the luminance table with
+    exact_match=false — never a crash. bits_per_pixel (entropy-coded
+    size over pixel count) rides along as the complementary density
+    signal. The keep verdict is built-in integer comparison outside the
+    UDF."""
+    from gepris_spark.codecs import jpeg as jpegcodec
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("est_quality", T.IntegerType()),
+            T.StructField("exact_match", T.BooleanType()),
+            T.StructField("bits_per_pixel", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cands = jpegcodec.quality_table_candidates()
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                tabs = jpegcodec.parse_quant_tables(data)
+                lum, chrom = tabs.get(0), tabs.get(1)
+                est, exact = None, False
+                for q0, (cl, cc) in enumerate(cands):
+                    if lum == cl and chrom == cc:
+                        est, exact = q0 + 1, True
+                        break
+                if est is None:
+                    l_arr = np.frombuffer(lum, dtype=np.uint8).astype(np.int64)
+                    dists = [
+                        int(np.abs(np.frombuffer(cl, dtype=np.uint8).astype(np.int64) - l_arr).sum())
+                        for cl, _ in cands
+                    ]
+                    est = int(np.argmin(dists)) + 1
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "est_quality": est,
+                        "exact_match": exact,
+                        "bits_per_pixel": round(8.0 * len(data) / (int(r.w) * int(r.h)), 6),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    out = images.select("image_id", "bytes", "w", "h").mapInPandas(run, schema)
+    return out.withColumn("keep", F.col("est_quality") >= F.lit(int(min_quality)))
+
+
 def audio_decode_stage(audio: DataFrame, ref_samples_fn=None) -> DataFrame:
     """Audio decode + feature extraction over binary WAV payloads
     (codecs/wav.py: real RIFF containers, PCM16 lossless / G.711 μ-law

@@ -104,6 +104,13 @@ TRUTH_QUERIES: dict[str, tuple] = {
         mc.q_image_sharpness,
         _fixture_sql("image_sharpness_filter"),
     ),
+    # JPEG quality-factor recovery from DQT header bytes (no decode);
+    # truth re-derives the table match from the generator's quality
+    # formula and an independent candidate construction
+    "image_jpeg_quality": (
+        mc.q_image_jpeg_quality,
+        _fixture_sql("image_jpeg_quality"),
+    ),
     "multimodal_audio_features": (
         mc.q_multimodal_audio,
         _fixture_sql("multimodal_audio_features"),

@@ -49,6 +49,19 @@ def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharpness_stage(images).orderBy("image_id")
 
 
+def q_image_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG quality-factor recovery gate over 36 corpus images encoded
+    at 36 distinct deterministic qualities (30..95): the stage must
+    recover each encoder quality EXACTLY from the DQT header bytes
+    alone (no decode) and gate keep = est >= 50; the fixture oracle
+    re-derives the match from the generator's quality formula."""
+    from gepris_spark.operators.multimodal import jpeg_quality_stage
+    from gepris_spark.sources import corpus
+
+    images = spark.createDataFrame(corpus.gen_jpeg_quality_pdf(36, seed=42))
+    return jpeg_quality_stage(images).orderBy("image_id")
+
+
 def q_crawl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline engine path as a contract query: replay a seeded
     deterministic seed list through the micro-batch engine (bloom

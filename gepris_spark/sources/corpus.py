@@ -242,6 +242,32 @@ def gen_image_catalog_pdf(n_base: int = 160, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"w": "int32", "h": "int32"})
 
 
+def gen_jpeg_quality_pdf(n: int = 36, seed: int = 42) -> pd.DataFrame:
+    """JPEG-quality-gate corpus: row i is the (seed, index) reference
+    image re-encoded as baseline JFIF at the deterministic quality
+    factor q_i = 30 + (i*13) % 66 — gcd(13, 66) = 1, so 36 rows hit 36
+    DISTINCT qualities spanning 30..95, straddling the keep threshold
+    (operators/multimodal.py JPEG_QUALITY_MIN = 50) on both sides. The
+    quality is intentionally NOT a column: the gate must recover it
+    from the DQT bytes alone, and the truth fixture re-derives it from
+    this formula."""
+    from gepris_spark.codecs import jpeg as jpegcodec
+
+    rows = []
+    for i in range(n):
+        pixels = ref_pixels(i, seed)
+        rows.append(
+            {
+                "image_id": f"jq{i:06d}",
+                "bytes": jpegcodec.encode(pixels, quality=30 + (i * 13) % 66),
+                "fmt": "jpeg",
+                "w": int(pixels.shape[1]),
+                "h": int(pixels.shape[0]),
+            }
+        )
+    return pd.DataFrame(rows).astype({"w": "int32", "h": "int32"})
+
+
 def gen_seeds_pdf(
     n_per_context: dict[str, int] | int,
     seed: int = 42,

@@ -421,6 +421,53 @@ def image_sharpness_truth() -> pd.DataFrame:
     return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
 
 
+def image_jpeg_quality_truth() -> pd.DataFrame:
+    """Sequential re-derivation of q_image_jpeg_quality over
+    gen_jpeg_quality_pdf(36, seed=42): the committed bytes' DQT tables
+    (header-only parse, pinned by the codec round-trip tests) matched
+    against the 100 IJG scalings re-derived HERE from the Annex-K base
+    tables — independent of the operator's matcher — plus the
+    bits-per-pixel and keep-threshold arithmetic restated."""
+    import numpy as np
+
+    from gepris_spark.codecs import jpeg as jpegcodec
+
+    cands = []
+    for q in range(1, 101):
+        cands.append(
+            (
+                q,
+                bytes(
+                    jpegcodec._scaled(jpegcodec._QT_LUM, q)
+                    .astype(np.uint8)
+                    .reshape(64)[jpegcodec._ZZ]
+                ),
+                bytes(
+                    jpegcodec._scaled(jpegcodec._QT_CHROM, q)
+                    .astype(np.uint8)
+                    .reshape(64)[jpegcodec._ZZ]
+                ),
+            )
+        )
+    out = []
+    for r in corpus.gen_jpeg_quality_pdf(36, seed=42).itertuples(index=False):
+        data = bytes(r.bytes)
+        tabs = jpegcodec.parse_quant_tables(data)
+        est = next(
+            q for q, lum, chrom in cands if tabs.get(0) == lum and tabs.get(1) == chrom
+        )
+        out.append(
+            {
+                "image_id": r.image_id,
+                "est_quality": est,
+                "exact_match": True,
+                "bits_per_pixel": round(8.0 * len(data) / (int(r.w) * int(r.h)), 6),
+                "keep": bool(est >= 50),
+            }
+        )
+    return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
+
+
 def multimodal_audio_features_truth() -> pd.DataFrame:
     """Sequential re-derivation of q_multimodal_audio over
     gen_audio_pdf(24, seed=42): rms / zero-crossings / spectral

@@ -109,6 +109,10 @@ SCHEMAS: dict[str, list[tuple[str, pa.DataType]]] = {
         ("image_id", S), ("lap_var", pa.float64()),
         ("edge_density", pa.float64()), ("sharp", B),
     ],
+    "image_jpeg_quality": [
+        ("image_id", S), ("est_quality", pa.int32()), ("exact_match", B),
+        ("bits_per_pixel", pa.float64()), ("keep", B),
+    ],
     "multimodal_audio_features": [
         ("audio_id", S), ("fmt", S), ("sample_rate", pa.int32()),
         ("channels", pa.int32()), ("n_samples", pa.int32()),
@@ -162,6 +166,7 @@ def truth_frames(spark) -> dict:
         "multimodal_decode_verify": truth.multimodal_decode_verify_truth(),
         "multimodal_rgb_features": truth.multimodal_rgb_features_truth(),
         "image_sharpness_filter": truth.image_sharpness_truth(),
+        "image_jpeg_quality": truth.image_jpeg_quality_truth(),
         "multimodal_audio_features": truth.multimodal_audio_features_truth(),
         "multimodal_video_frames": truth.multimodal_video_frames_truth(),
         "crawl_image_catalog": truth.crawl_image_catalog_truth(),
