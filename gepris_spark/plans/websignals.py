@@ -136,9 +136,12 @@ def q_dedup_url_dust(spark: SparkSession, sf_dir: str) -> DataFrame:
     families. Alias URLs are synthesized deterministically per
     document (the base URL, a '/'-suffixed alias on even ids, a
     '?session=<digest prefix>' alias on ids divisible by 3) and the
-    miner must recover exactly the two planted rules, with any
-    cross-document digest collision landing in the observable
-    'other-prefix' bucket — never silently dropped.
+    miner must recover exactly the two planted rules; every OTHER
+    same-digest pair stays observable — prefix-shaped pairs with an
+    unrecognized suffix bucket as 'other-prefix', non-prefix pairs
+    (cross-document content collisions, or sibling aliases like
+    base+'/' vs base+'?session=') as 'other-collision' — never
+    silently dropped.
 
     Shape at 100 TB: alias candidates are scan-side (explode of a
     3-slot array); the ONLY shuffle is the equi-self-join on digest,
@@ -176,20 +179,23 @@ def q_dedup_url_dust(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = urls.alias("a"), urls.alias("b")
     pairs = (
         a.join(b, F.col("a.digest") == F.col("b.digest"))
-        .where(
-            (F.col("a.url") < F.col("b.url"))
-            & F.col("b.url").startswith(F.col("a.url"))
-        )
+        .where(F.col("a.url") < F.col("b.url"))
         .select(
             F.col("a.digest").alias("digest"),
             F.col("a.url").alias("au"),
-            F.expr("substring(b.url, length(a.url) + 1)").alias("suffix"),
+            # null suffix marks a non-prefix pair — classified below,
+            # not dropped
+            F.when(
+                F.col("b.url").startswith(F.col("a.url")),
+                F.expr("substring(b.url, length(a.url) + 1)"),
+            ).alias("suffix"),
         )
     )
     rules = pairs.select(
         F.when(F.col("suffix") == "/", F.lit("strip-trailing-slash"))
         .when(F.col("suffix").startswith("?session="), F.lit("strip-param:session"))
-        .otherwise(F.lit("other-prefix"))
+        .when(F.col("suffix").isNotNull(), F.lit("other-prefix"))
+        .otherwise(F.lit("other-collision"))
         .alias("rule"),
         "digest",
         "au",
@@ -220,13 +226,15 @@ urls AS (
   WHERE doc_id % 3 = 0),
 pairs AS (
   SELECT a.digest, a.url AS au,
-         substr(b.url, length(a.url) + 1) AS suffix
+         CASE WHEN starts_with(b.url, a.url)
+              THEN substr(b.url, length(a.url) + 1) END AS suffix
   FROM urls a JOIN urls b ON a.digest = b.digest
-  WHERE a.url < b.url AND starts_with(b.url, a.url)),
+  WHERE a.url < b.url),
 rules AS (
   SELECT CASE WHEN suffix = '/' THEN 'strip-trailing-slash'
               WHEN starts_with(suffix, '?session=') THEN 'strip-param:session'
-              ELSE 'other-prefix' END AS rule,
+              WHEN suffix IS NOT NULL THEN 'other-prefix'
+              ELSE 'other-collision' END AS rule,
          digest, au
   FROM pairs)
 SELECT rule, CAST(count(*) AS BIGINT) AS support,
@@ -360,7 +368,6 @@ SQL_GRAPH_HITS = _sql_hits()
 
 
 # ---------------------------------------------------------- funnel
-_FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_BP = 10_000  # basis points — integer conversion ratios
 
 
@@ -504,11 +511,11 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "cohort_week",
-            (
-                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
-                .cast("long")
-                / F.lit(7)
-            )
+            # integer div, not float /: the delta is always a multiple
+            # of 7 today (both ends week-truncated), but `div` keeps
+            # the floor semantics aligned with the oracle's // if that
+            # ever changes
+            F.expr("datediff(date_trunc('week', ts), cohort_week) div 7")
             .cast("long")
             .alias("age_weeks"),
         )

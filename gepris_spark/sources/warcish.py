@@ -86,7 +86,13 @@ def record_fields(i: int, seed: int = 42) -> dict:
 
 def encode_record(record_id: str, target_uri: str, payload: bytes) -> bytes:
     """One WARC-style record: header block + payload + terminator —
-    shared by the synthetic generator and the shard sink."""
+    shared by the synthetic generator and the shard sink. Fails at
+    WRITE time on header values that would break the framing (CR/LF
+    inside an id/uri splits the header block mid-line and only
+    surfaces much later as a confusing re-read mismatch)."""
+    for name, v in (("record_id", record_id), ("target_uri", target_uri)):
+        if "\r" in v or "\n" in v:
+            raise ValueError(f"warc: {name} contains CR/LF: {v!r}")
     header = (
         MAGIC
         + b"WARC-Type: response\r\n"
@@ -129,7 +135,11 @@ def _valid_record_at(buf: bytes, pos: int):
         if b": " not in line:
             return None
         k, v = line.split(b": ", 1)
-        headers[k.decode("ascii", "replace")] = v.decode("ascii", "replace")
+        # utf-8, matching encode_record's .encode(): non-ASCII ids/uris
+        # round-trip exactly; 'replace' keeps sync-scan candidate
+        # rejection byte-safe (a false magic inside binary payload must
+        # be rejected by STRUCTURE checks, never by a decode crash)
+        headers[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
     else:
         return None
     clen = headers.get("Content-Length", "")
@@ -150,19 +160,28 @@ def parse_split(buf: bytes, base: int, split_end: int) -> list[dict]:
     by Content-Length with no scanning."""
     rows: list[dict] = []
     pos = 0
+    pending = None  # sync already parsed the first record — reuse it
     if base > 0:
         while True:
             cand = buf.find(MAGIC, pos)
             if cand < 0 or base + cand >= split_end:
                 return rows
-            if _valid_record_at(buf, cand) is not None:
+            pending = _valid_record_at(buf, cand)
+            if pending is not None:
                 pos = cand
                 break
             pos = cand + 1
     while base + pos < split_end:
-        parsed = _valid_record_at(buf, pos)
+        parsed = pending if pending is not None else _valid_record_at(buf, pos)
+        pending = None
         if parsed is None:
-            break  # EOF tail (or truncated final record)
+            if pos == len(buf):
+                break  # clean EOF: the previous record ended the file
+            # mid-chain parse failure is CORRUPTION, not end-of-split:
+            # the buffer extends a full record past split_end, so a
+            # record starting in-range always fits — fail closed
+            # instead of silently dropping the split's tail
+            raise ValueError(f"warc: corrupt record at offset {base + pos}")
         headers, payload, end = parsed
         rows.append(
             {
@@ -226,6 +245,14 @@ def read_warc_indexed(spark: SparkSession, path: str, offsets: list[int]) -> Dat
                     fh.seek(r.rec_offset)
                     buf = fh.read(MAX_RECORD_BYTES)
                     got = parse_split(buf, int(r.rec_offset), int(r.rec_offset) + 1)
+                    if not got:
+                        # fail closed like the manifest path: a CDX
+                        # offset that doesn't point at a record start
+                        # means the index drifted from the archive
+                        raise ValueError(
+                            f"warc: CDX offset {r.rec_offset} does not "
+                            "point at a valid record"
+                        )
                     rows.extend(got)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -261,6 +288,7 @@ def write_warc_shards(records: DataFrame, out_dir: str, n_shards: int) -> DataFr
     (md5 over the id-ordered payload md5s)."""
     import hashlib as _hl
     import os
+    import uuid
 
     from pyspark.sql import functions as F
 
@@ -279,7 +307,13 @@ def write_warc_shards(records: DataFrame, out_dir: str, n_shards: int) -> DataFr
         chain = _hl.md5()
         max_rec = 0
         total = 0
-        tmp = path + ".tmp"
+        # attempt-unique tmp name: with speculative execution (or a
+        # zombie attempt surviving a retry) two attempts of the same
+        # shard group may run concurrently — a shared tmp name would
+        # interleave their writes and publish corrupt bytes; unique
+        # names keep each os.replace atomic and last-writer-wins with
+        # byte-identical content (the layout is deterministic)
+        tmp = f"{path}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "wb") as fh:
             for r in pdf.itertuples(index=False):
                 rec = encode_record(r.record_id, r.target_uri, bytes(r.payload))

@@ -146,3 +146,45 @@ def test_cli_prep_warc_round_trip(spark, tmp_path, capsys):
     assert report["kind"] == "warc" and report["verified_ok"]
     assert report["n_shards"] == 4 and report["n_records"] == 500
     assert len([f for f in os.listdir(out) if f.endswith(".warc")]) == 4
+
+
+def test_mid_split_corruption_fails_closed(spark, tmp_path, archive, expected):
+    """A flipped header byte mid-archive must raise, not silently drop
+    the split's tail (the buffer always extends a full record past
+    split_end, so an in-range record that fails to parse is corruption,
+    never end-of-split)."""
+    blob = bytearray(open(archive, "rb").read())
+    # corrupt the Content-Length header of a mid-archive record
+    off = int(expected.rec_offset.iloc[N // 2])
+    pos = blob.index(b"Content-Length", off)
+    blob[pos] = ord("X")
+    bad = str(tmp_path / "bad.warc")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="corrupt record"):
+        warcish.read_warc(spark, bad, 1).count()
+
+
+def test_cdx_bad_offset_fails_closed(spark, archive, expected):
+    """An index offset that does not point at a record start must raise
+    (index drift must be observable, matching the manifest gate)."""
+    offs = [int(x) for x in expected.rec_offset[:3]]
+    with pytest.raises(Exception, match="CDX offset"):
+        warcish.read_warc_indexed(spark, archive, offs + [offs[-1] + 1]).count()
+
+
+def test_non_ascii_header_round_trip(spark, tmp_path):
+    """UTF-8 ids/uris survive the sink -> reader loop exactly (encode
+    writes UTF-8; the parser must not mangle it to U+FFFD)."""
+    rows = [("<urn:t:umlaut-μß>", "https://example.org/straße", b"pay")]
+    df = spark.createDataFrame(rows, "record_id string, target_uri string, payload binary")
+    m = warcish.write_warc_shards(df, str(tmp_path / "u"), 1).toPandas()
+    back = warcish.read_warc_shards(spark, m).toPandas()
+    assert list(back.record_id) == [rows[0][0]]
+    assert list(back.target_uri) == [rows[0][1]]
+
+
+def test_encode_rejects_crlf_in_headers():
+    with pytest.raises(ValueError, match="CR/LF"):
+        warcish.encode_record("<urn:bad\r\n>", "https://x", b"p")
+    with pytest.raises(ValueError, match="CR/LF"):
+        warcish.encode_record("<urn:ok>", "https://x\n.example", b"p")

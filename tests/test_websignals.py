@@ -31,10 +31,18 @@ def test_dust_recovers_exactly_the_planted_rules(spark):
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
     assert docs.text.nunique() == len(docs), "precondition: digests collide only via aliases"
     pdf = ws.q_dedup_url_dust(spark, SF).toPandas().set_index("rule")
-    assert set(pdf.index) == {"strip-trailing-slash", "strip-param:session"}
+    assert set(pdf.index) == {
+        "strip-trailing-slash",
+        "strip-param:session",
+        "other-collision",
+    }
     # each even doc_id plants exactly one slash pair, each %3 doc one session pair
     assert pdf.loc["strip-trailing-slash", "support"] == (docs.doc_id % 2 == 0).sum()
     assert pdf.loc["strip-param:session", "support"] == (docs.doc_id % 3 == 0).sum()
+    # %6 docs carry BOTH non-base aliases, whose pair (base+'/' vs
+    # base+'?session=') is same-digest but not prefix-shaped — it must
+    # surface as a collision, not vanish
+    assert pdf.loc["other-collision", "support"] == (docs.doc_id % 6 == 0).sum()
     assert pdf.support.ge(pdf.n_digests).all()
     assert pdf.example_url.str.startswith(ws._DUST_BASE).all()
 
