@@ -326,10 +326,117 @@ ORDER BY query_id, rank
 """
 
 
+# ------------------------------------------------ augmentation planner
+_AUG_EPOCHS = 2
+_AUG_MIN_PM = 700  # crop keeps 700..1000 permille of each side
+
+
+def q_image_augment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch augmentation planner over the catalog —
+    the reproducible-training half of RandomResizedCrop+flip: instead
+    of trainer-local RNG (whose state dies with the job and differs
+    per worker), every (image, epoch) gets its crop box and flip bit
+    from hash60 formulas over (image_id, epoch), so any re-run, any
+    worker, and the DuckDB oracle derive the identical plan — the same
+    discipline as corpus_shuffle_shards' seeded order. Per side the
+    crop keeps 700..1000 permille (integer arithmetic throughout);
+    offsets are uniform over the valid range by construction, and the
+    graded in_bounds column proves every box fits its image.
+
+    Shape at 100 TB: scan-side only — the epoch fan-out is a map-side
+    explode, every output column is hash/integer arithmetic on
+    (image_id, w, h), and the scan reads ONLY those three columns (the
+    bytes stay on disk; the decode+crop happens trainer-side at batch
+    load, tests/test_plan_audit.py pins the pruned scan). No joins, no
+    aggregates, no windows — zero data shuffles."""
+    from gepris_spark.functions.textstats import hash60
+
+    def _h(tag: str) -> Column:
+        return hash60(
+            F.concat(
+                F.lit(f"aug:{tag}:"),
+                F.col("image_id"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        )
+
+    cat = load_catalog(spark).select("image_id", "w", "h")
+    ep = cat.select(
+        "image_id",
+        "w",
+        "h",
+        F.explode(F.array(*[F.lit(e) for e in range(_AUG_EPOCHS)])).alias("epoch"),
+    )
+    sized = ep.select(
+        "image_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        "w",
+        "h",
+        (F.lit(_AUG_MIN_PM) + _h("s") % (1001 - _AUG_MIN_PM)).alias("frac_pm"),
+        (_h("x")).alias("hx"),
+        (_h("y")).alias("hy"),
+        (_h("f") % 2 == 1).alias("flip"),
+    ).select(
+        "image_id",
+        "epoch",
+        "w",
+        "h",
+        F.expr("(CAST(w AS BIGINT) * frac_pm) div 1000").alias("crop_w"),
+        F.expr("(CAST(h AS BIGINT) * frac_pm) div 1000").alias("crop_h"),
+        "hx",
+        "hy",
+        "flip",
+    )
+    return (
+        sized.select(
+            "image_id",
+            "epoch",
+            (F.col("hx") % (F.col("w").cast("long") - F.col("crop_w") + 1)).alias("crop_x"),
+            (F.col("hy") % (F.col("h").cast("long") - F.col("crop_h") + 1)).alias("crop_y"),
+            "crop_w",
+            "crop_h",
+            "flip",
+            (
+                (F.col("hx") % (F.col("w").cast("long") - F.col("crop_w") + 1) + F.col("crop_w") <= F.col("w"))
+                & (F.col("hy") % (F.col("h").cast("long") - F.col("crop_h") + 1) + F.col("crop_h") <= F.col("h"))
+            ).alias("in_bounds"),
+        )
+        .orderBy("image_id", "epoch")
+    )
+
+
+_AUG_H = (
+    "('0x' || substr(md5('aug:{tag}:' || image_id || ':' || CAST(epoch AS VARCHAR)), 1, 15))::BIGINT"
+)
+SQL_IMAGE_AUGMENT_PLAN = f"""
+WITH cat AS (SELECT image_id, w, h FROM ({_SQL_CATALOG})),
+ep AS (SELECT image_id, w, h, e AS epoch
+       FROM cat, UNNEST(range(0, {_AUG_EPOCHS})) AS t(e)),
+sized AS (
+  SELECT image_id, epoch, w, h,
+         (CAST(w AS BIGINT) * ({_AUG_MIN_PM} + {_AUG_H.format(tag='s')} % {1001 - _AUG_MIN_PM})) // 1000 AS crop_w,
+         (CAST(h AS BIGINT) * ({_AUG_MIN_PM} + {_AUG_H.format(tag='s')} % {1001 - _AUG_MIN_PM})) // 1000 AS crop_h,
+         {_AUG_H.format(tag='x')} AS hx,
+         {_AUG_H.format(tag='y')} AS hy,
+         {_AUG_H.format(tag='f')} % 2 = 1 AS flip
+  FROM ep)
+SELECT image_id, epoch,
+       hx % (CAST(w AS BIGINT) - crop_w + 1) AS crop_x,
+       hy % (CAST(h AS BIGINT) - crop_h + 1) AS crop_y,
+       crop_w, crop_h, flip,
+       (hx % (CAST(w AS BIGINT) - crop_w + 1) + crop_w <= w
+        AND hy % (CAST(h AS BIGINT) - crop_h + 1) + crop_h <= h) AS in_bounds
+FROM sized
+ORDER BY image_id, epoch
+"""
+
+
 IMAGEPIPE_QUERIES: dict[str, tuple] = {
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
     "image_hamming_topk": (q_image_hamming_topk, SQL_IMAGE_HAMMING_TOPK),
     "image_caption_curation": (q_image_caption_curation, SQL_IMAGE_CAPTION_CURATION),
     "image_curation_funnel": (q_image_curation_funnel, SQL_IMAGE_CURATION_FUNNEL),
     "image_dedup_clusters": (q_image_dedup_clusters, SQL_IMAGE_DEDUP_CLUSTERS),
+    "image_augment_plan": (q_image_augment_plan, SQL_IMAGE_AUGMENT_PLAN),
 }

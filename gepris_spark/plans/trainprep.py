@@ -2083,6 +2083,25 @@ def q_events_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cms_stream(spark, events_pdf, query_name="events_cms_stream_sink")
 
 
+def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_hll_distinct` with the registers built INCREMENTALLY as
+    a Structured Streaming job — the sketch family's second merge
+    monoid (element-wise MAX vs the CMS's counter ADD), with the
+    stronger idempotence property: duplicate arrivals across
+    micro-batches cannot corrupt the sketch, so no per-batch distinct
+    is needed. Graded against the SAME DuckDB oracle as the batch
+    query; stream = batch for any arrival-file cut and any row
+    duplication (streaming/hllstream.py, tests/test_hll_stream.py)."""
+    from gepris_spark.streaming.hllstream import run_hll_stream
+
+    events_pdf = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .toPandas()
+    )
+    return run_hll_stream(spark, events_pdf, query_name="events_hll_stream_sink")
+
+
 # ------------------------------------------- log-linear quantile sketch
 def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HdrHistogram-style log-linear quantile sketch per event type —
@@ -2295,6 +2314,17 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside Spark) every register is driver-visible and the estimate is
     value-graded against the exact count riding alongside."""
     d = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    regs = hll_rho_terms(d).groupBy("event_type", "reg").agg(
+        F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("cnt")
+    )
+    return hll_estimates(regs)
+
+
+def hll_rho_terms(d: DataFrame) -> DataFrame:
+    """(event_type, user_id) rows -> (event_type, reg, rho). Input need
+    NOT be distinct: register insertion is max(), which is idempotent —
+    the property the streaming build relies on (duplicate arrivals
+    across micro-batches cannot corrupt the sketch)."""
     h = d.select(
         "event_type",
         TS.hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))).alias("h"),
@@ -2303,20 +2333,29 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
         F.lit(_HLL_RHO_MAX) - F.length(F.conv(w.cast("string"), 10, 2))
     )
-    regs = (
-        h.select(
-            "event_type",
-            (F.col("h") % _HLL_M).alias("reg"),
-            rho.cast("long").alias("rho"),
-        )
-        .groupBy("event_type", "reg")
-        .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("cnt"))
+    return h.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("reg"),
+        rho.cast("long").alias("rho"),
     )
-    per_type = regs.groupBy("event_type").agg(
-        F.sum("cnt").alias("n_exact"),
+
+
+def hll_estimates(regs: DataFrame, exact: DataFrame | None = None) -> DataFrame:
+    """Registers -> per-type estimate rows. `regs` is (event_type, reg,
+    m_j[, cnt]). Batch mode (exact=None) derives n_exact from the
+    per-register distinct-user counts riding in `cnt`; the streaming
+    build passes a separately-computed (event_type, n_exact) instead,
+    because per-batch counts double-count users that span batches
+    (max-merge registers stay exact, additive counts do not)."""
+    aggs = [
         F.count(F.lit(1)).alias("n_regs"),
         F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_MAX} - m_j)")).alias("s_present"),
-    )
+    ]
+    if exact is None:
+        aggs.insert(0, F.sum("cnt").alias("n_exact"))
+    per_type = regs.groupBy("event_type").agg(*aggs)
+    if exact is not None:
+        per_type = per_type.join(exact, "event_type")
     v_empty = (F.lit(_HLL_M) - F.col("n_regs")).cast("long")
     s_total = (
         F.col("s_present") + v_empty * F.lit(1 << _HLL_RHO_MAX).cast("long")
@@ -2526,5 +2565,6 @@ TRAINPREP_QUERIES = {
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     "corpus_dsir_weights": (q_corpus_dsir_weights, SQL_CORPUS_DSIR_WEIGHTS),
     "events_hll_distinct": (q_events_hll_distinct, SQL_EVENTS_HLL_DISTINCT),
+    "events_hll_stream": (q_events_hll_stream, SQL_EVENTS_HLL_DISTINCT),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
 }

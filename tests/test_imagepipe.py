@@ -121,3 +121,62 @@ def test_neardup_plan_has_no_cartesian(spark):
     plan = imagepipe.q_image_phash_neardup(spark, "unused")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_augment_plan_boxes_apply_to_real_pixels(spark):
+    """The planner's specs must be APPLICABLE: decode a handful of
+    catalog images, apply crop+flip exactly as a trainer would, and
+    get arrays of the planned shape; epochs must differ (the plan is
+    per-epoch, not constant) and a re-run must be identical."""
+    import numpy as np
+
+    from gepris_spark.codecs import image as imagecodec
+
+    plan = imagepipe.q_image_augment_plan(spark, "unused").toPandas()
+    assert plan.in_bounds.all()
+    assert (plan.crop_w >= 1).all() and (plan.crop_h >= 1).all()
+    assert plan.flip.nunique() == 2  # both flip values occur
+    # per-image the two epochs differ somewhere (crop or flip)
+    diff = plan.groupby("image_id").apply(
+        lambda g: g[["crop_x", "crop_y", "crop_w", "crop_h", "flip"]]
+        .drop_duplicates()
+        .shape[0],
+        include_groups=False,
+    )
+    assert (diff > 1).mean() > 0.9
+    # determinism: a second derivation is identical
+    again = imagepipe.q_image_augment_plan(spark, "unused").toPandas()
+    assert plan.equals(again)
+
+    cat = imagepipe.load_catalog(spark).limit(3).toPandas()
+    specs = plan.set_index(["image_id", "epoch"])
+    for r in cat.itertuples(index=False):
+        px = imagecodec.decode(bytes(r.bytes), r.fmt)
+        for epoch in range(imagepipe._AUG_EPOCHS):
+            s = specs.loc[(r.image_id, epoch)]
+            crop = px[
+                int(s.crop_y) : int(s.crop_y + s.crop_h),
+                int(s.crop_x) : int(s.crop_x + s.crop_w),
+            ]
+            if s.flip:
+                crop = crop[:, ::-1]
+            assert crop.shape == (int(s.crop_h), int(s.crop_w), 3)
+            assert isinstance(crop, np.ndarray)
+
+
+def test_augment_plan_is_scan_side_and_pruned(spark):
+    """Zero data shuffles (the only Exchange is the output ordering's
+    range partitioning) and the scan reads only (image_id, w, h) —
+    bytes/caption/phash stay on disk."""
+    plan = (
+        imagepipe.q_image_augment_plan(spark, "unused")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "image_id" in read_schema and "w" in read_schema
+    assert "bytes" not in read_schema and "caption" not in read_schema
+    assert "phash" not in read_schema
