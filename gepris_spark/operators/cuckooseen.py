@@ -112,6 +112,11 @@ class CuckooUrlSeen:
     2-choice load)."""
 
     def __init__(self, root: str, n_buckets: int = 16, n_cells: int = 1 << 18, slots: int = 4):
+        # the alternate-cell map i2 = i1 XOR g(f) stays in [0, n_cells)
+        # only for power-of-two n_cells; any other size silently indexes
+        # out of range on the first unlucky fingerprint
+        if n_cells & (n_cells - 1):
+            raise ValueError(f"n_cells must be a power of two, got {n_cells}")
         self.dir = os.path.join(root, "cuckooseen")
         self.n_buckets = n_buckets
         self.n_cells = n_cells
@@ -133,12 +138,6 @@ class CuckooUrlSeen:
             return not any(e.startswith("bucket") for e in os.listdir(self.dir))
         except OSError:
             return True
-
-    def _load(self, bucket: int, mmap: bool = False) -> np.ndarray | None:
-        path = self._bucket_path(bucket)
-        if not os.path.exists(path):
-            return None
-        return np.load(path, mmap_mode="r" if mmap else None)
 
     # ------------------------------------------------------ add / remove
     def _mutate(self, df: DataFrame, url_col: str, op: str) -> int:

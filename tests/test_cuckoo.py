@@ -136,3 +136,11 @@ def test_engine_replay_identical_with_cuckoo(spark, tmp_path):
     assert got == want
     got_seen = {r["url"] for r in engine.visit_log().select("url").distinct().collect()}
     assert got_seen == oracle.url_seen
+
+
+def test_rejects_non_power_of_two_cells(tmp_path):
+    """i2 = i1 XOR g(f) only stays in range for power-of-two n_cells;
+    any other geometry must be rejected at construction, not fail as an
+    out-of-bounds index on the first unlucky fingerprint."""
+    with pytest.raises(ValueError, match="power of two"):
+        CuckooUrlSeen(str(tmp_path), n_buckets=2, n_cells=1000)
