@@ -40,6 +40,7 @@ def _oracle_checked() -> dict[str, tuple]:
     from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
     from gepris_spark.plans.imagepipe import IMAGEPIPE_QUERIES
     from gepris_spark.plans.relational import RELATIONAL_QUERIES
+    from gepris_spark.plans.storagepipe import STORAGEPIPE_QUERIES
     from gepris_spark.plans.trainprep import TRAINPREP_QUERIES
     from gepris_spark.plans.websignals import WEBSIGNALS_QUERIES
 
@@ -52,6 +53,7 @@ def _oracle_checked() -> dict[str, tuple]:
         **TRAINPREP_QUERIES,
         **BATCHPREP_QUERIES,
         **WEBSIGNALS_QUERIES,
+        **STORAGEPIPE_QUERIES,
     }
 
 
