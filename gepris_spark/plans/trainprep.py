@@ -1637,6 +1637,25 @@ ORDER BY v.event_id
 """
 
 
+def q_events_range_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_range_join` as a STREAM-STREAM join: views and
+    clicks/purchases arrive as two watermarked feeds of the same event
+    log, Spark's symmetric-hash join state store matches them under
+    the event-time range condition, and the drained pairs get the same
+    micro-unit rollup. Graded against the SAME DuckDB oracle as the
+    batch query — stream = batch is the contract, invariant to the
+    arrival-file cut (streaming/joinstream.py has the state-eviction
+    proof and scale notes)."""
+    from gepris_spark.streaming.joinstream import run_range_join_stream
+
+    events_pdf = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    return run_range_join_stream(spark, events_pdf, query_name="events_range_join_stream_sink")
+
+
 # ------------------------------------------------------- KMV sketch
 _KMV_K = 32
 
@@ -2555,6 +2574,7 @@ TRAINPREP_QUERIES = {
     "events_late_data_stream": (q_events_late_data_stream, SQL_EVENTS_LATE_DATA),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "events_range_join_stream": (q_events_range_join_stream, SQL_EVENTS_RANGE_JOIN),
     "events_kmv_distinct": (q_events_kmv_distinct, SQL_EVENTS_KMV_DISTINCT),
     "events_cms_heavy_hitters": (
         q_events_cms_heavy_hitters,

@@ -1,0 +1,158 @@
+"""Watermarked STREAM-STREAM interval join — the one first-class
+Structured Streaming operator the engine had not yet exercised.
+
+The batch contract query `events_range_join` (plans/trainprep.py)
+attaches every click/purchase to the 2-hour attribution window of the
+same user's `view` events via the binned equi-join construction. In
+streaming deployment the two sides arrive as live feeds (the crawl
+analogue: fetch-completion events joining discovery events within a
+scheduling horizon), and Spark's stream-stream join is the native
+operator: both sides watermarked, the event-time range condition lets
+the state store evict each buffered row as soon as the opposite
+side's watermark passes its last possible match.
+
+Stream = batch is the contract: the joined pairs drain to a memory
+sink, the SAME micro-unit rollup as the batch query runs as a batch
+post-pass, and the result is graded against the SAME DuckDB oracle
+(SQL_EVENTS_RANGE_JOIN) — for ANY arrival-file cut
+(tests/test_join_stream.py).
+
+Semantics notes:
+* INNER stream-stream join emits a pair in the micro-batch where the
+  match completes — no watermark-withheld tail, so no flush sentinel
+  is needed (unlike the session/aggregation sinks, which hold state
+  until the watermark passes: streaming/sessionstream.py).
+* State eviction is provably safe under event-time-ordered arrivals:
+  a buffered view with window [v_ts, v_ts + 2h) is dropped only when
+  the probe-side watermark (max seen e_ts − 2h) passes v_ts + 2h,
+  i.e. after every probe that could land inside the window has been
+  seen. The watermark delay equals the join horizon — the standard
+  sizing rule for interval joins.
+* State is keyed by user_id — the same linear keying as every
+  per-user operator here; the range condition bounds each key's
+  buffer to the 4-hour in-flight horizon, so state is
+  O(arrival rate × horizon), independent of history length.
+
+The arrival-file split is test scaffolding (event-time-ordered
+chunks, the shape a log collector delivers); in production both
+sides are append-only ledgers like visitstream.visit_stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_N_ARRIVAL_FILES = 3
+# watermark delay = the attribution-window width (see eviction proof
+# in the module docstring)
+_WATERMARK = "2 hours"
+_WINDOW_SQL = "INTERVAL 2 HOURS"
+# watermarks demand TIMESTAMP (not NTZ); session tz is pinned UTC so
+# the naive parquet values keep their wall reading (sessionstream.py)
+_ARRIVAL_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def write_arrival_files(events_pdf, root: str, n_files: int = _N_ARRIVAL_FILES) -> str:
+    """Split the (pandas) event log into event-time-ordered arrival
+    files; both join sides read the same feed and filter their event
+    types, exactly like two consumers of one log topic."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(root, "arrivals")
+    os.makedirs(src, exist_ok=True)
+    pdf = events_pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    cuts = [n * i // n_files for i in range(n_files + 1)]
+    for i in range(n_files):
+        chunk = pdf.iloc[cuts[i] : cuts[i + 1]].copy()
+        chunk = chunk.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
+        chunk["ts"] = pd.to_datetime(chunk["ts"]).astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(
+                chunk[["event_id", "ts", "user_id", "event_type", "value"]],
+                preserve_index=False,
+            ),
+            os.path.join(src, f"arrival_{i}.parquet"),
+        )
+    return src
+
+
+def joined_pairs_stream(views: DataFrame, probes: DataFrame) -> DataFrame:
+    """The join itself: equi-key on user plus the event-time range
+    residual. Kept as a function so tests can audit the streaming plan
+    (StreamingSymmetricHashJoin, state watermark present)."""
+    return probes.join(
+        views,
+        F.expr(f"user_id = v_user AND v_ts <= e_ts AND e_ts < v_ts + {_WINDOW_SQL}"),
+    )
+
+
+def run_range_join_stream(
+    spark: SparkSession,
+    events_pdf,
+    root: str | None = None,
+    query_name: str = "range_join_stream_sink",
+    n_files: int = _N_ARRIVAL_FILES,
+) -> DataFrame:
+    """Drive the stream-stream join over arrival files with
+    availableNow, drain the matched pairs, and run the batch rollup —
+    output identical to q_events_range_join (same oracle)."""
+    root = root or tempfile.mkdtemp(prefix="gepris_joinstream_")
+    src = write_arrival_files(events_pdf, root, n_files=n_files)
+
+    def feed() -> DataFrame:
+        return (
+            spark.readStream.schema(_ARRIVAL_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    views = (
+        feed()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", _WATERMARK)
+    )
+    probes = (
+        feed()
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", F.col("ts").alias("e_ts"), "value")
+        .withWatermark("e_ts", _WATERMARK)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined_pairs_stream(views, probes)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(query_name)
+        .groupBy("window_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "attributed_value_micro"
+            ),
+            F.max("event_id").alias("latest_event_id"),
+        )
+        .orderBy("window_id")
+    )

@@ -1,0 +1,85 @@
+"""Stream-stream interval join must equal the batch binned range join
+for ANY arrival-file cut, restart cleanly under the same sink name,
+and actually plan as a watermarked StreamingSymmetricHashJoin."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from gepris_spark.plans.trainprep import q_events_range_join
+from gepris_spark.streaming.joinstream import run_range_join_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_pdf(spark):
+    return (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["window_id", "user_id"]).reset_index(drop=True)
+
+
+def test_stream_equals_batch_any_cut(spark):
+    batch = _canon(q_events_range_join(spark, SF).toPandas())
+    pdf = _events_pdf(spark)
+    for n_files in (1, 5):
+        stream = _canon(
+            run_range_join_stream(
+                spark, pdf, query_name=f"rjs_cut{n_files}", n_files=n_files
+            ).toPandas()
+        )
+        pd.testing.assert_frame_equal(stream, batch)
+
+
+def test_rerun_replaces_memory_sink(spark):
+    pdf = _events_pdf(spark)
+    a = _canon(run_range_join_stream(spark, pdf, query_name="rjs_rerun").toPandas())
+    b = _canon(run_range_join_stream(spark, pdf, query_name="rjs_rerun").toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_plan_is_watermarked_symmetric_hash_join(spark):
+    """The streaming plan must be the native stateful join operator
+    with watermarks on both sides — not a snapshot join that would
+    miss cross-batch matches."""
+    import io
+    import tempfile
+    from contextlib import redirect_stdout
+
+    from gepris_spark.streaming import joinstream
+
+    root = tempfile.mkdtemp(prefix="gepris_jsplan_")
+    src = joinstream.write_arrival_files(_events_pdf(spark), root, n_files=2)
+    from pyspark.sql import functions as F
+
+    def feed():
+        return spark.readStream.schema(joinstream._ARRIVAL_SCHEMA).parquet(src)
+
+    views = (
+        feed()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", joinstream._WATERMARK)
+    )
+    probes = (
+        feed()
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", F.col("ts").alias("e_ts"), "value")
+        .withWatermark("e_ts", joinstream._WATERMARK)
+    )
+    joined = joinstream.joined_pairs_stream(views, probes)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain(True)
+    plan = buf.getvalue()
+    assert "StreamingSymmetricHashJoin" in plan or "streaming-symmetric-hash-join" in plan.lower()
+    assert plan.count("EventTimeWatermark") >= 2
