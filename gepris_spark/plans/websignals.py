@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gepris_spark import cacheutil
+from gepris_spark.functions import textstats as TS
 from gepris_spark.plans.relational import load
 
 # --------------------------------------------------- anchor inversion
@@ -479,7 +480,116 @@ ORDER BY step_idx
 """
 
 
+# --------------------------------------------- positional phrase search
+_PHRASE_TOPK = 3
+_SQL_TOKENS_WS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: mine the corpus's top-3 bigram
+    phrases, then answer them THROUGH the positional postings — the
+    kernel every phrase/proximity query in a web index runs (Zobel &
+    Moffat, "Inverted files for text search engines"; the search-side
+    sibling of `text_bm25_topk`, which ranks but cannot see adjacency).
+
+    Two legs, deliberately different plans whose counts must agree:
+    * MINING: postings (doc_id, pos, tok) are scan-side posexplode;
+      the bigram relation is ONE doc-partitioned `lead` window (linear,
+      never a global sort — same discipline as the sessionizer), and
+      the top-3 global phrases compile to TakeOrderedAndProject
+      (per-partition top-k + merge, no full sort).
+    * SEARCH: each phrase's occurrences are found the index way — fetch
+      the two terms' posting lists by key (an equi-join of the postings
+      against the BROADCAST 3-phrase word set — at web scale this is
+      the term-sharded index lookup, never a corpus scan), then
+      intersect them on (doc_id, pos+1) adjacency: one equi-join
+      shuffling only the two posting lists.
+
+    `n_occurrences` (search leg) must equal `corpus_occurrences`
+    (mining leg) row for row — the plan grades its own index against
+    the window formulation, and the DuckDB oracle grades both. The
+    per-phrase top-doc window partitions by phrase over the per-doc
+    hit counts (bounded by docs-containing-phrase, never raw
+    postings)."""
+    postings = (
+        load(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", F.posexplode(TS.tokens(F.col("text"))).alias("pos", "tok"))
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    top = (
+        postings.withColumn("nxt", F.lead("tok").over(wlead))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("corpus_occurrences"))
+        .orderBy(F.col("corpus_occurrences").desc(), "w1", "w2")
+        .limit(_PHRASE_TOPK)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"), "w1", "w2", "corpus_occurrences"
+        )
+    )
+    p1 = postings.join(F.broadcast(top), postings["tok"] == top["w1"]).select(
+        "phrase", "corpus_occurrences", "w2", "doc_id", "pos"
+    )
+    p2 = postings.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"), F.col("tok").alias("t2")
+    ).join(
+        F.broadcast(top.select(F.col("w2").alias("t2")).distinct()), "t2", "semi"
+    )
+    occ = p1.join(
+        p2,
+        (F.col("d2") == F.col("doc_id"))
+        & (F.col("pos2") == F.col("pos") + 1)
+        & (F.col("t2") == F.col("w2")),
+    )
+    perdoc = occ.groupBy("phrase", "corpus_occurrences", "doc_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    wp = Window.partitionBy("phrase").orderBy(F.col("hits").desc(), "doc_id")
+    return (
+        perdoc.withColumn("rn", F.row_number().over(wp))
+        .groupBy("phrase", "corpus_occurrences")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("hits").alias("n_occurrences"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("top_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("hits"))).alias("top_doc_hits"),
+        )
+        .orderBy("phrase")
+    )
+
+
+SQL_TEXT_PHRASE_SEARCH = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS_WS} AS toks FROM documents),
+p AS (SELECT doc_id, u.pos, toks[u.pos] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) AS u(pos)),
+b AS (SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM p),
+top AS (SELECT tok AS w1, nxt AS w2, tok || ' ' || nxt AS phrase,
+               CAST(count(*) AS BIGINT) AS corpus_occurrences
+        FROM b WHERE nxt IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY corpus_occurrences DESC, w1, w2 LIMIT {_PHRASE_TOPK}),
+occ AS (SELECT top.phrase, top.corpus_occurrences, p1.doc_id
+        FROM top
+        JOIN p p1 ON p1.tok = top.w1
+        JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1 AND p2.tok = top.w2),
+perdoc AS (SELECT phrase, corpus_occurrences, doc_id,
+                  CAST(count(*) AS BIGINT) AS hits
+           FROM occ GROUP BY 1, 2, 3),
+r AS (SELECT *, row_number() OVER (PARTITION BY phrase ORDER BY hits DESC, doc_id) AS rn
+      FROM perdoc)
+SELECT phrase, corpus_occurrences,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hits) AS BIGINT) AS n_occurrences,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS top_doc,
+       max(CASE WHEN rn = 1 THEN hits END) AS top_doc_hits
+FROM r GROUP BY phrase, corpus_occurrences ORDER BY phrase
+"""
+
+
 WEBSIGNALS_QUERIES: dict[str, tuple] = {
+    "text_phrase_search": (q_text_phrase_search, SQL_TEXT_PHRASE_SEARCH),
     "graph_anchor_text": (q_graph_anchor_text, SQL_GRAPH_ANCHOR_TEXT),
     "dedup_url_dust": (q_dedup_url_dust, SQL_DEDUP_URL_DUST),
     "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
