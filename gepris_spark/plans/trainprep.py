@@ -2550,7 +2550,114 @@ ORDER BY p.n_triangles DESC, p.node
 """
 
 
+# ------------------------------------------------- multi-source BFS
+_BFS_ROUNDS = 3
+_BFS_SEEDS = 3
+# comb = dist * _BFS_ENC + seed_suppkey: one BIGINT carries (dist,
+# nearest-seed) so the per-round combine is a plain min() and the
+# lexicographic (dist asc, seed asc) tie-break falls out of integer
+# order on both engines.
+_BFS_ENC = 1_000_000_000
+
+
+def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the (undirected) customer–
+    supplier graph — the link-distance signal a crawler uses for
+    seed-proximity scheduling (pages few hops from trusted seeds are
+    fetched first; OPIC/seed-distance family, next to the importance
+    signals graph_pagerank/graph_hits). Seeds are the three smallest
+    supplier keys; every node within R=3 hops gets its distance and
+    the smallest seed achieving it.
+
+    Bellman-Ford-style relaxation, R rounds unrolled (the oracle is
+    the same rounds as CTEs): each round is ONE equi-join (state onto
+    edges by src — both sides hash-partitioned on the node key, so
+    iterations reuse the exchange) plus ONE groupBy(node) min with
+    map-side partials. The (dist, seed) pair is packed into a single
+    BIGINT so the combine stays a built-in min — no structs, no UDF,
+    bit-identical across engines. Unreached nodes carry no row
+    (frontier semantics), so the relation never exceeds the reached
+    set. For unbounded R the loop would cut lineage per round exactly
+    as dedup_clusters does; a delta-frontier variant (relax only
+    newly-improved nodes) halves the join input on sparse graphs and
+    is noted, not needed at R=3 on this dense bipartite graph."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("cu"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("su"),
+        )
+        .distinct()
+    )
+    edges = cacheutil.track(
+        pairs.select(F.col("cu").alias("src"), F.col("su").alias("dst"))
+        .unionAll(pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst")))
+        .persist()
+    )
+    seeds = (
+        li.select("l_suppkey")
+        .distinct()
+        .orderBy("l_suppkey")
+        .limit(_BFS_SEEDS)
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("node"),
+            F.col("l_suppkey").cast("long").alias("comb"),
+        )
+    )
+    state = seeds
+    for _ in range(_BFS_ROUNDS):
+        relaxed = edges.join(state, edges.src == state.node).select(
+            F.col("dst").alias("node"), (F.col("comb") + _BFS_ENC).alias("comb")
+        )
+        state = state.unionAll(relaxed).groupBy("node").agg(F.min("comb").alias("comb"))
+    return state.select(
+        "node",
+        F.expr(f"comb div {_BFS_ENC}").alias("dist"),
+        (F.col("comb") % _BFS_ENC).alias("nearest_seed"),
+    ).orderBy("node")
+
+
+def _sql_shortest_path() -> str:
+    rounds = []
+    prev = "s0"
+    for i in range(1, _BFS_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT node, min(comb) AS comb FROM (
+    SELECT node, comb FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, s.comb + {_BFS_ENC} AS comb
+    FROM edges e JOIN {prev} s ON e.src = s.node
+  ) GROUP BY node)"""
+        )
+        prev = f"r{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cu,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS su
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (
+  SELECT cu AS src, su AS dst FROM pairs
+  UNION ALL
+  SELECT su AS src, cu AS dst FROM pairs),
+s0 AS (
+  SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS node,
+         CAST(l_suppkey AS BIGINT) AS comb
+  FROM (SELECT DISTINCT l_suppkey FROM lineitem ORDER BY l_suppkey LIMIT {_BFS_SEEDS})),
+{body}
+SELECT node, comb // {_BFS_ENC} AS dist, comb % {_BFS_ENC} AS nearest_seed
+FROM {prev} ORDER BY node
+"""
+
+
+SQL_GRAPH_SHORTEST_PATH = _sql_shortest_path()
+
+
 TRAINPREP_QUERIES = {
+    "graph_shortest_path": (q_graph_shortest_path, SQL_GRAPH_SHORTEST_PATH),
     "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
     "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
     "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
