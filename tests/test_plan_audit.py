@@ -603,3 +603,41 @@ def test_retention_single_user_exchange_broadcast_cohorts(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_chunks_doc_partitioned_window_no_text_after_chunks(spark):
+    """The chunk-id assignment window must partition by doc_id (never a
+    global ORDER BY), every join is an equi-join, and the whole plan
+    stays codegen — no Python stage touches the token stream."""
+    from gepris_spark.plans.storagepipe import q_storage_cdc_chunks
+
+    plan = _plan(q_storage_cdc_chunks(spark, SF))
+    assert "Window" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_search_broadcasts_phrases_topk_no_full_sort(spark):
+    """The 3-phrase word set must reach the postings as a broadcast
+    (the term-keyed index fetch), the global top-3 must compile to
+    TakeOrderedAndProject, and the adjacency intersection must be an
+    equi-join, never a nested loop."""
+    from gepris_spark.plans.websignals import q_text_phrase_search
+
+    plan = _plan(q_text_phrase_search(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shortest_path_rounds_equi_join_partial_min(spark):
+    """Every BFS round is an equi-join of state onto edges plus a
+    map-side-combinable min — no cartesian, no Python, no window."""
+    from gepris_spark.plans.trainprep import q_graph_shortest_path
+
+    plan = _plan(q_graph_shortest_path(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
