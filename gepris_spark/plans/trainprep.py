@@ -2550,6 +2550,40 @@ ORDER BY p.n_triangles DESC, p.node
 """
 
 
+# --------------------------------------------------- streaming dedup
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingest dedup with the NATIVE
+    `dropDuplicatesWithinWatermark` operator: the event log is
+    replayed as arrival files with deterministically planted duplicate
+    deliveries (every event_id % 7 == 0 arrives twice, the copy one
+    micro-batch later), the watermarked state store removes them, and
+    the per-type rollup is graded against plain SQL over the ORIGINAL
+    table — re-deliveries must be invisible
+    (streaming/dedupstream.py has the watermark-sizing rule and
+    eviction notes; tests/test_dedup_stream.py proves the dupes would
+    corrupt the rollup if not removed)."""
+    from gepris_spark.streaming.dedupstream import run_dedup_stream
+
+    events_pdf = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    return run_dedup_stream(spark, events_pdf, query_name="events_dedup_stream_sink")
+
+
+SQL_EVENTS_DEDUP_STREAM = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ------------------------------------------------- multi-source BFS
 _BFS_ROUNDS = 3
 _BFS_SEEDS = 3
@@ -2682,6 +2716,7 @@ TRAINPREP_QUERIES = {
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_range_join_stream": (q_events_range_join_stream, SQL_EVENTS_RANGE_JOIN),
+    "events_dedup_stream": (q_events_dedup_stream, SQL_EVENTS_DEDUP_STREAM),
     "events_kmv_distinct": (q_events_kmv_distinct, SQL_EVENTS_KMV_DISTINCT),
     "events_cms_heavy_hitters": (
         q_events_cms_heavy_hitters,
