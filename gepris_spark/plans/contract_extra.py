@@ -1052,3 +1052,140 @@ CONTRACT_EXTRA_QUERIES["warc_sink_roundtrip"] = (
     q_warc_sink_roundtrip,
     SQL_WARC_SINK_ROUNDTRIP,
 )
+
+
+# ----------------------------------------------------- WARC revisit dedup
+def q_warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record storage dedup (WARC 1.1 §6.7.2, the
+    identical-payload-digest profile the Internet Archive / Heritrix
+    use): a second crawl round re-fetches the first 100 documents,
+    every third one changed; unchanged captures are written as
+    payload-LESS `revisit` records whose WARC-Refers-To points at the
+    round-1 capture, changed ones as full `response` records. Both
+    rounds are REAL shard files (sources/warcish.py), the round-2
+    read-back resolves each revisit against the round-1 archive
+    (refers-to join + digest verification), and the oracle recomputes
+    every column from the documents table alone — so a sink that
+    mis-routed the dedup decision, dropped a payload, or resolved a
+    revisit to the wrong capture diverges. This is change-detection
+    (K1/K3, operators/history.py) pushed down INTO the storage
+    format: the reference stores full page snapshots per run and
+    dedups only by whole-item comparison
+    (/root/reference/gepris_crawler/database.py).
+
+    Shape at 100 TB: the dedup routing is ONE equi-join of the new
+    round against the prior round's CDX index on target_uri (the index
+    is (uri, digest, id) — tiny next to payloads); revisit resolution
+    is ONE equi-join on refers_to. Payload bytes for unchanged pages
+    never shuffle, never re-store: at the reference's observed ~97%
+    unchanged-per-recrawl rate that is a ~30x archive-size cut."""
+    import tempfile
+
+    from gepris_spark.sources import warcish
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _WARC_SINK_N_DOCS)
+        .select(
+            "doc_id",
+            F.concat(F.lit(_WARC_URI_BASE), F.col("doc_id").cast("string")).alias(
+                "target_uri"
+            ),
+            "text",
+            (F.col("doc_id") % 3 == 0).alias("changed"),
+        )
+    )
+    r1 = base.select(
+        F.concat(
+            F.lit("<urn:gepris:doc:"), F.col("doc_id").cast("string"), F.lit(":r1>")
+        ).alias("record_id"),
+        "target_uri",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    dir1 = tempfile.mkdtemp(prefix="gepris_warcrev1_")
+    man1 = warcish.write_warc_shards(r1, dir1, _WARC_SINK_SHARDS).toPandas()
+    r1_scan = warcish.read_warc_shards(spark, man1).select(
+        F.col("record_id").alias("r1_id"),
+        F.col("target_uri").alias("r1_uri"),
+        F.col("payload_md5").alias("r1_md5"),
+        F.col("content_length").alias("r1_len"),
+    )
+    r2_text = F.when(F.col("changed"), F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+        F.col("text")
+    )
+    fetched = base.select(
+        F.concat(
+            F.lit("<urn:gepris:doc:"), F.col("doc_id").cast("string"), F.lit(":r2>")
+        ).alias("record_id"),
+        "target_uri",
+        F.encode(r2_text, "UTF-8").alias("new_payload"),
+        F.md5(F.encode(r2_text, "UTF-8")).alias("new_md5"),
+    )
+    routed = fetched.join(r1_scan, fetched.target_uri == r1_scan.r1_uri).select(
+        "record_id",
+        "target_uri",
+        F.when(F.col("new_md5") == F.col("r1_md5"), F.lit("revisit"))
+        .otherwise(F.lit("response"))
+        .alias("warc_type"),
+        F.when(F.col("new_md5") == F.col("r1_md5"), F.encode(F.lit(""), "UTF-8"))
+        .otherwise(F.col("new_payload"))
+        .alias("payload"),
+        F.when(F.col("new_md5") == F.col("r1_md5"), F.col("r1_id"))
+        .otherwise(F.lit(""))
+        .alias("refers_to"),
+        F.when(F.col("new_md5") == F.col("r1_md5"), F.col("r1_md5"))
+        .otherwise(F.lit(""))
+        .alias("payload_digest"),
+    )
+    dir2 = tempfile.mkdtemp(prefix="gepris_warcrev2_")
+    man2 = warcish.write_warc_shards(routed, dir2, _WARC_SINK_SHARDS).toPandas()
+    r2_scan = warcish.read_warc_shards(spark, man2, extended=True)
+    return (
+        r2_scan.join(r1_scan, r2_scan.refers_to == r1_scan.r1_id, "left")
+        .select(
+            "record_id",
+            "target_uri",
+            "warc_type",
+            "content_length",
+            F.when(F.col("warc_type") == "revisit", F.col("r1_md5"))
+            .otherwise(F.col("payload_md5"))
+            .alias("effective_md5"),
+            F.when(F.col("warc_type") == "revisit", F.col("r1_len"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bytes_saved"),
+            F.when(
+                F.col("warc_type") == "revisit",
+                F.col("payload_digest") == F.concat(F.lit("md5:"), F.col("r1_md5")),
+            )
+            .otherwise(F.lit(True))
+            .alias("digest_ok"),
+        )
+        .orderBy("record_id")
+    )
+
+
+SQL_WARC_REVISIT_ROUNDTRIP = f"""
+WITH base AS (
+  SELECT doc_id,
+         '<urn:gepris:doc:' || CAST(doc_id AS VARCHAR) || ':r2>' AS record_id,
+         '{_WARC_URI_BASE}' || CAST(doc_id AS VARCHAR) AS target_uri,
+         text,
+         (doc_id % 3 = 0) AS changed
+  FROM documents WHERE doc_id < {_WARC_SINK_N_DOCS})
+SELECT record_id, target_uri,
+       CASE WHEN changed THEN 'response' ELSE 'revisit' END AS warc_type,
+       CAST(CASE WHEN changed THEN octet_length(encode(text || ' rev2')) ELSE 0 END
+            AS BIGINT) AS content_length,
+       CASE WHEN changed THEN md5(text || ' rev2') ELSE md5(text) END AS effective_md5,
+       CAST(CASE WHEN changed THEN 0 ELSE octet_length(encode(text)) END AS BIGINT)
+         AS bytes_saved,
+       true AS digest_ok
+FROM base ORDER BY record_id
+"""
+
+
+CONTRACT_EXTRA_QUERIES["warc_revisit_roundtrip"] = (
+    q_warc_revisit_roundtrip,
+    SQL_WARC_REVISIT_ROUNDTRIP,
+)

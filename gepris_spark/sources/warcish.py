@@ -56,6 +56,18 @@ SCAN_SCHEMA = T.StructType(
     ]
 )
 
+# SCAN_SCHEMA plus the revisit-dedup headers (empty strings on plain
+# response records) — opt-in via read_warc_shards(extended=True) so
+# existing scan outputs and fixtures stay schema-stable.
+EXT_SCAN_SCHEMA = T.StructType(
+    list(SCAN_SCHEMA.fields)
+    + [
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("refers_to", T.StringType()),
+        T.StructField("payload_digest", T.StringType()),
+    ]
+)
+
 
 # ------------------------------------------------------------ generator
 def _payload(i: int, seed: int) -> bytes:
@@ -84,15 +96,51 @@ def record_fields(i: int, seed: int = 42) -> dict:
     }
 
 
-def encode_record(record_id: str, target_uri: str, payload: bytes) -> bytes:
+def encode_record(
+    record_id: str,
+    target_uri: str,
+    payload: bytes,
+    warc_type: str = "response",
+    refers_to: str | None = None,
+    payload_digest: str | None = None,
+) -> bytes:
     """One WARC-style record: header block + payload + terminator —
     shared by the synthetic generator and the shard sink. Fails at
     WRITE time on header values that would break the framing (CR/LF
     inside an id/uri splits the header block mid-line and only
-    surfaces much later as a confusing re-read mismatch)."""
-    for name, v in (("record_id", record_id), ("target_uri", target_uri)):
+    surfaces much later as a confusing re-read mismatch).
+
+    `warc_type="revisit"` writes the Internet-Archive dedup record
+    (WARC 1.1 §6.7.2 identical-payload-digest profile): NO payload
+    bytes, a WARC-Refers-To pointing at the prior capture's record id
+    and a WARC-Payload-Digest of the payload the store already holds.
+    Response records keep the exact pre-revisit byte layout (no new
+    headers), so existing archives and fixtures are byte-stable."""
+    checks = [("record_id", record_id), ("target_uri", target_uri)]
+    if refers_to is not None:
+        checks.append(("refers_to", refers_to))
+    for name, v in checks:
         if "\r" in v or "\n" in v:
             raise ValueError(f"warc: {name} contains CR/LF: {v!r}")
+    if warc_type == "revisit":
+        if payload:
+            raise ValueError("warc: a revisit record carries no payload bytes")
+        if not refers_to or not payload_digest:
+            raise ValueError("warc: revisit requires refers_to and payload_digest")
+        header = (
+            MAGIC
+            + b"WARC-Type: revisit\r\n"
+            + b"WARC-Record-ID: " + record_id.encode() + b"\r\n"
+            + b"WARC-Target-URI: " + target_uri.encode() + b"\r\n"
+            + b"WARC-Refers-To: " + refers_to.encode() + b"\r\n"
+            + b"WARC-Profile: identical-payload-digest\r\n"
+            + b"WARC-Payload-Digest: md5:" + payload_digest.encode() + b"\r\n"
+            + b"Content-Length: 0\r\n"
+            + b"\r\n"
+        )
+        return header + TERMINATOR
+    if warc_type != "response":
+        raise ValueError(f"warc: unknown record type {warc_type!r}")
     header = (
         MAGIC
         + b"WARC-Type: response\r\n"
@@ -191,6 +239,13 @@ def parse_split(buf: bytes, base: int, split_end: int) -> list[dict]:
                 "content_length": len(payload),
                 "payload_md5": hashlib.md5(payload).hexdigest(),
                 "payload_has_magic": MAGIC in payload,
+                # revisit-dedup columns (WARC 1.1 §6.7.2); response
+                # records leave them empty. Readers that declare
+                # SCAN_SCHEMA drop these keys via their explicit
+                # column list — only extended=True surfaces them.
+                "warc_type": headers.get("WARC-Type", ""),
+                "refers_to": headers.get("WARC-Refers-To", ""),
+                "payload_digest": headers.get("WARC-Payload-Digest", ""),
             }
         )
         pos = end
@@ -314,11 +369,24 @@ def write_warc_shards(records: DataFrame, out_dir: str, n_shards: int) -> DataFr
         # names keep each os.replace atomic and last-writer-wins with
         # byte-identical content (the layout is deterministic)
         tmp = f"{path}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+        typed = "warc_type" in pdf.columns
         with open(tmp, "wb") as fh:
             for r in pdf.itertuples(index=False):
-                rec = encode_record(r.record_id, r.target_uri, bytes(r.payload))
+                payload = bytes(r.payload) if r.payload is not None else b""
+                if typed and r.warc_type == "revisit":
+                    rec = encode_record(
+                        r.record_id,
+                        r.target_uri,
+                        b"",
+                        warc_type="revisit",
+                        refers_to=r.refers_to,
+                        payload_digest=r.payload_digest,
+                    )
+                    payload = b""
+                else:
+                    rec = encode_record(r.record_id, r.target_uri, payload)
                 fh.write(rec)
-                chain.update(_hl.md5(bytes(r.payload)).hexdigest().encode())
+                chain.update(_hl.md5(payload).hexdigest().encode())
                 max_rec = max(max_rec, len(rec))
                 total += len(rec)
         os.replace(tmp, path)
@@ -338,20 +406,23 @@ def write_warc_shards(records: DataFrame, out_dir: str, n_shards: int) -> DataFr
     return keyed.groupBy("shard").applyInPandas(write_group, MANIFEST_SCHEMA)
 
 
-def read_warc_shards(spark: SparkSession, manifest: pd.DataFrame) -> DataFrame:
+def read_warc_shards(
+    spark: SparkSession, manifest: pd.DataFrame, extended: bool = False
+) -> DataFrame:
     """Read back a sharded archive: one task per shard file (a shard is
     task-sized by construction — splitting WITHIN a file is read_warc's
     job), carrying the shard id through. Fails closed: a shard whose
     re-read violates the manifest's record count or chained digest
-    raises in the task rather than returning partial rows."""
+    raises in the task rather than returning partial rows.
+    `extended=True` adds the revisit-dedup columns
+    (warc_type/refers_to/payload_digest)."""
     import hashlib as _hl
 
     files = spark.createDataFrame(
         manifest[["shard", "path", "n_records", "digest"]]
     ).repartition("shard")
-    schema = T.StructType(
-        [T.StructField("shard", T.LongType())] + list(SCAN_SCHEMA.fields)
-    )
+    base_fields = EXT_SCAN_SCHEMA.fields if extended else SCAN_SCHEMA.fields
+    schema = T.StructType([T.StructField("shard", T.LongType())] + list(base_fields))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in schema.fields]
