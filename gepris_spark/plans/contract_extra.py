@@ -985,6 +985,144 @@ CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
 }
 
 
+# ----------------------------------------------------- UCB bandit budget
+_UCB_BUDGET = 1000
+_UCB_REWARD_MIN_CHARS = 300
+
+
+def q_crawl_bandit_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 crawl-budget allocation over hosts (Auer et al. 2002; the
+    exploration/exploitation layer crawl schedulers put on top of
+    freshness models — hosts whose fetches keep yielding useful pages
+    get more of the next batch's budget, rarely-sampled hosts keep an
+    exploration bonus so they are never starved; complements
+    `crawl_recrawl_schedule`'s per-item freshness with a per-HOST
+    yield signal. Reference analogue: the fixed per-type cron budgets,
+    docker/scheduler_cronfile:6-33, which this replaces with
+    observed-yield allocation).
+
+    Arms = `source` hosts; the fetch history is the documents table;
+    a fetch rewards iff it yielded a page worth keeping
+    (n_chars >= 300). ucb = mean reward + sqrt(2 ln N / n); the next
+    batch of 1000 fetches is split proportionally to the UCB scores
+    (floor shares, remainder to the top-ranked arm, so the shares
+    provably sum to the budget).
+
+    Shape at 100 TB: ONE partial-agg groupBy(host) builds every arm
+    statistic; the grand total and the share denominator are 1-row
+    broadcasts; the rank window runs over the O(hosts) aggregate,
+    never the fetch log. Cross-engine exactness: ln snaps to integer
+    micro-nats immediately (the DSIR discipline); sqrt is
+    IEEE-correctly-rounded on identical operands, so the bonus is
+    bit-identical; shares are pure BIGINT floor division."""
+    arms = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum(
+                F.when(F.col("n_chars") >= _UCB_REWARD_MIN_CHARS, 1).otherwise(0)
+            ).alias("n_rewards"),
+        )
+    )
+    tot = arms.agg(F.sum("n_fetches").alias("n_total"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_fetches",
+        "n_rewards",
+        F.expr("CAST((n_rewards * 10000) DIV n_fetches AS BIGINT)").alias("mean_bp"),
+        (
+            F.round(
+                F.sqrt(
+                    (2.0 * F.round(F.log(F.col("n_total")) * 1000000.0, 0))
+                    / (F.col("n_fetches") * 1000000.0)
+                )
+                * 1000000.0,
+                0,
+            )
+        )
+        .cast("long")
+        .alias("bonus_micro"),
+    )
+    scored = scored.withColumn(
+        "ucb_micro",
+        F.expr("CAST((n_rewards * 1000000) DIV n_fetches AS BIGINT)") + F.col("bonus_micro"),
+    )
+    denom = scored.agg(F.sum("ucb_micro").alias("ucb_sum"))
+    ranked = (
+        scored.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "arm_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("ucb_micro").desc(), F.col("source"))
+            ),
+        )
+        .withColumn(
+            "share",
+            F.expr(f"CAST((ucb_micro * {_UCB_BUDGET}) DIV ucb_sum AS BIGINT)"),
+        )
+    )
+    leftover = ranked.agg((F.lit(_UCB_BUDGET) - F.sum("share")).alias("rem"))
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "n_fetches",
+            "n_rewards",
+            "mean_bp",
+            "bonus_micro",
+            "ucb_micro",
+            F.col("arm_rank").cast("long").alias("arm_rank"),
+            (
+                F.col("share")
+                + F.when(F.col("arm_rank") == 1, F.col("rem")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("budget_next"),
+        )
+        .orderBy("arm_rank")
+    )
+
+
+SQL_CRAWL_BANDIT_BUDGET = f"""
+WITH arms AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN n_chars >= {_UCB_REWARD_MIN_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rewards
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_fetches) AS BIGINT) AS n_total FROM arms),
+scored AS (
+  SELECT source, n_fetches, n_rewards,
+         (n_rewards * 10000) // n_fetches AS mean_bp,
+         CAST(round(sqrt((2.0 * round(ln(n_total) * 1000000.0, 0))
+                         / (n_fetches * 1000000.0)) * 1000000.0, 0) AS BIGINT)
+           AS bonus_micro,
+         (n_rewards * 1000000) // n_fetches
+           + CAST(round(sqrt((2.0 * round(ln(n_total) * 1000000.0, 0))
+                             / (n_fetches * 1000000.0)) * 1000000.0, 0) AS BIGINT)
+           AS ucb_micro
+  FROM arms, tot),
+denom AS (SELECT CAST(sum(ucb_micro) AS BIGINT) AS ucb_sum FROM scored),
+ranked AS (
+  SELECT s.*, row_number() OVER (ORDER BY ucb_micro DESC, source) AS arm_rank,
+         (ucb_micro * {_UCB_BUDGET}) // d.ucb_sum AS share
+  FROM scored s, denom d),
+leftover AS (SELECT {_UCB_BUDGET} - CAST(sum(share) AS BIGINT) AS rem FROM ranked)
+SELECT source, n_fetches, n_rewards, mean_bp, bonus_micro, ucb_micro,
+       CAST(arm_rank AS BIGINT) AS arm_rank,
+       CAST(share + CASE WHEN arm_rank = 1 THEN rem ELSE 0 END AS BIGINT)
+         AS budget_next
+FROM ranked, leftover ORDER BY arm_rank
+"""
+
+
+CONTRACT_EXTRA_QUERIES["crawl_bandit_budget"] = (
+    q_crawl_bandit_budget,
+    SQL_CRAWL_BANDIT_BUDGET,
+)
+
+
 # ----------------------------------------------------- WARC sink roundtrip
 _WARC_SINK_N_DOCS = 100
 _WARC_SINK_SHARDS = 5
