@@ -2584,6 +2584,26 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_sessionize_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful operators in ONE streaming query: the
+    at-least-once feed (planted duplicate deliveries) flows through
+    `dropDuplicatesWithinWatermark` INTO the native `session_window`
+    aggregation — the production ingest pipeline end-to-end, graded
+    against the SAME batch sessionize oracle. Duplicates must be
+    invisible in both per-session counts and value sums
+    (streaming/dedupstream.py:run_sessionize_dedup_stream)."""
+    from gepris_spark.streaming.dedupstream import run_sessionize_dedup_stream
+
+    events_pdf = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    return run_sessionize_dedup_stream(
+        spark, events_pdf, query_name="events_sessionize_dedup_sink"
+    )
+
+
 # ------------------------------------------------- multi-source BFS
 _BFS_ROUNDS = 3
 _BFS_SEEDS = 3
@@ -2717,6 +2737,10 @@ TRAINPREP_QUERIES = {
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_range_join_stream": (q_events_range_join_stream, SQL_EVENTS_RANGE_JOIN),
     "events_dedup_stream": (q_events_dedup_stream, SQL_EVENTS_DEDUP_STREAM),
+    "events_sessionize_dedup_stream": (
+        q_events_sessionize_dedup_stream,
+        SQL_EVENTS_SESSIONIZE,
+    ),
     "events_kmv_distinct": (q_events_kmv_distinct, SQL_EVENTS_KMV_DISTINCT),
     "events_cms_heavy_hitters": (
         q_events_cms_heavy_hitters,

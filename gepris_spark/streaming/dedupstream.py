@@ -46,11 +46,15 @@ _ARRIVAL_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string,
 
 
 def write_arrival_files_with_dups(
-    events_pdf, root: str, n_files: int = _N_ARRIVAL_FILES
+    events_pdf, root: str, n_files: int = _N_ARRIVAL_FILES, sentinel: bool = False
 ) -> str:
     """Time-ordered arrival files with every event_id % 7 == 0 row
     delivered twice: the duplicate lands in the NEXT file (the last
-    file's duplicates land in the last file itself)."""
+    file's duplicates land in the last file itself). `sentinel=True`
+    appends the watermark-flush sentinel (user_id = -1, 30 days past
+    the corpus max) to the final file — required when a WITHHELD-state
+    operator (session/window aggregation) is chained downstream, same
+    rationale as streaming/sessionstream.py."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -67,6 +71,19 @@ def write_arrival_files_with_dups(
     for i, dups in enumerate(dup_sets):
         target = min(i + 1, n_files - 1)
         chunks[target] = pd.concat([chunks[target], dups], ignore_index=True)
+    if sentinel:
+        sent = pd.DataFrame(
+            [
+                {
+                    "event_id": -1,
+                    "ts": pdf["ts"].max() + pd.Timedelta(days=30),
+                    "user_id": -1,
+                    "event_type": "view",
+                    "value": 0.0,
+                }
+            ]
+        )
+        chunks[-1] = pd.concat([chunks[-1], sent], ignore_index=True)
     for i, chunk in enumerate(chunks):
         chunk = chunk.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
         chunk["ts"] = pd.to_datetime(chunk["ts"]).astype("datetime64[us]")
@@ -124,4 +141,68 @@ def run_dedup_stream(
             F.max("event_id").alias("max_event_id"),
         )
         .orderBy("event_type")
+    )
+
+
+def run_sessionize_dedup_stream(
+    spark: SparkSession,
+    events_pdf,
+    root: str | None = None,
+    query_name: str = "dedup_sessionize_sink",
+    n_files: int = _N_ARRIVAL_FILES,
+) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query — the
+    production ingest shape end-to-end: at-least-once feed → keyed
+    dedup state (`dropDuplicatesWithinWatermark`) → native
+    `session_window` aggregation state → append sink. Spark 3.5+
+    supports this chaining (shared event-time watermark drives both
+    state stores); the batch post-pass assigns session_seq exactly
+    like streaming/sessionstream.py, and the result is graded against
+    the SAME DuckDB oracle as the batch `events_sessionize` — the
+    planted duplicate deliveries must be invisible in per-session
+    counts AND value sums. The session aggregation withholds state
+    until the watermark passes, so the arrival writer appends the
+    flush sentinel (sessionstream's rationale)."""
+    from pyspark.sql import Window
+
+    root = root or tempfile.mkdtemp(prefix="gepris_dedupsess_")
+    src = write_arrival_files_with_dups(events_pdf, root, n_files=n_files, sentinel=True)
+    stream = (
+        spark.readStream.schema(_ARRIVAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", _WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .drop("sw")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return (
+        spark.table(query_name)
+        .where(F.col("user_id") >= 0)
+        .withColumn("session_seq", F.row_number().over(w).cast("long"))
+        .select(
+            "user_id", "session_seq", "session_start", "session_end", "n_events", "total_value"
+        )
+        .orderBy("user_id", "session_seq")
     )

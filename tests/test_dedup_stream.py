@@ -71,3 +71,25 @@ def test_cut_invariance_and_rerun(spark):
     c = run_dedup_stream(spark, pdf, query_name="dds_c5", n_files=5).toPandas()
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_chained_dedup_sessionize_equals_batch_any_cut(spark):
+    """Two stateful operators in one query (dedup -> session_window)
+    must reproduce the batch sessionizer for any arrival cut."""
+    from gepris_spark.plans.trainprep import q_events_sessionize
+    from gepris_spark.streaming.dedupstream import run_sessionize_dedup_stream
+
+    def canon(pdf):
+        for c in ("session_start", "session_end"):
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None).astype("datetime64[ns]")
+        return pdf.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+
+    batch = canon(q_events_sessionize(spark, SF).toPandas())
+    pdf = _events_pdf(spark)
+    for n_files in (2, 4):
+        got = canon(
+            run_sessionize_dedup_stream(
+                spark, pdf, query_name=f"dsess_cut{n_files}", n_files=n_files
+            ).toPandas()
+        )
+        pd.testing.assert_frame_equal(got, batch)
