@@ -116,6 +116,15 @@ def test_no_cartesian_products_anywhere(spark):
         # onto the score vector to renormalize — same 1-row broadcast
         # NLJ, once per (fixed, small) iteration count
         "graph_hits",
+        # UCB cross-joins three ONE-row broadcasts (grand total, share
+        # denominator, floor-share remainder) onto the O(hosts) arm
+        # aggregate — same 1-row broadcast NLJ shape
+        "crawl_bandit_budget",
+        # the theta pair frame joins the O(event-types) theta relation
+        # to itself under type_a < type_b — a bounded-side broadcast
+        # NLJ like ann_topk's query side; the sampled-hash
+        # intersection itself is an equi-join on h
+        "events_theta_intersect",
     }
     offenders = []
     for name, fn in entry.queries().items():
