@@ -985,6 +985,88 @@ CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
 }
 
 
+# ----------------------------------------------------- MERGE with DELETE
+def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-clause Iceberg MERGE through the engine's own
+    `store.table.merge_upsert` — including the clause the other MERGE
+    queries never exercise, WHEN MATCHED ... THEN DELETE:
+
+        WHEN MATCHED AND s.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET n_chars = s.new_chars
+        WHEN NOT MATCHED AND s.op <> 'delete' THEN INSERT
+
+    Target = documents with doc_id < 400; source batch = doc_id in
+    [200, 600) with every 7th id a delete tombstone. The overlap
+    exercises all five routes: untouched target rows, updates,
+    hard deletes, inserts, and tombstones for never-stored rows
+    (which must NOT insert). Hard delete is the GDPR/expiry path;
+    the crawler's 'vanished' marking stays a soft-delete UPDATE (Q7,
+    operators/frontier.py:130) — both now exist, as in Iceberg.
+
+    Shape at 100 TB: the one full-outer equi-join on the key that
+    every MERGE here costs; the delete/insert conditions are row-local
+    predicates folded into the same projection, and the bucket-pruned
+    variant (`SnapshotStore.merge_bucketed`) takes the same clauses
+    (tests/test_store_snapshots.py::test_bucketed_merge_with_delete)."""
+    from gepris_spark.store.table import merge_upsert
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") < 400).select("doc_id", "n_chars", "lang")
+    source = (
+        docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 600))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            (F.col("n_chars") + 1000).alias("new_chars"),
+            "lang",
+        )
+    )
+    merged = merge_upsert(
+        target,
+        source,
+        keys=["doc_id"],
+        matched_update=lambda t, s: {"n_chars": F.col("s.new_chars")},
+        not_matched_insert=lambda s: {
+            "doc_id": F.col("s.doc_id"),
+            "n_chars": F.col("s.new_chars"),
+            "lang": F.col("s.lang"),
+        },
+        matched_delete=lambda t, s: F.col("s.op") == "delete",
+        not_matched_condition=lambda s: F.col("s.op") != "delete",
+    )
+    return merged.orderBy("doc_id")
+
+
+SQL_MERGE_UPSERT_DELETE = """
+WITH t AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id < 400),
+s AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+             n_chars + 1000 AS new_chars, lang
+      FROM documents WHERE doc_id >= 200 AND doc_id < 600),
+kept AS (
+  SELECT t.doc_id,
+         CASE WHEN s.doc_id IS NOT NULL THEN s.new_chars ELSE t.n_chars END AS n_chars,
+         t.lang
+  FROM t LEFT JOIN s USING (doc_id)
+  WHERE s.doc_id IS NULL OR s.op <> 'delete'),
+ins AS (
+  SELECT s.doc_id, s.new_chars AS n_chars, s.lang
+  FROM s LEFT JOIN t USING (doc_id)
+  WHERE t.doc_id IS NULL AND s.op <> 'delete')
+SELECT doc_id, n_chars, lang
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+ORDER BY doc_id
+"""
+
+
+CONTRACT_EXTRA_QUERIES["merge_upsert_delete"] = (
+    q_merge_upsert_delete,
+    SQL_MERGE_UPSERT_DELETE,
+)
+
+
 # ----------------------------------------------------- UCB bandit budget
 _UCB_BUDGET = 1000
 _UCB_REWARD_MIN_CHARS = 300

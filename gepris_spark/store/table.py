@@ -124,11 +124,21 @@ def merge_upsert(
     matched_update: Callable[[DataFrame, DataFrame], dict[str, Column]],
     not_matched_insert: Callable[[DataFrame], dict[str, Column]] | None = None,
     matched_condition: Callable[[DataFrame, DataFrame], Column] | None = None,
+    matched_delete: Callable[[DataFrame, DataFrame], Column] | None = None,
+    not_matched_condition: Callable[[DataFrame], Column] | None = None,
 ) -> DataFrame:
     """Iceberg `MERGE INTO target USING source ON keys` as DataFrame ops.
 
+    WHEN MATCHED [AND matched_delete] THEN DELETE
     WHEN MATCHED [AND matched_condition] THEN UPDATE SET matched_update
-    WHEN NOT MATCHED THEN INSERT not_matched_insert (or source columns).
+    WHEN NOT MATCHED [AND not_matched_condition] THEN INSERT
+      not_matched_insert (or source columns).
+
+    Clause order matches Iceberg's first-match-wins: a matched row
+    satisfying `matched_delete` is removed outright (hard delete — the
+    soft-delete pattern stays an UPDATE, e.g. Q7 vanished marking);
+    an unmatched source row failing `not_matched_condition` is simply
+    not inserted (e.g. a delete tombstone for a row never stored).
 
     Returns the merged table with target's schema. The join is a
     full-outer equi-join on `keys`; Catalyst broadcasts the source when
@@ -165,7 +175,18 @@ def merge_upsert(
         icol = inserts.get(name, F.lit(None))
         col = F.when(is_insert, icol.cast(field.dataType)).otherwise(col)
         out_cols.append(col.cast(field.dataType).alias(name))
-    return joined.select(*out_cols)
+    keep = F.lit(True)
+    if matched_delete is not None:
+        drop_matched = has_source & ~is_insert & F.coalesce(matched_delete(t, s), F.lit(False))
+        keep = keep & ~drop_matched
+    if not_matched_insert is not None or not_matched_condition is not None:
+        if not_matched_condition is not None:
+            keep = keep & F.when(
+                is_insert, F.coalesce(not_matched_condition(s), F.lit(False))
+            ).otherwise(F.lit(True))
+    if matched_delete is None and not_matched_condition is None:
+        return joined.select(*out_cols)
+    return joined.select(*out_cols, keep.alias("__keep")).where(F.col("__keep")).drop("__keep")
 
 
 class SnapshotStore:
@@ -634,6 +655,8 @@ class SnapshotStore:
         matched_update,
         not_matched_insert=None,
         matched_condition=None,
+        matched_delete=None,
+        not_matched_condition=None,
         key_col: str | None = None,
         n_buckets: int = 64,
     ) -> int:
@@ -666,7 +689,7 @@ class SnapshotStore:
             target = spark.createDataFrame([], schema)
         merged = merge_upsert(
             target, src.drop(self.BUCKET_COL), keys, matched_update, not_matched_insert,
-            matched_condition,
+            matched_condition, matched_delete, not_matched_condition,
         )
         new_version = (version or 0) + 1
         new_path = os.path.join(self._table_dir(name), f"v{new_version}")

@@ -432,3 +432,56 @@ def test_cli_compact_appends(spark, store_dir, capsys):
     assert out["folded"] == [1, 2]
     got = store.read_appends(spark, "history", schemas.HISTORY)
     assert sorted(r["batch_id"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_bucketed_merge_with_delete(spark, store_dir):
+    """The DELETE and conditional-INSERT clauses work through the
+    bucket-pruned merge path: deletes remove stored rows, tombstones
+    for never-stored keys insert nothing, and untouched buckets carry
+    forward."""
+    store = SnapshotStore(store_dir)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.StringType())]
+    )
+    store.commit_bucketed(
+        spark.createDataFrame([(i, f"v{i}") for i in range(8)], schema),
+        "d",
+        "id",
+        n_buckets=4,
+    )
+    src_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "delete", ""),       # stored -> hard delete
+            (3, "upsert", "V3"),     # stored -> update
+            (8, "upsert", "V8"),     # new -> insert
+            (9, "delete", ""),       # tombstone for never-stored key -> no-op
+        ],
+        src_schema,
+    )
+    store.merge_bucketed(
+        spark,
+        "d",
+        schema,
+        source,
+        keys=["id"],
+        matched_update=lambda t, s: {"val": s["val"]},
+        not_matched_insert=lambda s: {"id": s["id"], "val": s["val"]},
+        matched_delete=lambda t, s: s["op"] == "delete",
+        not_matched_condition=lambda s: s["op"] != "delete",
+        n_buckets=4,
+    )
+    got = {
+        r["id"]: r["val"]
+        for r in store.read_bucketed(spark, "d", schema).collect()
+    }
+    assert 2 not in got and 9 not in got
+    assert got[3] == "V3" and got[8] == "V8"
+    assert got[0] == "v0" and got[7] == "v7"
+    assert len(got) == 8  # 8 original - 1 delete + 1 insert
