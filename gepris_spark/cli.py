@@ -128,6 +128,62 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any contract query by name — the ad-hoc surface a reference
+    user gets (`python -m gepris_spark.cli query dedup_minhash_lsh`).
+    Resolves the same registry the driver grades (__spark_entry__),
+    falling back to the packaged plan modules under --py-files
+    deployments where the repo-root entry file is absent."""
+    try:
+        import __spark_entry__ as entrymod
+
+        registry = entrymod.queries()
+    except ImportError:
+        from gepris_spark.plans.batchprep import BATCHPREP_QUERIES
+        from gepris_spark.plans.contract_extra import CONTRACT_EXTRA_QUERIES
+        from gepris_spark.plans.contract_truth import TRUTH_QUERIES
+        from gepris_spark.plans.datapipe import DATAPIPE_QUERIES
+        from gepris_spark.plans.imagepipe import IMAGEPIPE_QUERIES
+        from gepris_spark.plans.multimodal_contract import MULTIMODAL_QUERIES
+        from gepris_spark.plans.relational import RELATIONAL_QUERIES
+        from gepris_spark.plans.storagepipe import STORAGEPIPE_QUERIES
+        from gepris_spark.plans.trainprep import TRAINPREP_QUERIES
+        from gepris_spark.plans.websignals import WEBSIGNALS_QUERIES
+
+        registry = {
+            name: fn
+            for group in (
+                RELATIONAL_QUERIES, DATAPIPE_QUERIES, IMAGEPIPE_QUERIES,
+                CONTRACT_EXTRA_QUERIES, TRUTH_QUERIES, TRAINPREP_QUERIES,
+                BATCHPREP_QUERIES, WEBSIGNALS_QUERIES, STORAGEPIPE_QUERIES,
+            )
+            for name, (fn, _sql) in group.items()
+        }
+        registry.update(MULTIMODAL_QUERIES)
+    if args.list or args.name is None:
+        for name in sorted(registry):
+            print(name)
+        return 0
+    if args.name not in registry:
+        import difflib
+
+        near = difflib.get_close_matches(args.name, registry, n=3)
+        print(f"unknown query {args.name!r}" + (f"; did you mean: {', '.join(near)}" if near else ""))
+        return 2
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession()
+    spark = _spark(args)
+    df = registry[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    if args.limit > 0:
+        df.show(args.limit, truncate=False)
+    print(json.dumps({"query": args.name, "rows": df.count(), "sf_dir": args.sf_dir}))
+    _stop_unless_owned(spark, pre_existing)
+    return 0
+
+
 def cmd_export(args) -> int:
     """K6 — JSON feed export (the reference's `scrapy crawl … -O
     test.json`, README.md:58-65): dump an engine state table as JSON."""
@@ -405,6 +461,16 @@ def main(argv=None) -> int:
     prep.add_argument("--n-shards", type=int, default=8,
                       help="shard count (warc shards only)")
     prep.set_defaults(fn=cmd_prep)
+
+    qy = sub.add_parser(
+        "query", help="run a contract query by name over a testdata sf dir"
+    )
+    qy.add_argument("name", nargs="?", default=None, help="query name (omit with --list)")
+    qy.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qy.add_argument("--limit", type=int, default=20, help="rows to show (0 = count only)")
+    qy.add_argument("--explain", action="store_true", help="print the formatted physical plan")
+    qy.add_argument("--list", action="store_true", help="list available query names")
+    qy.set_defaults(fn=cmd_query)
 
     pipe = sub.add_parser(
         "pipeline", help="seeds -> crawl -> parse -> catalog -> verified shards"
