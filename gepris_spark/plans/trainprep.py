@@ -2856,8 +2856,123 @@ FROM {prev} ORDER BY node
 SQL_GRAPH_SHORTEST_PATH = _sql_shortest_path()
 
 
+# --------------------------------------------- label propagation (LPA)
+_LPA_ROUNDS = 3
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the part co-purchase graph — the cheap community signal a
+    web pipeline uses for mirror-farm / spam-cluster grouping where
+    connected components are too coarse (CC merges everything
+    touching; LPA keeps densely-linked groups). Same edge derivation
+    as graph_triangles (same-order adjacent line items).
+
+    Synchronous LPA with a DETERMINISTIC tie-break (most frequent
+    neighbor label; ties → smallest label), R=3 rounds unrolled so the
+    DuckDB oracle is the same rounds as CTEs — the usual fixed-round
+    discipline (pagerank/kcore/HITS); randomized async order, LPA's
+    classic non-determinism, is exactly what a distributed reproducible
+    pipeline cannot ship.
+
+    Shape at 100 TB: per round ONE equi-join (labels onto the edge
+    list by neighbor — both sides hash-partitioned on the node key)
+    and TWO aggregations that share the node partitioning ((node,
+    label) count, then the per-node argmax window over the counted
+    relation, bounded by distinct neighbor labels, never raw edges).
+    Community sizes broadcast back onto the O(nodes) result."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = cacheutil.track(
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    labels = edges.select("node").distinct().select(
+        "node", F.col("node").cast("long").alias("label")
+    )
+    wpick = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            edges.join(labels.select(F.col("node").alias("nbr"), "label"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select("node", F.col("label").alias("community"), "community_size")
+        .orderBy("node")
+    )
+
+
+def _sql_label_propagation() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.node, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges e JOIN {prev} l ON l.node = e.nbr
+  GROUP BY e.node, l.label),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM c{i}) WHERE rn = 1)"""
+        )
+        prev = f"l{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+und AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey),
+edges AS (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM und),
+l0 AS (SELECT DISTINCT node, CAST(node AS BIGINT) AS label FROM edges),
+{body},
+sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+          FROM {prev} GROUP BY label)
+SELECT l.node, l.label AS community, s.community_size
+FROM {prev} l JOIN sizes s USING (label)
+ORDER BY l.node
+"""
+
+
+SQL_GRAPH_LABEL_PROPAGATION = _sql_label_propagation()
+
+
 TRAINPREP_QUERIES = {
     "graph_shortest_path": (q_graph_shortest_path, SQL_GRAPH_SHORTEST_PATH),
+    "graph_label_propagation": (
+        q_graph_label_propagation,
+        SQL_GRAPH_LABEL_PROPAGATION,
+    ),
     "events_daily_fill": (q_events_daily_fill, SQL_EVENTS_DAILY_FILL),
     "events_hopping_window": (q_events_hopping_window, SQL_EVENTS_HOPPING_WINDOW),
     "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
