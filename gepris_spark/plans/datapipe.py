@@ -2102,7 +2102,151 @@ ORDER BY s.priority DESC, s.doc_id
 """
 
 
+# -------------------------------------------------- containment dedup
+_CONT_BASE = 300  # base corpus: doc_id < 300
+_CONT_MOD = 10  # every 10th base doc gets a planted container
+_CONT_ID_OFF = 100_000  # container doc ids = base id + this
+_CONT_DF_CAP = 20  # posting-list df cap (discriminative shingles only)
+_CONT_HI_BP = 5000  # containment flag threshold
+_CONT_JAC_LO_BP = 3000  # "jaccard would have missed it" threshold
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT dedup — C(A,B) = |S_A ∩ S_B| / |S_A| over
+    3-gram shingle sets: the asymmetric near-SUPERSET signal
+    (quote inclusion, page-within-digest, boilerplate wrappers) that
+    symmetric Jaccard provably misses — a short doc fully quoted
+    inside a long one has containment ≈ 1 but Jaccard ≈ |A|/|B|.
+    Resemblance vs containment is Broder 1997's original pairing; the
+    minhash family here (q_dedup_minhash) estimates only resemblance.
+
+    The corpus's near-dups are symmetric, so the asymmetric case is
+    PLANTED deterministically (the warc_revisit discipline): every
+    10th base doc gets a container doc holding its full text plus a
+    second doc's text — the oracle mirrors the derivation, and the
+    output flags exactly those pairs as `asym` (high containment, low
+    Jaccard) while the organic symmetric near-dups flag `asym=false`;
+    both classes are live at every sf.
+
+    Shape at 100 TB: candidates come from df-capped posting-list
+    intersection — one shuffle on the shingle hash; the df cap (≤20)
+    bounds per-shingle fanout to df² pair increments, dropping only
+    boilerplate shingles that discriminate nothing (the standard
+    posting cap; text_exact_substring's keeper join is the same
+    shape). Set sizes and the intersection share the shingle
+    partitioning; ratios are integer basis points (floor division on
+    both engines). At web scale the candidate step swaps for
+    asymmetric LSH (Shrivastava-Li) over the same verify kernel."""
+    base = (
+        load(spark, sf_dir, "documents", spread=True)
+        .where(F.col("doc_id") < _CONT_BASE)
+        .select("doc_id", "text")
+    )
+    quoted = base.where(F.col("doc_id") % _CONT_MOD == 0).alias("q")
+    o1 = base.select(F.col("doc_id").alias("o1_id"), F.col("text").alias("o1_text"))
+    o2 = base.select(F.col("doc_id").alias("o2_id"), F.col("text").alias("o2_text"))
+    # container = quoted doc + TWO other docs, so the planted pair's
+    # Jaccard lands near 1/3 (well under the miss threshold) while its
+    # containment stays ~1 — the asymmetry the operator exists for
+    containers = (
+        quoted.join(o1, F.col("q.doc_id") + 7 == F.col("o1_id"))
+        .join(o2, F.col("q.doc_id") + 13 == F.col("o2_id"))
+        .select(
+            (F.col("q.doc_id") + _CONT_ID_OFF).alias("doc_id"),
+            F.concat(
+                F.col("q.text"), F.lit(" "), F.col("o1_text"), F.lit(" "), F.col("o2_text")
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionAll(containers)
+    sh = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    TS.word_shingles(F.col("text"), 3),
+                    lambda s: TS.hash60(s),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = cacheutil.track(
+        sh.join(df_tab, "s").where(F.col("df") <= _CONT_DF_CAP).select("doc_id", "s").persist()
+    )
+    sz = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        rare.alias("a")
+        .join(rare.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .select(
+            "da",
+            "db",
+            "n_inter",
+            "na",
+            "nb",
+            F.expr("CAST((n_inter * 10000) DIV na AS BIGINT)").alias("cont_bp"),
+            F.expr("CAST((n_inter * 10000) DIV (na + nb - n_inter) AS BIGINT)").alias(
+                "jac_bp"
+            ),
+        )
+        .where(F.col("cont_bp") >= _CONT_HI_BP)
+    )
+    return scored.withColumn(
+        "asym", F.col("jac_bp") < _CONT_JAC_LO_BP
+    ).orderBy("da", "db")
+
+
+def _sql_containment() -> str:
+    h = "('0x' || substr(md5(g), 1, 15))::BIGINT"
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_CONT_BASE}),
+containers AS (
+  SELECT q.doc_id + {_CONT_ID_OFF} AS doc_id,
+         q.text || ' ' || o1.text || ' ' || o2.text AS text
+  FROM base q
+  JOIN base o1 ON q.doc_id + 7 = o1.doc_id
+  JOIN base o2 ON q.doc_id + 13 = o2.doc_id
+  WHERE q.doc_id % {_CONT_MOD} = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM containers),
+t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM corpus),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(
+                list_transform(generate_series(1, len(toks) - 2),
+                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+                g -> {h})) AS s
+       FROM t WHERE len(toks) >= 3),
+dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s) WHERE dfs.df <= {_CONT_DF_CAP}),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_inter
+          FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+scored AS (
+  SELECT i.da, i.db, i.n_inter, sa.n AS na, sb.n AS nb,
+         (i.n_inter * 10000) // sa.n AS cont_bp,
+         (i.n_inter * 10000) // (sa.n + sb.n - i.n_inter) AS jac_bp
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.da
+  JOIN sz sb ON sb.doc_id = i.db)
+SELECT da, db, n_inter, na, nb, cont_bp, jac_bp,
+       jac_bp < {_CONT_JAC_LO_BP} AS asym
+FROM scored WHERE cont_bp >= {_CONT_HI_BP}
+ORDER BY da, db
+"""
+
+
+SQL_DEDUP_CONTAINMENT = _sql_containment()
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
