@@ -432,7 +432,129 @@ ORDER BY image_id, epoch
 """
 
 
+# ---------------------------------------------- cross-modal dedup classes
+def q_image_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate classification over the image+caption
+    catalog — the LAION-style curation decision that needs BOTH
+    modalities: a pair can be a true duplicate (same image AND same
+    caption → drop one), a recaption (same image, different caption →
+    keep; caption diversity is training signal), or a stock caption
+    (same caption on different images → flag; the classic scraped-
+    alt-text failure). Neither single-modality dedup
+    (q_image_phash_neardup / text dedup) can make this call.
+
+    Image side = the same 4x16-band pigeonhole candidates + hamming<=3
+    verify as q_image_phash_neardup (complete for d<=3, linear
+    shuffle); caption side = normalized-token equality (the exact-dup
+    grouping; near-dup captions would swap in the minhash kernel).
+    The two pair sets FULL-OUTER join on the pair key — both sides are
+    O(duplicate incidences), never all-pairs — and the verdict is a
+    row-local CASE. The bytes column is provably never read (metadata
+    plan; the plan-audit ReadSchema discipline of this module)."""
+    cat = load_catalog(spark).select(
+        "image_id",
+        "phash",
+        F.array_join(
+            F.regexp_extract_all(F.lower(F.col("caption")), F.lit("[a-z0-9]+"), 0), " "
+        ).alias("ncap"),
+    )
+    bands = cat.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", 16 * b).bitwiseAND(F.lit(65535)).alias("key"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("image_id", "phash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    img_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .where(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            <= _PHASH_HAMMING_MAX
+        )
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    ca, cb = cat.alias("ca"), cat.alias("cb")
+    cap_pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.ncap") == F.col("cb.ncap"))
+            & (F.col("ca.image_id") < F.col("cb.image_id")),
+        )
+        .select(
+            F.col("ca.image_id").alias("image_a"),
+            F.col("cb.image_id").alias("image_b"),
+            F.lit(True).alias("caption_match"),
+        )
+    )
+    joined = img_pairs.join(cap_pairs, ["image_a", "image_b"], "full_outer")
+    verdict = (
+        F.when(F.col("hamming").isNotNull() & F.col("caption_match"), F.lit("duplicate"))
+        .when(F.col("hamming").isNotNull(), F.lit("recaption"))
+        .otherwise(F.lit("stock_caption"))
+    )
+    return joined.select(
+        "image_a",
+        "image_b",
+        F.coalesce(F.col("hamming"), F.lit(-1)).cast("int").alias("hamming"),
+        F.coalesce(F.col("caption_match"), F.lit(False)).alias("caption_match"),
+        F.col("hamming").isNotNull().alias("image_match"),
+        verdict.alias("verdict"),
+    ).orderBy("image_a", "image_b")
+
+
+SQL_IMAGE_CROSSMODAL_DEDUP = f"""
+WITH cat AS (
+  SELECT image_id, phash,
+         array_to_string(regexp_extract_all(lower(caption), '[a-z0-9]+'), ' ') AS ncap
+  FROM ({_SQL_CATALOG})),
+bands AS (
+  SELECT image_id, phash, b.b AS band,
+         (phash >> (16 * b.b)) & 65535 AS key
+  FROM cat, UNNEST(range(0, {_PHASH_BANDS})) AS b(b)),
+img AS (
+  SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_HAMMING_MAX}),
+cap AS (
+  SELECT a.image_id AS image_a, b.image_id AS image_b, true AS caption_match
+  FROM cat a JOIN cat b ON a.ncap = b.ncap AND a.image_id < b.image_id)
+SELECT coalesce(i.image_a, c.image_a) AS image_a,
+       coalesce(i.image_b, c.image_b) AS image_b,
+       CAST(coalesce(i.hamming, -1) AS INT) AS hamming,
+       coalesce(c.caption_match, false) AS caption_match,
+       i.hamming IS NOT NULL AS image_match,
+       CASE WHEN i.hamming IS NOT NULL AND c.caption_match THEN 'duplicate'
+            WHEN i.hamming IS NOT NULL THEN 'recaption'
+            ELSE 'stock_caption' END AS verdict
+FROM img i FULL OUTER JOIN cap c
+  ON i.image_a = c.image_a AND i.image_b = c.image_b
+ORDER BY image_a, image_b
+"""
+
+
 IMAGEPIPE_QUERIES: dict[str, tuple] = {
+    "image_crossmodal_dedup": (q_image_crossmodal_dedup, SQL_IMAGE_CROSSMODAL_DEDUP),
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
     "image_hamming_topk": (q_image_hamming_topk, SQL_IMAGE_HAMMING_TOPK),
     "image_caption_curation": (q_image_caption_curation, SQL_IMAGE_CAPTION_CURATION),
