@@ -985,6 +985,137 @@ CONTRACT_EXTRA_QUERIES: dict[str, tuple] = {
 }
 
 
+# ----------------------------------------------------- redirect chains
+_RDR_ROUNDS = 4
+_RDR_CHAIN_MOD = 11  # ids < 400, i % 11 == 0: i -> i+1 -> i+2 (terminal)
+_RDR_LOOP_MOD = 13  # ids in [400, 500), i % 13 == 0: i <-> i+1 (loop)
+
+
+def q_crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution with loop detection — the fetch-side
+    canonicalization every crawler runs before URL-seen/frontier
+    admission (Mercator/Heritrix follow a bounded number of 3xx hops,
+    collapse the chain to its terminal URL, and kill redirect loops;
+    Scrapy's RedirectMiddleware with REDIRECT_MAX_TIMES is the
+    reference-stack analogue). The frontier must enqueue the TERMINAL
+    url, else every chain member is crawled as a distinct page —
+    the alias-family problem `dedup_url_dust` mines after the fact,
+    prevented here before the fetch.
+
+    The redirect relation is planted deterministically from the
+    documents ids (chains i→i+1→i+2 below id 400, 2-cycles i↔i+1 in
+    [400, 500)), mirrored exactly in the oracle. Resolution is R=4
+    rounds of bounded relaxation: each round ONE equi-join of the
+    current-position column against the edge table (both sides
+    hash-partitioned on the url key — the BFS/pagerank iteration
+    discipline), a loop flags when the walk returns to its start, and
+    a final left join classifies `resolved` (no outgoing edge) vs
+    `loop` vs `truncated` (chain longer than the hop budget — none
+    planted, the branch exists for the budget semantics). Output is
+    the chain/loop members only (hops > 0)."""
+    ids = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select(F.col("doc_id").cast("long").alias("i"))
+    )
+    chain_starts = ids.where((F.col("i") < 400) & (F.col("i") % _RDR_CHAIN_MOD == 0))
+    loops = ids.where((F.col("i") >= 400) & (F.col("i") % _RDR_LOOP_MOD == 0))
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    edges = (
+        chain_starts.select(u(F.col("i")).alias("src"), u(F.col("i") + 1).alias("dst"))
+        .unionAll(
+            chain_starts.select(
+                u(F.col("i") + 1).alias("src"), u(F.col("i") + 2).alias("dst")
+            )
+        )
+        .unionAll(loops.select(u(F.col("i")).alias("src"), u(F.col("i") + 1).alias("dst")))
+        .unionAll(loops.select(u(F.col("i") + 1).alias("src"), u(F.col("i")).alias("dst")))
+    )
+    state = ids.select(
+        u(F.col("i")).alias("url"),
+        u(F.col("i")).alias("cur"),
+        F.lit(0).cast("long").alias("hops"),
+        F.lit(False).alias("looped"),
+    )
+    for _ in range(_RDR_ROUNDS):
+        e = edges.select(F.col("src").alias("cur"), "dst")
+        state = (
+            state.join(e, "cur", "left")
+            .select(
+                "url",
+                F.coalesce(F.col("dst"), F.col("cur")).alias("cur"),
+                (F.col("hops") + F.when(F.col("dst").isNotNull(), 1).otherwise(0)).alias(
+                    "hops"
+                ),
+                (
+                    F.col("looped")
+                    | (F.col("dst").isNotNull() & (F.col("dst") == F.col("url")))
+                ).alias("looped"),
+            )
+        )
+    term = edges.select(F.col("src").alias("cur"), F.lit(True).alias("has_out")).distinct()
+    status = (
+        F.when(F.col("looped"), F.lit("loop"))
+        .when(F.col("has_out").isNotNull(), F.lit("truncated"))
+        .otherwise(F.lit("resolved"))
+    )
+    return (
+        state.where(F.col("hops") > 0)
+        .join(term, "cur", "left")
+        .select("url", F.col("cur").alias("final_url"), "hops", status.alias("status"))
+        .orderBy("url")
+    )
+
+
+def _sql_redirect_resolve() -> str:
+    rounds = []
+    prev = "s0"
+    for i in range(1, _RDR_ROUNDS + 1):
+        rounds.append(
+            f"""s{i} AS (
+  SELECT s.url, coalesce(e.dst, s.cur) AS cur,
+         s.hops + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS hops,
+         s.looped OR (e.dst IS NOT NULL AND e.dst = s.url) AS looped
+  FROM {prev} s LEFT JOIN edges e ON e.src = s.cur)"""
+        )
+        prev = f"s{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 500),
+cs AS (SELECT i FROM ids WHERE i < 400 AND i % {_RDR_CHAIN_MOD} = 0),
+lp AS (SELECT i FROM ids WHERE i >= 400 AND i % {_RDR_LOOP_MOD} = 0),
+edges AS (
+  SELECT 'u' || CAST(i AS VARCHAR) AS src, 'u' || CAST(i + 1 AS VARCHAR) AS dst FROM cs
+  UNION ALL
+  SELECT 'u' || CAST(i + 1 AS VARCHAR), 'u' || CAST(i + 2 AS VARCHAR) FROM cs
+  UNION ALL
+  SELECT 'u' || CAST(i AS VARCHAR), 'u' || CAST(i + 1 AS VARCHAR) FROM lp
+  UNION ALL
+  SELECT 'u' || CAST(i + 1 AS VARCHAR), 'u' || CAST(i AS VARCHAR) FROM lp),
+s0 AS (SELECT 'u' || CAST(i AS VARCHAR) AS url, 'u' || CAST(i AS VARCHAR) AS cur,
+              CAST(0 AS BIGINT) AS hops, false AS looped
+       FROM ids),
+{body},
+term AS (SELECT DISTINCT src AS cur, true AS has_out FROM edges)
+SELECT s.url, s.cur AS final_url, s.hops,
+       CASE WHEN s.looped THEN 'loop'
+            WHEN t.has_out IS NOT NULL THEN 'truncated'
+            ELSE 'resolved' END AS status
+FROM {prev} s LEFT JOIN term t ON t.cur = s.cur
+WHERE s.hops > 0
+ORDER BY s.url
+"""
+
+
+SQL_CRAWL_REDIRECT_RESOLVE = _sql_redirect_resolve()
+
+
+CONTRACT_EXTRA_QUERIES["crawl_redirect_resolve"] = (
+    q_crawl_redirect_resolve,
+    SQL_CRAWL_REDIRECT_RESOLVE,
+)
+
+
 # ----------------------------------------------------- MERGE with DELETE
 def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multi-clause Iceberg MERGE through the engine's own
