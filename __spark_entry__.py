@@ -33,6 +33,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Rotation of the driver's 50-query correctness window.
+#
+# The driver grades the FIRST 50 entries of queries() each round. Rounds
+# 1-3 graded RELATIONAL + DATAPIPE + IMAGEPIPE + the head of
+# CONTRACT_EXTRA (all green in CORRECTNESS_r03.json). Round 4 leads with
+# 50 queries that have never earned a driver row: all of TRUTH,
+# WEBSIGNALS, BATCHPREP, STORAGEPIPE, the 10 unchecked CONTRACT_EXTRA,
+# and the 10 TRAINPREP queries changed this round (streaming feed
+# distribution + iterative-graph broadcast fallback) so the driver
+# verifies this round's diffs directly.
+#
+# ROUND-5 ROTATION NOTE: lead with the remaining 28 never-checked
+# TRAINPREP queries (graph_pagerank/triangles, events_sessionize,
+# asof_enrich, range_join, sketches, bpe_*, text_*, corpus_*,
+# embedding_hard_negatives, domain_cap) + 22 re-checks of the oldest
+# round-3 rows.
+_R04_FIRST = (
+    # TRUTH (19)
+    "search_results_parse", "entity_etl_projekte", "entity_etl_personen",
+    "entity_etl_institutionen", "person_details_fallback",
+    "crawl_replay_visit_log", "stateful_schedule_stream",
+    "crawl_aimd_schedule", "image_dedup_stream", "image_decode_verify",
+    "multimodal_decode_verify", "multimodal_rgb_features",
+    "image_sharpness_filter", "image_jpeg_quality",
+    "multimodal_audio_features", "multimodal_video_frames",
+    "crawl_image_catalog", "frontier_changelog", "source_warc_scan",
+    # CONTRACT_EXTRA never-checked (10)
+    "crawl_frontier_plan", "crawl_recrawl_schedule",
+    "crawl_politeness_audit", "crawl_shard_balance", "crawl_trap_guard",
+    "crawl_redirect_resolve", "merge_upsert_delete", "crawl_bandit_budget",
+    "warc_sink_roundtrip", "warc_revisit_roundtrip",
+    # WEBSIGNALS (6)
+    "text_phrase_search", "graph_anchor_text", "dedup_url_dust",
+    "graph_hits", "events_funnel", "events_retention",
+    # BATCHPREP (4)
+    "text_lm_perplexity", "corpus_length_buckets", "image_aspect_buckets",
+    "image_train_manifest",
+    # STORAGEPIPE (1)
+    "storage_cdc_chunks",
+    # TRAINPREP queries touched in round 4 (10)
+    "graph_kcore", "graph_label_propagation", "graph_shortest_path",
+    "events_late_data_stream", "events_sessionize_stream",
+    "events_cms_stream", "events_hll_stream", "events_dedup_stream",
+    "events_sessionize_dedup_stream", "events_range_join_stream",
+)
+
+
 def _oracle_checked() -> dict[str, tuple]:
     from gepris_spark.plans.batchprep import BATCHPREP_QUERIES
     from gepris_spark.plans.contract_extra import CONTRACT_EXTRA_QUERIES
@@ -44,7 +91,7 @@ def _oracle_checked() -> dict[str, tuple]:
     from gepris_spark.plans.trainprep import TRAINPREP_QUERIES
     from gepris_spark.plans.websignals import WEBSIGNALS_QUERIES
 
-    return {
+    merged = {
         **RELATIONAL_QUERIES,
         **DATAPIPE_QUERIES,
         **IMAGEPIPE_QUERIES,
@@ -55,6 +102,9 @@ def _oracle_checked() -> dict[str, tuple]:
         **WEBSIGNALS_QUERIES,
         **STORAGEPIPE_QUERIES,
     }
+    rotated = {name: merged.pop(name) for name in _R04_FIRST}
+    rotated.update(merged)
+    return rotated
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
