@@ -693,10 +693,8 @@ def q_events_late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark upgrade)."""
     from gepris_spark.streaming.latestream import run_late_stream
 
-    events_pdf = (
-        load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value").toPandas()
-    )
-    return run_late_stream(spark, events_pdf, query_name="events_late_data_sink")
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    return run_late_stream(spark, events, query_name="events_late_data_sink")
 
 
 SQL_EVENTS_LATE_DATA = """
@@ -1543,10 +1541,8 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary-semantics and watermark-flush notes)."""
     from gepris_spark.streaming.sessionstream import run_sessionize_stream
 
-    events_pdf = (
-        load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value").toPandas()
-    )
-    return run_sessionize_stream(spark, events_pdf, query_name="events_sessionize_stream_sink")
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    return run_sessionize_stream(spark, events, query_name="events_sessionize_stream_sink")
 
 
 # ------------------------------------------------------- range join
@@ -1648,12 +1644,10 @@ def q_events_range_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof and scale notes)."""
     from gepris_spark.streaming.joinstream import run_range_join_stream
 
-    events_pdf = (
-        load(spark, sf_dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .toPandas()
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
     )
-    return run_range_join_stream(spark, events_pdf, query_name="events_range_join_stream_sink")
+    return run_range_join_stream(spark, events, query_name="events_range_join_stream_sink")
 
 
 # ------------------------------------------------------- KMV sketch
@@ -2242,10 +2236,8 @@ def q_events_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sketch)-not-O(rows) driver-merge notes)."""
     from gepris_spark.streaming.cmsstream import run_cms_stream
 
-    events_pdf = (
-        load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value").toPandas()
-    )
-    return run_cms_stream(spark, events_pdf, query_name="events_cms_stream_sink")
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    return run_cms_stream(spark, events, query_name="events_cms_stream_sink")
 
 
 def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2259,12 +2251,8 @@ def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication (streaming/hllstream.py, tests/test_hll_stream.py)."""
     from gepris_spark.streaming.hllstream import run_hll_stream
 
-    events_pdf = (
-        load(spark, sf_dir, "events")
-        .select("event_id", "user_id", "event_type")
-        .toPandas()
-    )
-    return run_hll_stream(spark, events_pdf, query_name="events_hll_stream_sink")
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return run_hll_stream(spark, events, query_name="events_hll_stream_sink")
 
 
 # ------------------------------------------- log-linear quantile sketch
@@ -2710,12 +2698,10 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt the rollup if not removed)."""
     from gepris_spark.streaming.dedupstream import run_dedup_stream
 
-    events_pdf = (
-        load(spark, sf_dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .toPandas()
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
     )
-    return run_dedup_stream(spark, events_pdf, query_name="events_dedup_stream_sink")
+    return run_dedup_stream(spark, events, query_name="events_dedup_stream_sink")
 
 
 SQL_EVENTS_DEDUP_STREAM = """
@@ -2740,14 +2726,10 @@ def q_events_sessionize_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFr
     (streaming/dedupstream.py:run_sessionize_dedup_stream)."""
     from gepris_spark.streaming.dedupstream import run_sessionize_dedup_stream
 
-    events_pdf = (
-        load(spark, sf_dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .toPandas()
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
     )
-    return run_sessionize_dedup_stream(
-        spark, events_pdf, query_name="events_sessionize_dedup_sink"
-    )
+    return run_sessionize_dedup_stream(spark, events, query_name="events_sessionize_dedup_sink")
 
 
 # ------------------------------------------------- multi-source BFS

@@ -42,7 +42,7 @@ from gepris_spark.streaming.sessionstream import _ARRIVAL_SCHEMA, write_arrival_
 
 def run_cms_stream(
     spark: SparkSession,
-    events_pdf,
+    events,
     root: str | None = None,
     query_name: str = "cms_stream",
     n_files: int = 3,
@@ -51,7 +51,7 @@ def run_cms_stream(
     heavy-hitter estimates from the merged sketch (same output shape
     and oracle as the batch query)."""
     root = root or tempfile.mkdtemp(prefix="gepris_cmsstream_")
-    src = write_arrival_files(events_pdf, root, n_files=n_files)
+    src = write_arrival_files(events, root, n_files=n_files)
     running: Counter = Counter()
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:

@@ -45,8 +45,11 @@ _DUP_MOD = 7
 _ARRIVAL_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
+_FEED_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
 def write_arrival_files_with_dups(
-    events_pdf, root: str, n_files: int = _N_ARRIVAL_FILES, sentinel: bool = False
+    events, root: str, n_files: int = _N_ARRIVAL_FILES, sentinel: bool = False
 ) -> str:
     """Time-ordered arrival files with every event_id % 7 == 0 row
     delivered twice: the duplicate lands in the NEXT file (the last
@@ -54,52 +57,47 @@ def write_arrival_files_with_dups(
     appends the watermark-flush sentinel (user_id = -1, 30 days past
     the corpus max) to the final file — required when a WITHHELD-state
     operator (session/window aggregation) is chained downstream, same
-    rationale as streaming/sessionstream.py."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    rationale as streaming/sessionstream.py.
 
+    Fully distributed via streaming/feedwriter.py: the base assignment
+    is `_file = r * n_files div n` on the ORIGINAL rows; the planted
+    duplicates are a second projection of the same ranked rows with
+    `_file' = least(_file + 1, n_files - 1)` unioned in — computed
+    before any append, so a delivered copy is never re-duplicated.
+    `events`: Spark DataFrame (contract path) or pandas frame (tests).
+    """
+    import datetime
+
+    from gepris_spark.streaming import feedwriter as FW
+
+    spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
-    os.makedirs(src, exist_ok=True)
-    pdf = events_pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-    n = len(pdf)
-    cuts = [n * i // n_files for i in range(n_files + 1)]
-    chunks = [pdf.iloc[cuts[i] : cuts[i + 1]].copy() for i in range(n_files)]
-    # dup sets come from the ORIGINAL chunks (computed before any
-    # append, so a delivered copy is never re-duplicated downstream)
-    dup_sets = [c[c["event_id"] % _DUP_MOD == 0] for c in chunks]
-    for i, dups in enumerate(dup_sets):
-        target = min(i + 1, n_files - 1)
-        chunks[target] = pd.concat([chunks[target], dups], ignore_index=True)
-    if sentinel:
-        sent = pd.DataFrame(
-            [
-                {
-                    "event_id": -1,
-                    "ts": pdf["ts"].max() + pd.Timedelta(days=30),
-                    "user_id": -1,
-                    "event_type": "view",
-                    "value": 0.0,
-                }
-            ]
+    df = FW.as_events_df(spark, events, _FEED_COLS)
+    ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
+    try:
+        base = ranked.withColumn("_file", FW.contiguous_file_expr(n, n_files))
+        dups = base.where(F.col("event_id") % _DUP_MOD == 0).withColumn(
+            "_file", F.least(F.col("_file") + 1, F.lit(n_files - 1)).cast("int")
         )
-        chunks[-1] = pd.concat([chunks[-1], sent], ignore_index=True)
-    for i, chunk in enumerate(chunks):
-        chunk = chunk.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
-        chunk["ts"] = pd.to_datetime(chunk["ts"]).astype("datetime64[us]")
-        pq.write_table(
-            pa.Table.from_pandas(
-                chunk[["event_id", "ts", "user_id", "event_type", "value"]],
-                preserve_index=False,
-            ),
-            os.path.join(src, f"arrival_{i}.parquet"),
+        feed = base.select("_file", *_FEED_COLS).unionByName(
+            dups.select("_file", *_FEED_COLS)
         )
+        if sentinel:
+            max_ts = ranked.agg(F.max("ts")).collect()[0][0]
+            sent = spark.createDataFrame(
+                [(-1, max_ts + datetime.timedelta(days=30), -1, "view", 0.0)],
+                _ARRIVAL_SCHEMA,
+            ).withColumn("_file", F.lit(n_files - 1).cast("int"))
+            feed = feed.unionByName(sent)
+        FW.write_numbered_files(feed, src, n_files, _FEED_COLS, _ARRIVAL_SCHEMA)
+    finally:
+        ranked.unpersist()
     return src
 
 
 def run_dedup_stream(
     spark: SparkSession,
-    events_pdf,
+    events,
     root: str | None = None,
     query_name: str = "dedup_stream_sink",
     n_files: int = _N_ARRIVAL_FILES,
@@ -108,7 +106,7 @@ def run_dedup_stream(
     surviving rows, and roll them up per event_type — output must
     equal the same rollup over the original (duplicate-free) table."""
     root = root or tempfile.mkdtemp(prefix="gepris_dedupstream_")
-    src = write_arrival_files_with_dups(events_pdf, root, n_files=n_files)
+    src = write_arrival_files_with_dups(events, root, n_files=n_files)
     stream = (
         spark.readStream.schema(_ARRIVAL_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -146,7 +144,7 @@ def run_dedup_stream(
 
 def run_sessionize_dedup_stream(
     spark: SparkSession,
-    events_pdf,
+    events,
     root: str | None = None,
     query_name: str = "dedup_sessionize_sink",
     n_files: int = _N_ARRIVAL_FILES,
@@ -166,7 +164,7 @@ def run_sessionize_dedup_stream(
     from pyspark.sql import Window
 
     root = root or tempfile.mkdtemp(prefix="gepris_dedupsess_")
-    src = write_arrival_files_with_dups(events_pdf, root, n_files=n_files, sentinel=True)
+    src = write_arrival_files_with_dups(events, root, n_files=n_files, sentinel=True)
     stream = (
         spark.readStream.schema(_ARRIVAL_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -35,36 +35,36 @@ from gepris_spark.plans.trainprep import hll_estimates, hll_rho_terms
 _HLL_ARRIVAL_SCHEMA = "event_id long, user_id long, event_type string"
 
 
-def write_hll_arrival_files(events_pdf, root: str, n_files: int = 3) -> str:
+_FEED_COLS = ["event_id", "user_id", "event_type"]
+
+
+def write_hll_arrival_files(events, root: str, n_files: int = 3) -> str:
     """Arrival files carrying event_type (the HLL group key;
     sessionstream's shared writer has no such column). No event time,
     no watermark sentinel — the register build is order-free, which is
     the point; files split on a deterministic event_id order only so
-    the cut itself is reproducible."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    the cut itself is reproducible. Fully distributed via
+    streaming/feedwriter.py; `events` may be a Spark DataFrame
+    (contract path) or a pandas frame (tests)."""
+    from pyspark.sql import SparkSession
 
+    from gepris_spark.streaming import feedwriter as FW
+
+    spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
-    os.makedirs(src, exist_ok=True)
-    pdf = (
-        events_pdf[["event_id", "user_id", "event_type"]]
-        .sort_values("event_id", kind="mergesort")
-        .reset_index(drop=True)
-    )
-    n = len(pdf)
-    cuts = [n * i // n_files for i in range(n_files + 1)]
-    for i in range(n_files):
-        chunk = pdf.iloc[cuts[i] : cuts[i + 1]]
-        pq.write_table(
-            pa.Table.from_pandas(chunk, preserve_index=False),
-            os.path.join(src, f"arrival-{i:03d}.parquet"),
-        )
+    df = FW.as_events_df(spark, events, _FEED_COLS)
+    ranked, n = FW.with_global_rank(df, ["event_id"])
+    try:
+        assigned = ranked.withColumn("_file", FW.contiguous_file_expr(n, n_files))
+        FW.write_numbered_files(assigned, src, n_files, _FEED_COLS, _HLL_ARRIVAL_SCHEMA)
+    finally:
+        ranked.unpersist()
     return src
 
 
 def run_hll_stream(
     spark: SparkSession,
-    events_pdf,
+    events,
     root: str | None = None,
     query_name: str = "hll_stream",
     n_files: int = 3,
@@ -73,7 +73,7 @@ def run_hll_stream(
     files, then return the estimate rows from the merged sketch (same
     output shape and oracle as the batch query)."""
     root = root or tempfile.mkdtemp(prefix="gepris_hllstream_")
-    src = write_hll_arrival_files(events_pdf, root, n_files=n_files)
+    src = write_hll_arrival_files(events, root, n_files=n_files)
     running: dict[tuple[str, int], int] = {}
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:

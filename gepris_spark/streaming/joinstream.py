@@ -56,30 +56,28 @@ _WINDOW_SQL = "INTERVAL 2 HOURS"
 _ARRIVAL_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
-def write_arrival_files(events_pdf, root: str, n_files: int = _N_ARRIVAL_FILES) -> str:
-    """Split the (pandas) event log into event-time-ordered arrival
-    files; both join sides read the same feed and filter their event
-    types, exactly like two consumers of one log topic."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+_FEED_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 
+
+def write_arrival_files(events, root: str, n_files: int = _N_ARRIVAL_FILES) -> str:
+    """Split the event log into event-time-ordered arrival files; both
+    join sides read the same feed and filter their event types, exactly
+    like two consumers of one log topic. Fully distributed via
+    streaming/feedwriter.py; `events` may be a Spark DataFrame
+    (contract path) or a pandas frame (tests)."""
+    from pyspark.sql import SparkSession
+
+    from gepris_spark.streaming import feedwriter as FW
+
+    spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
-    os.makedirs(src, exist_ok=True)
-    pdf = events_pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-    n = len(pdf)
-    cuts = [n * i // n_files for i in range(n_files + 1)]
-    for i in range(n_files):
-        chunk = pdf.iloc[cuts[i] : cuts[i + 1]].copy()
-        chunk = chunk.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
-        chunk["ts"] = pd.to_datetime(chunk["ts"]).astype("datetime64[us]")
-        pq.write_table(
-            pa.Table.from_pandas(
-                chunk[["event_id", "ts", "user_id", "event_type", "value"]],
-                preserve_index=False,
-            ),
-            os.path.join(src, f"arrival_{i}.parquet"),
-        )
+    df = FW.as_events_df(spark, events, _FEED_COLS)
+    ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
+    try:
+        assigned = ranked.withColumn("_file", FW.contiguous_file_expr(n, n_files))
+        FW.write_numbered_files(assigned, src, n_files, _FEED_COLS, _ARRIVAL_SCHEMA)
+    finally:
+        ranked.unpersist()
     return src
 
 
@@ -95,16 +93,17 @@ def joined_pairs_stream(views: DataFrame, probes: DataFrame) -> DataFrame:
 
 def run_range_join_stream(
     spark: SparkSession,
-    events_pdf,
+    events,
     root: str | None = None,
     query_name: str = "range_join_stream_sink",
     n_files: int = _N_ARRIVAL_FILES,
 ) -> DataFrame:
     """Drive the stream-stream join over arrival files with
     availableNow, drain the matched pairs, and run the batch rollup —
-    output identical to q_events_range_join (same oracle)."""
+    output identical to q_events_range_join (same oracle). `events`:
+    Spark DataFrame (contract path) or pandas frame (tests)."""
     root = root or tempfile.mkdtemp(prefix="gepris_joinstream_")
-    src = write_arrival_files(events_pdf, root, n_files=n_files)
+    src = write_arrival_files(events, root, n_files=n_files)
 
     def feed() -> DataFrame:
         return (

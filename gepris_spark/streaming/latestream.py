@@ -56,38 +56,57 @@ def _is_late(event_id: int) -> bool:
     return h % _LATE_MOD == 0
 
 
-def write_late_arrival_files(events_pdf, root: str, n_files: int = _N_FILES) -> str:
+_FEED_COLS = ["event_id", "ts", "user_id", "value"]
+
+
+def _late_expr():
+    """Spark mirror of _is_late: hash60("late:"||event_id) % 5 == 0 —
+    the same md5-prefix formula the oracle SQL replays verbatim."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("late:"), F.col("event_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % _LATE_MOD) == 0
+
+
+def write_late_arrival_files(events, root: str, n_files: int = _N_FILES) -> str:
     """Arrival files where on-time rows take their event-time slot
     (row r of n goes to file r*n_files//n — the formula the oracle SQL
     mirrors verbatim) and late rows ship _LATE_SHIFT files later
     (capped at the last file). The final file appends the watermark-
-    flush sentinel (user_id = -1, 30 days past the corpus max)."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    flush sentinel (user_id = -1, 30 days past the corpus max).
+    Fully distributed via streaming/feedwriter.py; `events` may be a
+    Spark DataFrame (contract path) or a pandas frame (tests)."""
+    import datetime
 
+    from gepris_spark.streaming import feedwriter as FW
+
+    spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
-    os.makedirs(src, exist_ok=True)
-    pdf = events_pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-    n = len(pdf)
-    slot = pd.Series(range(n), dtype="int64") * n_files // max(n, 1)
-    late = pdf["event_id"].map(_is_late)
-    pdf = pdf.assign(_file=slot.where(~late, (slot + _LATE_SHIFT).clip(upper=n_files - 1)))
-    sentinel = pd.DataFrame(
-        [{"event_id": -1, "ts": pdf["ts"].max() + pd.Timedelta(days=30),
-          "user_id": -1, "value": 0.0, "_file": n_files - 1}]
-    )
-    pdf = pd.concat([pdf, sentinel], ignore_index=True)
-    for i in range(n_files):
-        chunk = pdf[pdf["_file"] == i].drop(columns="_file")
-        chunk = chunk.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
-        chunk["ts"] = pd.to_datetime(chunk["ts"]).astype("datetime64[us]")
-        pq.write_table(
-            pa.Table.from_pandas(
-                chunk[["event_id", "ts", "user_id", "value"]], preserve_index=False
-            ),
-            os.path.join(src, f"arrival_{i}.parquet"),
+    df = FW.as_events_df(spark, events, _FEED_COLS)
+    ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
+    try:
+        max_ts = ranked.agg(F.max("ts")).collect()[0][0]
+        slot = FW.contiguous_file_expr(n, n_files)
+        assigned = ranked.withColumn(
+            "_file",
+            F.when(
+                _late_expr(), F.least(slot + _LATE_SHIFT, F.lit(n_files - 1))
+            ).otherwise(slot).cast("int"),
         )
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=30), -1, 0.0)], _ARRIVAL_SCHEMA
+        ).withColumn("_file", F.lit(n_files - 1).cast("int"))
+        FW.write_numbered_files(
+            assigned.select("_file", *_FEED_COLS).unionByName(sentinel),
+            src,
+            n_files,
+            _FEED_COLS,
+            _ARRIVAL_SCHEMA,
+        )
+    finally:
+        ranked.unpersist()
     return src
 
 
@@ -105,18 +124,21 @@ def late_window_stream(stream: DataFrame) -> DataFrame:
 
 def run_late_stream(
     spark: SparkSession,
-    events_pdf,
+    events,
     root: str | None = None,
     query_name: str = "late_stream_sink",
     n_files: int = _N_FILES,
 ) -> DataFrame:
     """Drive the windowed count over the late-arrival files and return
-    the emitted windows (sentinel's own far-future window excluded)."""
-    import pandas as pd
+    the emitted windows (sentinel's own far-future window excluded).
+    `events`: Spark DataFrame (contract path) or pandas frame (tests).
+    """
+    from gepris_spark.streaming import feedwriter as FW
 
     root = root or tempfile.mkdtemp(prefix="gepris_latestream_")
-    src = write_late_arrival_files(events_pdf, root, n_files=n_files)
-    max_real_ts = pd.to_datetime(events_pdf["ts"]).max()
+    events_df = FW.as_events_df(spark, events, _FEED_COLS)
+    src = write_late_arrival_files(events_df, root, n_files=n_files)
+    max_real_ts = events_df.agg(F.max("ts")).collect()[0][0]
     stream = (
         spark.readStream.schema(_ARRIVAL_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -51,34 +51,41 @@ _N_ARRIVAL_FILES = 3
 _ARRIVAL_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
 
 
-def write_arrival_files(events_pdf, root: str, n_files: int = _N_ARRIVAL_FILES) -> str:
-    """Split the (pandas) event log into event-time-ordered arrival
-    files + the watermark-flush sentinel; returns the source dir.
-    Written via pyarrow so `ts` stays a naive timestamp[us] column,
-    which the UTC-pinned session reads back with identical wall
-    values."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+_FEED_COLS = ["event_id", "ts", "user_id", "value"]
 
+
+def write_arrival_files(events, root: str, n_files: int = _N_ARRIVAL_FILES) -> str:
+    """Split the event log into event-time-ordered arrival files + the
+    watermark-flush sentinel; returns the source dir. Fully
+    distributed (streaming/feedwriter.py): global rank via the
+    range-partition + offset-map pattern, `_file = r * n_files div n`
+    (the formula the oracle replays), one physical parquet per logical
+    file, mtimes in arrival order. `events` may be a Spark DataFrame
+    (contract path — nothing is collected) or a pandas frame (test
+    fixtures)."""
+    import datetime
+
+    from gepris_spark.streaming import feedwriter as FW
+
+    spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
-    os.makedirs(src, exist_ok=True)
-    pdf = events_pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-    sentinel = pd.DataFrame(
-        [{"event_id": -1, "ts": pdf["ts"].max() + pd.Timedelta(days=30), "user_id": -1, "value": 0.0}]
-    )
-    n = len(pdf)
-    cuts = [n * i // n_files for i in range(n_files + 1)]
-    for i in range(n_files):
-        chunk = pdf.iloc[cuts[i] : cuts[i + 1]]
-        if i == n_files - 1:
-            chunk = pd.concat([chunk, sentinel], ignore_index=True)
-        chunk = chunk.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
-        chunk["ts"] = pd.to_datetime(chunk["ts"]).astype("datetime64[us]")
-        pq.write_table(
-            pa.Table.from_pandas(chunk[["event_id", "ts", "user_id", "value"]], preserve_index=False),
-            os.path.join(src, f"arrival_{i}.parquet"),
+    df = FW.as_events_df(spark, events, _FEED_COLS)
+    ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
+    try:
+        max_ts = ranked.agg(F.max("ts")).collect()[0][0]
+        assigned = ranked.withColumn("_file", FW.contiguous_file_expr(n, n_files))
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=30), -1, 0.0)], _ARRIVAL_SCHEMA
+        ).withColumn("_file", F.lit(n_files - 1).cast("int"))
+        FW.write_numbered_files(
+            assigned.select("_file", *_FEED_COLS).unionByName(sentinel),
+            src,
+            n_files,
+            _FEED_COLS,
+            _ARRIVAL_SCHEMA,
         )
+    finally:
+        ranked.unpersist()
     return src
 
 
@@ -102,7 +109,7 @@ def session_stream(stream: DataFrame) -> DataFrame:
 
 def run_sessionize_stream(
     spark: SparkSession,
-    events_pdf,
+    events,
     root: str | None = None,
     query_name: str = "sessionize_stream_sink",
     n_files: int = _N_ARRIVAL_FILES,
@@ -110,9 +117,11 @@ def run_sessionize_stream(
     """Drive the stream over arrival files with availableNow, drain the
     memory sink, and assign session_seq (per-user rank by start time —
     identical to the batch cumsum index because sessions are disjoint
-    in time). Returns the batch DataFrame of closed sessions."""
+    in time). Returns the batch DataFrame of closed sessions.
+    `events`: Spark DataFrame (contract path) or pandas frame (tests).
+    """
     root = root or tempfile.mkdtemp(prefix="gepris_sessstream_")
-    src = write_arrival_files(events_pdf, root, n_files=n_files)
+    src = write_arrival_files(events, root, n_files=n_files)
     stream = (
         spark.readStream.schema(_ARRIVAL_SCHEMA)
         .option("maxFilesPerTrigger", 1)
