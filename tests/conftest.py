@@ -15,6 +15,18 @@ def spark():
     yield spark
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """cacheutil's registry holds strong references (round-4 fix) —
+    release per test so a test that consumes a caching plan but never
+    calls release_caches() doesn't carry its blocks (or stale
+    CacheManager entries that swallow join hints) into later tests."""
+    yield
+    from gepris_spark import cacheutil
+
+    cacheutil.release_caches()
+
+
 @pytest.fixture(scope="session")
 def corpus_dir(tmp_path_factory):
     """t1-scale deterministic fixture corpus (FIXTURES.md scales)."""

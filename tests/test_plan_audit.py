@@ -406,6 +406,50 @@ def test_kcore_broadcasts_survivor_set(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_kcore_survivor_set_shuffle_fallback_over_threshold(spark, monkeypatch):
+    """Round-3 verdict scale caveat: when the measured survivor set
+    exceeds GRAPH_BROADCAST_MAX_ROWS (a web graph, not this bipartite
+    TPC one), the semi-joins must fall back to a shuffle join
+    partitioned on the node key instead of an O(nodes) broadcast.
+    Force the fallback by zeroing the threshold and assert BOTH the
+    plan flip and unchanged results."""
+    from gepris_spark import cacheutil
+    from gepris_spark.plans import trainprep
+
+    baseline = [tuple(r) for r in trainprep.q_graph_kcore(spark, SF).collect()]
+    cacheutil.release_caches()
+    monkeypatch.setattr(trainprep, "GRAPH_BROADCAST_MAX_ROWS", 0)
+    df = trainprep.q_graph_kcore(spark, SF)
+    plan = _plan(df)
+    # static plan picks a shuffle join for the semi-joins (AQE may
+    # still convert at runtime from ACTUAL sizes — that's the point
+    # of the conditional: the STRATEGY no longer assumes smallness)
+    assert "SortMergeJoin LeftSemi" in plan or "ShuffledHashJoin LeftSemi" in plan
+    got = [tuple(r) for r in df.collect()]
+    cacheutil.release_caches()
+    assert got == baseline
+
+
+def test_lpa_sizes_join_shuffle_fallback_over_threshold(spark, monkeypatch):
+    """Same conditional for LPA's community-size join: broadcast under
+    the threshold, shuffle join on the label key above it, identical
+    results either way."""
+    from gepris_spark import cacheutil
+    from gepris_spark.plans import trainprep
+
+    under = trainprep.q_graph_label_propagation(spark, SF)
+    assert "BroadcastHashJoin" in _plan(under)
+    baseline = [tuple(r) for r in under.collect()]
+    cacheutil.release_caches()
+    monkeypatch.setattr(trainprep, "GRAPH_BROADCAST_MAX_ROWS", 0)
+    df = trainprep.q_graph_label_propagation(spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    got = [tuple(r) for r in df.collect()]
+    cacheutil.release_caches()
+    assert got == baseline
+
+
 def test_dsir_threshold_is_partial_topk(spark):
     """DSIR's keep threshold must come from TakeOrderedAndProject
     (partial per-partition top-k), never a global sort; the scoring
