@@ -281,6 +281,51 @@ def cmd_pipeline(args) -> int:
     return 0 if report["verified_ok"] else 1
 
 
+def cmd_cache(args) -> int:
+    """Targeted cache eviction — reference parity with
+    cache_control.py:21-37 `delete_detail_cache`: remove ONE
+    (element_id, context)'s cached detail pages, BOTH languages, from a
+    page-store parquet so the next batch's read-through (S8,
+    fetchparse.fetch_pages) misses and the refresh path refetches.
+
+    In-place by default (staged rewrite + atomic directory swap — the
+    store is never half-written), or --out for a filtered copy. The
+    rewrite is a distributed filter; only the O(languages) evicted keys
+    are collected for the log line, mirroring the reference's per-key
+    delete messages."""
+    import os
+    import shutil
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    pre_existing = SparkSession.getActiveSession()
+    spark = _spark(args)
+    pages = spark.read.parquet(args.pages)
+    pat = f"/gepris/{args.context}/{args.id}$"
+    hits = pages.where(F.col("url").rlike(pat))
+    evicted = [
+        (r["url"], r["language"]) for r in hits.select("url", "language").collect()
+    ]
+    for url, language in sorted(evicted):
+        print(f"evicting cached page {url} lang {language!r}", file=sys.stderr)
+    kept = pages.where(~F.col("url").rlike(pat))
+    out = args.out or args.pages
+    if args.out:
+        kept.write.mode("overwrite").parquet(args.out)
+    else:
+        base = args.pages.rstrip("/")
+        staging, backup = base + ".evict-staging", base + ".evict-old"
+        shutil.rmtree(staging, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(staging)
+        os.rename(base, backup)
+        os.rename(staging, base)
+        shutil.rmtree(backup)
+    print(json.dumps({"evicted": len(evicted), "id": args.id, "context": args.context, "pages": out}))
+    _stop_unless_owned(spark, pre_existing)
+    return 0
+
+
 def cmd_snapshots(args) -> int:
     """Iceberg-style table maintenance on an engine state dir: snapshot
     history, rollback-to-version, expiration, append-ledger compaction.
@@ -440,6 +485,18 @@ def main(argv=None) -> int:
     snap.add_argument("--since", type=int, default=0, help="tail: min batch_id (inclusive)")
     snap.add_argument("--out", default=None, help="tail: optional output JSON directory")
     snap.set_defaults(fn=cmd_snapshots)
+
+    cache = sub.add_parser(
+        "cache", help="page-store cache inspection/eviction (reference cache_control.py)"
+    )
+    cache.add_argument("action", choices=["evict"])
+    cache.add_argument("--pages", required=True, help="page-store parquet path")
+    cache.add_argument("--id", type=int, required=True, help="element id to evict")
+    cache.add_argument("--context", default="projekt",
+                       choices=["projekt", "person", "institution"])
+    cache.add_argument("--out", default=None,
+                       help="write the filtered store here instead of in-place")
+    cache.set_defaults(fn=cmd_cache)
 
     chg = sub.add_parser(
         "changes", help="snapshot changelog (CDC) export between two versions"

@@ -535,6 +535,30 @@ def fetch_pages(
     return found.unionByName(missing.select(*found.columns))
 
 
+def read_through_fetch(
+    scheduled: DataFrame,
+    pages: DataFrame,
+    live_fetch: Callable,
+    broadcast_scheduled: bool = True,
+) -> DataFrame:
+    """S8 cache read-through WITH live fallback: serve each scheduled
+    row from the page store; rows the store misses (connection-failure
+    rows from fetch_pages) go to `live_fetch` (http_fetch_stage against
+    the live site, or another store). This is the Scrapy httpcache
+    middleware composition (reference middlewares.py:118-138 over the
+    dbm cache): cache hit short-circuits, miss falls through to the
+    network — so evicting one (id, context)'s pages from the store
+    (`cli cache evict`, reference cache_control.py:21-37
+    delete_detail_cache) forces exactly those pages to refetch in the
+    next batch while every other row still serves from cache."""
+    cached = fetch_pages(scheduled, pages, broadcast_scheduled=broadcast_scheduled)
+    hits = cached.where(F.col("fetch_status").isNotNull())
+    misses = cached.where(F.col("fetch_status").isNull()).drop(
+        "fetch_status", "html", "fetch_cost_ms"
+    )
+    return hits.unionByName(live_fetch(misses).select(*hits.columns))
+
+
 def http_fetch_stage(scheduled: DataFrame, http_fetch_fn: Callable) -> DataFrame:
     """S7 with a REAL fetcher: same output contract as fetch_pages
     (scheduled columns + fetch_status/html/fetch_cost_ms), but the page

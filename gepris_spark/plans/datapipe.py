@@ -1109,14 +1109,17 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bits; a query only scores vectors sharing a band bucket
     (equi-join on (band, bucket) — linear shuffle, the same LSH join
     shape as dedup_minhash_lsh, never all-pairs). MULTI-PROBE on the
-    query side: each query also probes, per band, the bucket with its
-    least-confident bit flipped (min |dot|, first index on ties) —
-    T=1 multi-probe doubles candidate lookups (8 tiny keys/query, the
-    corpus signature table is untouched) and raised measured recall@5
-    vs brute from 0.40-0.47 to the documented post-probe number.
-    Exact cosine + rank only over candidates, so residual recall loss
-    stays observable by diffing ann_topk_cosine. At 100 TB the band
-    table is a materialized signature table like minhash_band_table."""
+    query side (Lv et al. 2007): per band each query probes ALL FOUR
+    buckets spanned by its two least-confident bits (min |dot| rank,
+    ties -> smaller bit index): own, each single flip, the double
+    flip — 16 tiny keys/query, the corpus signature table untouched.
+    Measured recall@5 vs brute: single-flip probing 0.60-0.67, this
+    scheme 0.93 (sf0.001) / 0.87 (sf0.01) at ~1.6x the candidates —
+    clears the 0.8 target (round-3 ask #6; tests/test_ann_lsh.py pins
+    it). Exact cosine + rank only over candidates, so residual recall
+    loss stays observable by diffing ann_topk_cosine. At 100 TB the
+    band table is a materialized signature table like
+    minhash_band_table."""
     emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1157,17 +1160,18 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     acc = acc + vec[d] * _lsh_plane_coef(p, d)
                 dots.append(acc)
             bucket = sum((1 << i) for i, dv in enumerate(dots) if dv >= 0.0)
+            # multi-probe over the TWO least-confident bits (ties ->
+            # smaller bit index): probe all four buckets they span —
+            # own, each single flip, and the double flip. The
+            # (|dot|, bit) lexicographic rank is exactly the oracle
+            # SQL's nested first-match <=-chains.
             a = [abs(x) for x in dots]
-            if a[0] <= a[1] and a[0] <= a[2] and a[0] <= a[3]:
-                flip = 1
-            elif a[1] <= a[2] and a[1] <= a[3]:
-                flip = 2
-            elif a[2] <= a[3]:
-                flip = 4
-            else:
-                flip = 8
+            ranked = sorted(range(_LSH_BITS), key=lambda i: (a[i], i))
+            f1, f2 = 1 << ranked[0], 1 << ranked[1]
             probe_keys.add((row["vec_id"], b, bucket))
-            probe_keys.add((row["vec_id"], b, bucket ^ flip))
+            probe_keys.add((row["vec_id"], b, bucket ^ f1))
+            probe_keys.add((row["vec_id"], b, bucket ^ f2))
+            probe_keys.add((row["vec_id"], b, bucket ^ f1 ^ f2))
     qbands = spark.createDataFrame(
         sorted(probe_keys), "query_id long, band int, bucket int"
     )
@@ -1232,14 +1236,33 @@ qsig AS (
          min(CASE WHEN bit = 2 THEN abs(dot) END) AS a2,
          min(CASE WHEN bit = 3 THEN abs(dot) END) AS a3
   FROM bits WHERE vec_id < 3 GROUP BY vec_id, band),
-qbuckets AS (
-  SELECT query_id, band, bucket FROM qsig
-  UNION
-  SELECT query_id, band,
-         CAST(xor(bucket, CASE WHEN a0 <= a1 AND a0 <= a2 AND a0 <= a3 THEN 1
-                                WHEN a1 <= a2 AND a1 <= a3 THEN 2
-                                WHEN a2 <= a3 THEN 4 ELSE 8 END) AS INT) AS bucket
+qflips AS (
+  -- the two least-|dot| bit masks, (|dot|, bit)-ranked: f1 by the
+  -- first-match <=-chain, f2 the argmin over the three bits f1 did
+  -- not pick (same tie rule)
+  SELECT query_id, band, bucket,
+         CASE WHEN a0 <= a1 AND a0 <= a2 AND a0 <= a3 THEN 1
+              WHEN a1 <= a2 AND a1 <= a3 THEN 2
+              WHEN a2 <= a3 THEN 4 ELSE 8 END AS f1,
+         CASE WHEN a0 <= a1 AND a0 <= a2 AND a0 <= a3 THEN
+                CASE WHEN a1 <= a2 AND a1 <= a3 THEN 2 WHEN a2 <= a3 THEN 4 ELSE 8 END
+              WHEN a1 <= a2 AND a1 <= a3 THEN
+                CASE WHEN a0 <= a2 AND a0 <= a3 THEN 1 WHEN a2 <= a3 THEN 4 ELSE 8 END
+              WHEN a2 <= a3 THEN
+                CASE WHEN a0 <= a1 AND a0 <= a3 THEN 1 WHEN a1 <= a3 THEN 2 ELSE 8 END
+              ELSE
+                CASE WHEN a0 <= a1 AND a0 <= a2 THEN 1 WHEN a1 <= a2 THEN 2 ELSE 4 END
+         END AS f2
   FROM qsig),
+qbuckets AS (
+  -- all four buckets spanned by the two least-confident bits
+  SELECT query_id, band, bucket FROM qflips
+  UNION
+  SELECT query_id, band, CAST(xor(bucket, f1) AS INT) FROM qflips
+  UNION
+  SELECT query_id, band, CAST(xor(bucket, f2) AS INT) FROM qflips
+  UNION
+  SELECT query_id, band, CAST(xor(bucket, f1 + f2) AS INT) FROM qflips),
 cand AS (
   SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
   FROM qbuckets q JOIN sigs s

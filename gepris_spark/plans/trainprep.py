@@ -1869,6 +1869,210 @@ ORDER BY p.type_a, p.type_b
 """
 
 
+def q_events_theta_union_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set UNION and DIFFERENCE — completing the theta
+    family's set algebra next to `events_theta_intersect` (round-3
+    verdict stretch #10; Apache DataSketches theta semantics). Per
+    event-type pair: estimate |A ∪ B|, |A \\ B| and |B \\ A| from the
+    bounded KMV retained sets alone (crawl analogue: 'how many URLs
+    has shard A seen that shard B has not' during shard rebalancing,
+    from O(k) seen-sketches instead of a full distinct anti-join).
+    The sketched universe is distinct ACTIVE (user, day) pairs per
+    type — unlike the intersect query's plain user sets (which fully
+    overlap across types in the testdata), the pair sets overlap
+    ~35-40%, so union AND both differences are non-trivially graded.
+
+    Estimators, all over theta_ab = min(theta_a, theta_b): with
+    na = |S_a ∩ [0, theta_ab)|, nb likewise, and nc the common count
+    (the intersect query's join), union = na + nb - nc, a_not_b =
+    na - nc, b_not_a = nb - nc, each scaled by 2^60 / theta_ab. The
+    EXACT counts ride along from the per-type distinct sizes and the
+    exact intersection (inclusion-exclusion — no extra join beyond the
+    intersect query's), so the driver grades sketch ERROR, not just
+    arithmetic.
+
+    Shape at 100 TB: identical to events_theta_intersect — the only
+    relations past the first distinct are O(k · types); the pair joins
+    run over sampled hashes, never the raw log. Same md5 hash60 on
+    both engines keeps every count and division bit-identical."""
+    k = _THETA_K
+    d = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    h = d.select(
+        "event_type",
+        TS.hash60(
+            F.concat(
+                F.lit("kmv:"),
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("day").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    r = h.withColumn("rn", F.row_number().over(w))
+    theta = (
+        r.groupBy("event_type")
+        .agg(F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"))
+        .select(
+            "event_type",
+            F.coalesce(F.col("kth"), F.lit(_THETA_MAX)).alias("theta"),
+        )
+    )
+    sample = r.join(theta, "event_type").where(F.col("h") < F.col("theta"))
+    pairs = (
+        theta.select(F.col("event_type").alias("type_a"), F.col("theta").alias("theta_a"))
+        .join(
+            theta.select(
+                F.col("event_type").alias("type_b"), F.col("theta").alias("theta_b")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .withColumn("theta_ab", F.least("theta_a", "theta_b"))
+        .select("type_a", "type_b", "theta_ab")
+    )
+    # per-pair sample counts below the COMMON theta (na, nb)
+    na = (
+        pairs.join(sample.select(F.col("event_type").alias("type_a"), "h"), "type_a")
+        .where(F.col("h") < F.col("theta_ab"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    nb = (
+        pairs.join(sample.select(F.col("event_type").alias("type_b"), "h"), "type_b")
+        .where(F.col("h") < F.col("theta_ab"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    sa = sample.select(F.col("event_type").alias("type_a"), "h")
+    sb = sample.select(F.col("event_type").alias("type_b"), F.col("h").alias("h2"))
+    common = (
+        sa.join(sb, (F.col("h") == F.col("h2")) & (F.col("type_a") < F.col("type_b")))
+        .join(pairs, ["type_a", "type_b"])
+        .where(F.col("h") < F.col("theta_ab"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    # exact ride-alongs: per-type distinct sizes + exact intersection
+    sizes = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    exact_common = (
+        d.select(F.col("event_type").alias("type_a"), "user_id", "day")
+        .join(
+            d.select(
+                F.col("event_type").alias("type_b"),
+                F.col("user_id").alias("u2"),
+                F.col("day").alias("d2"),
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .where((F.col("user_id") == F.col("u2")) & (F.col("day") == F.col("d2")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+
+    def est(n_col):
+        return F.round(n_col * F.lit(float(_THETA_MAX)) / F.col("theta_ab")).cast("long")
+
+    na_c = F.coalesce(F.col("na"), F.lit(0))
+    nb_c = F.coalesce(F.col("nb"), F.lit(0))
+    nc_c = F.coalesce(F.col("nc"), F.lit(0))
+    ec_c = F.coalesce(F.col("ec"), F.lit(0))
+    return (
+        pairs.join(na, ["type_a", "type_b"], "left")
+        .join(nb, ["type_a", "type_b"], "left")
+        .join(common, ["type_a", "type_b"], "left")
+        .join(exact_common, ["type_a", "type_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n_exact").alias("xa"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n_exact").alias("xb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "theta_ab",
+            (na_c + nb_c - nc_c).alias("n_union_sample"),
+            est(na_c + nb_c - nc_c).alias("est_union"),
+            (F.col("xa") + F.col("xb") - ec_c).alias("exact_union"),
+            est(na_c - nc_c).alias("est_a_not_b"),
+            (F.col("xa") - ec_c).alias("exact_a_not_b"),
+            est(nb_c - nc_c).alias("est_b_not_a"),
+            (F.col("xb") - ec_c).alias("exact_b_not_a"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_EVENTS_THETA_UNION_DIFF = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+h AS (SELECT event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)
+                                  || ':' || CAST(day AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM d),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+theta AS (SELECT event_type,
+                 coalesce(max(CASE WHEN rn = {_THETA_K} THEN h END), {_THETA_MAX})
+                   AS theta
+          FROM r GROUP BY event_type),
+sample AS (SELECT r.event_type, r.h, t.theta
+           FROM r JOIN theta t USING (event_type) WHERE r.h < t.theta),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         least(a.theta, b.theta) AS theta_ab
+  FROM theta a JOIN theta b ON a.event_type < b.event_type),
+na AS (
+  SELECT p.type_a, p.type_b, CAST(count(*) AS BIGINT) AS na
+  FROM pairs p JOIN sample s ON s.event_type = p.type_a AND s.h < p.theta_ab
+  GROUP BY 1, 2),
+nb AS (
+  SELECT p.type_a, p.type_b, CAST(count(*) AS BIGINT) AS nb
+  FROM pairs p JOIN sample s ON s.event_type = p.type_b AND s.h < p.theta_ab
+  GROUP BY 1, 2),
+nc AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM sample a
+  JOIN sample b ON a.h = b.h AND a.event_type < b.event_type
+  JOIN pairs p ON p.type_a = a.event_type AND p.type_b = b.event_type
+  WHERE a.h < p.theta_ab
+  GROUP BY 1, 2),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM d GROUP BY event_type),
+ec AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS ec
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.theta_ab,
+       coalesce(na.na, 0) + coalesce(nb.nb, 0) - coalesce(nc.nc, 0) AS n_union_sample,
+       CAST(round((coalesce(na.na, 0) + coalesce(nb.nb, 0) - coalesce(nc.nc, 0))
+                  * {float(_THETA_MAX)!r} / p.theta_ab) AS BIGINT) AS est_union,
+       xa.n_exact + xb.n_exact - coalesce(ec.ec, 0) AS exact_union,
+       CAST(round((coalesce(na.na, 0) - coalesce(nc.nc, 0))
+                  * {float(_THETA_MAX)!r} / p.theta_ab) AS BIGINT) AS est_a_not_b,
+       xa.n_exact - coalesce(ec.ec, 0) AS exact_a_not_b,
+       CAST(round((coalesce(nb.nb, 0) - coalesce(nc.nc, 0))
+                  * {float(_THETA_MAX)!r} / p.theta_ab) AS BIGINT) AS est_b_not_a,
+       xb.n_exact - coalesce(ec.ec, 0) AS exact_b_not_a
+FROM pairs p
+LEFT JOIN na ON na.type_a = p.type_a AND na.type_b = p.type_b
+LEFT JOIN nb ON nb.type_a = p.type_a AND nb.type_b = p.type_b
+LEFT JOIN nc ON nc.type_a = p.type_a AND nc.type_b = p.type_b
+LEFT JOIN ec ON ec.type_a = p.type_a AND ec.type_b = p.type_b
+JOIN sizes xa ON xa.event_type = p.type_a
+JOIN sizes xb ON xb.event_type = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
 # ------------------------------------------------------- k-core peel
 _KCORE_K = 3
 _KCORE_ROUNDS = 3
@@ -3027,6 +3231,7 @@ TRAINPREP_QUERIES = {
     ),
     "events_kmv_distinct": (q_events_kmv_distinct, SQL_EVENTS_KMV_DISTINCT),
     "events_theta_intersect": (q_events_theta_intersect, SQL_EVENTS_THETA_INTERSECT),
+    "events_theta_union_diff": (q_events_theta_union_diff, SQL_EVENTS_THETA_UNION_DIFF),
     "events_cms_heavy_hitters": (
         q_events_cms_heavy_hitters,
         SQL_EVENTS_CMS_HEAVY_HITTERS,

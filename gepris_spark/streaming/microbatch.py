@@ -423,6 +423,7 @@ class CrawlEngine:
         pages: DataFrame,
         runs: DataFrame,
         max_retries: int = 2,
+        fetch=None,
     ) -> dict:
         """§3.1 lifecycle, steps 4-7: fetch+parse the scheduled de batch,
         loop A5 retries until exhausted (each retry refetches, mirroring
@@ -431,7 +432,10 @@ class CrawlEngine:
         ids checked in the frontier (K2).
 
         `pages` is the page source (corpus-backed fetch); `runs` the run
-        ledger for the history latest-view join.
+        ledger for the history latest-view join. `fetch` overrides the
+        fetch stage (details_chain's injection point) — e.g.
+        fetchparse.read_through_fetch for cache-with-live-fallback, or
+        http_fetch_stage for the all-live leg.
         """
         from gepris_spark.operators import chaining, fetchparse
         from gepris_spark.operators.frontier import Frontier
@@ -447,6 +451,7 @@ class CrawlEngine:
             fetchparse.parse_stage,
             max_retries=max_retries,
             broadcast_fetch=bcast,
+            fetch=fetch,
         )
         items, nonsuccess = result["items"], result["terminal_nonsuccess"]
         cached = list(result.get("_cached", []))
@@ -469,6 +474,7 @@ class CrawlEngine:
                 fetchparse.parse_stage,
                 max_retries=max_retries,
                 broadcast_fetch=bcast,
+                fetch=fetch,
             )
             items = items.unionByName(again["items"])
             nonsuccess = nonsuccess.unionByName(again["terminal_nonsuccess"])
