@@ -46,10 +46,13 @@ def _materialize(df) -> int:
     return 0
 
 
-def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+def run_queries(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, float], list[str]]:
     """Time every contract query COLD (first run in this JVM: pays
     whole-stage-codegen compile, broadcast build, worker fork) and WARM
-    (second run, steady-state plan cost). Returns (warm, cold).
+    (second run, steady-state plan cost). Returns (warm, cold,
+    cache_leaks) — see _release_query_state for the leak criterion.
 
     The warm number is the one that is comparable across rounds — the
     round-2 postmortem showed single cold runs measure JVM state, not
@@ -60,27 +63,37 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    leaks: list[str] = []
     for name, fn in sorted(entrymod.queries().items()):
         for target in (cold, warm):
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))
             target[name] = round(time.perf_counter() - t0, 3)
-            _release_query_state(spark)
-    return warm, cold
+            if not _release_query_state(spark) and name not in leaks:
+                leaks.append(name)
+    return warm, cold, leaks
 
 
-def _release_query_state(spark) -> None:
+def _release_query_state(spark) -> bool:
     """Drop blocks persisted inside a query (several queries
     legitimately persist self-join inputs); without this the leftovers
-    accumulate across 40 queries and later queries measure GC
-    pressure, not their own plan. cacheutil releases the tracked
-    persists AND forces a GC so localCheckpoint RDDs (dedup_clusters)
-    are reclaimed by the ContextCleaner — clearCache alone would not
-    free those."""
+    accumulate across the suite and later queries measure GC pressure,
+    not their own plan. cacheutil releases the tracked persists AND
+    forces a GC so localCheckpoint RDDs (dedup_clusters) are reclaimed
+    by the ContextCleaner — clearCache alone would not free those.
+
+    Returns whether the LIBRARY release alone (cacheutil, round-4
+    strong-ref registry) left the JVM cache manager empty — measured
+    BEFORE the belt-and-braces clearCache, so the reported
+    `cache_leaks` list is exactly the set of queries a library caller
+    using cacheutil.scope() would leak blocks from (round-3 ask #4:
+    must be empty)."""
     from gepris_spark import cacheutil
 
     cacheutil.release_caches()
+    library_clean = bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
     spark.catalog.clearCache()
+    return library_clean
 
 
 def _warm_python_workers(spark) -> None:
@@ -253,13 +266,17 @@ def bench_once(args) -> dict:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     try:
         _warm_python_workers(spark)
-        warm, cold = run_queries(spark, sf_dir)
+        warm, cold, leaks = run_queries(spark, sf_dir)
         result["queries"] = warm
         result["queries_cold"] = cold
         result["value"] = round(sum(warm.values()), 3)
         result["total_cold_sec"] = round(sum(cold.values()), 3)
         result["metric"] = "total_query_wall_seconds_warm"
         result["unit"] = "sec"
+        # queries whose library-level release (cacheutil alone, before
+        # the harness clearCache) left cached blocks behind — the
+        # round-3 #4 criterion is an empty list
+        result["cache_leaks"] = leaks
     finally:
         spark.stop()
     common = ["--replay-batch-size", str(args.replay_batch_size), "--cpus", str(cpus)]

@@ -2117,9 +2117,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge count — so it broadcasts and the edge relation never
     reshuffles; on a web graph whose survivor set exceeds
     GRAPH_BROADCAST_MAX_ROWS the same joins fall back to shuffle
-    left_semi partitioned on the node key (the measured per-round
-    count picks the strategy — tests/test_plan_audit.py asserts both
-    plans); each round's surviving edges are persisted so round
+    left_semi partitioned on the node key (ONE measured node count —
+    a sound bound for every round, since peeling only removes nodes —
+    picks the strategy; tests/test_plan_audit.py asserts both plans);
+    each round's surviving edges are persisted so round
     r+1's degree count starts from blocks, not from a re-derivation of
     the whole prefix (the unpersisted form re-ran the orders⋈lineitem
     distinct once per downstream round: 9.8 s → 3.1 s warm at sf0.1).
@@ -2146,19 +2147,23 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = cacheutil.track(edges.persist())
+    # strategy choice from ONE measured bound: peeling only ever
+    # REMOVES nodes, so the initial node count upper-bounds every
+    # round's survivor set — one count job decides broadcast vs
+    # shuffle for the whole loop (a per-round count tripled the
+    # query's actions and doubled its wall time at sf0.1, measured
+    # round 4: 6.4 s -> 14.8 s, reverted)
+    n_nodes = _deg(edges).count()
     for _ in range(_KCORE_ROUNDS):
-        keep = cacheutil.track(
-            _deg(edges).where(F.col("deg") >= _KCORE_K).select("node").persist()
-        )
-        n_keep = keep.count()
+        keep = _deg(edges).where(F.col("deg") >= _KCORE_K).select("node")
         edges = cacheutil.track(
             edges.join(
-                _maybe_broadcast(keep.withColumnRenamed("node", "src"), n_keep),
+                _maybe_broadcast(keep.withColumnRenamed("node", "src"), n_nodes),
                 "src",
                 "left_semi",
             )
             .join(
-                _maybe_broadcast(keep.withColumnRenamed("node", "dst"), n_keep),
+                _maybe_broadcast(keep.withColumnRenamed("node", "dst"), n_nodes),
                 "dst",
                 "left_semi",
             )

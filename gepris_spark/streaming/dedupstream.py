@@ -70,11 +70,13 @@ def write_arrival_files_with_dups(
 
     from gepris_spark.streaming import feedwriter as FW
 
+    from gepris_spark import cacheutil
+
     spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
     df = FW.as_events_df(spark, events, _FEED_COLS)
-    ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
-    try:
+    with cacheutil.scope():
+        ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
         base = ranked.withColumn("_file", FW.contiguous_file_expr(n, n_files))
         dups = base.where(F.col("event_id") % _DUP_MOD == 0).withColumn(
             "_file", F.least(F.col("_file") + 1, F.lit(n_files - 1)).cast("int")
@@ -90,8 +92,6 @@ def write_arrival_files_with_dups(
             ).withColumn("_file", F.lit(n_files - 1).cast("int"))
             feed = feed.unionByName(sent)
         FW.write_numbered_files(feed, src, n_files, _FEED_COLS, _ARRIVAL_SCHEMA)
-    finally:
-        ranked.unpersist()
     return src
 
 

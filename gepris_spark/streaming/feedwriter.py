@@ -65,14 +65,19 @@ def as_events_df(spark: SparkSession, events, columns: list[str]) -> DataFrame:
 def with_global_rank(df: DataFrame, order_cols: list[str]) -> tuple[DataFrame, int]:
     """Attach a 0-based global rank `_r` in `order_cols` order without
     a global sort: range-partition, O(partitions) count collect,
-    prefix-offset map, per-partition row_number. Returns the ranked
-    DataFrame (persisted — caller must unpersist) and the row count.
-    """
+    prefix-offset map, per-partition row_number. The range-partitioned
+    input is persisted (offsets and the window must see ONE layout)
+    and registered with cacheutil — callers wrap the rank+write span
+    in `cacheutil.scope()` so the blocks release on completion (the
+    round-4 bench `cache_leaks` probe proved a bare unpersist of the
+    DERIVED frame silently leaked the underlying persist)."""
+    from gepris_spark import cacheutil
+
     spark = df.sparkSession
     p = max(spark.sparkContext.defaultParallelism, 1)
     order = [F.col(c).asc() for c in order_cols]
     ranged = df.repartitionByRange(p, *order).withColumn("_pid", F.spark_partition_id())
-    ranged = ranged.persist()
+    ranged = cacheutil.track(ranged.persist())
     counts = {
         r["_pid"]: r["c"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()

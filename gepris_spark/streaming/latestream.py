@@ -82,11 +82,13 @@ def write_late_arrival_files(events, root: str, n_files: int = _N_FILES) -> str:
 
     from gepris_spark.streaming import feedwriter as FW
 
+    from gepris_spark import cacheutil
+
     spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
     df = FW.as_events_df(spark, events, _FEED_COLS)
-    ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
-    try:
+    with cacheutil.scope():
+        ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
         max_ts = ranked.agg(F.max("ts")).collect()[0][0]
         slot = FW.contiguous_file_expr(n, n_files)
         assigned = ranked.withColumn(
@@ -105,8 +107,6 @@ def write_late_arrival_files(events, root: str, n_files: int = _N_FILES) -> str:
             _FEED_COLS,
             _ARRIVAL_SCHEMA,
         )
-    finally:
-        ranked.unpersist()
     return src
 
 

@@ -67,11 +67,13 @@ def write_arrival_files(events, root: str, n_files: int = _N_ARRIVAL_FILES) -> s
 
     from gepris_spark.streaming import feedwriter as FW
 
+    from gepris_spark import cacheutil
+
     spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
     df = FW.as_events_df(spark, events, _FEED_COLS)
-    ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
-    try:
+    with cacheutil.scope():
+        ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
         max_ts = ranked.agg(F.max("ts")).collect()[0][0]
         assigned = ranked.withColumn("_file", FW.contiguous_file_expr(n, n_files))
         sentinel = spark.createDataFrame(
@@ -84,8 +86,6 @@ def write_arrival_files(events, root: str, n_files: int = _N_ARRIVAL_FILES) -> s
             _FEED_COLS,
             _ARRIVAL_SCHEMA,
         )
-    finally:
-        ranked.unpersist()
     return src
 
 

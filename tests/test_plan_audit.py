@@ -125,6 +125,8 @@ def test_no_cartesian_products_anywhere(spark):
         # NLJ like ann_topk's query side; the sampled-hash
         # intersection itself is an equi-join on h
         "events_theta_intersect",
+        # same bounded theta self-join under type_a < type_b (round 4)
+        "events_theta_union_diff",
     }
     offenders = []
     for name, fn in entry.queries().items():
