@@ -3199,6 +3199,287 @@ ORDER BY l.node
 SQL_GRAPH_LABEL_PROPAGATION = _sql_label_propagation()
 
 
+# ----------------------------------------------- hybrid retrieval (RRF)
+_RRF_K = 60
+_RRF_TOPK = 10
+_RRF_N_QUERIES = 3
+
+
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009, RRF) — the fusion step every
+    RAG/decontamination/retrieval pipeline runs between its BM25-style
+    lexical index and its embedding ANN index. For each query doc
+    (doc_id < 3) the corpus is ranked TWICE: by exact embedding cosine
+    (the ann_topk_cosine convention: rounded to _COS_RANK_DECIMALS,
+    ties -> doc_id asc) and by char-3-gram jaccard against the query's
+    text (the dedup_ngram gram normalization; docs sharing no gram
+    rank by id after the overlapping ones). Fused score per doc is
+    1/(K + r_cos) + 1/(K + r_lex) with K = 60, snapped to integer
+    nano-units so the cross-engine compare is exact; top-10 per query.
+
+    Shape at 100 TB: the lexical leg is an inverted-index semi-join —
+    the O(|query| * grams) probe set broadcasts against the exploded
+    gram postings (at scale: the materialized minhash/gram index,
+    exactly like minhash_band_table) and aggregates with map-side
+    partials; the cosine leg is the brute baseline here (3 query rows
+    broadcast through one vectorized pass) and swaps for the IVF/LSH
+    candidate path unchanged — RRF only consumes RANKS, so the fusion
+    is index-agnostic. Ranking windows are per-query over O(corpus)
+    scored rows; the final top-k is a bounded window cut."""
+    from gepris_spark.plans.datapipe import _COS_RANK_DECIMALS, _cosine_batch
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries_e = emb.where(F.col("vec_id") < _RRF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    spine = (
+        F.broadcast(queries_e)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine_batch(F.col("qv"), F.col("v")), _COS_RANK_DECIMALS).alias("_cos"),
+        )
+    )
+    norm = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("t"),
+    )
+    grams = (
+        norm.where(F.length("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+                )
+            ).alias("gram"),
+        )
+    )
+    qgrams = grams.where(F.col("doc_id") < _RRF_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "gram"
+    )
+    inter = (
+        F.broadcast(qgrams)
+        .join(grams, "gram")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "query_id").withColumnRenamed("n_grams", "nq"), "query_id")
+        .join(sizes, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("n_inter") / (F.col("nq") + F.col("n_grams") - F.col("n_inter")), 6
+            ).alias("_jac"),
+        )
+    )
+    scored = spine.join(jac, ["query_id", "doc_id"], "left").withColumn(
+        "_jac", F.coalesce(F.col("_jac"), F.lit(0.0))
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("doc_id").asc())
+    w_lex = Window.partitionBy("query_id").orderBy(F.col("_jac").desc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("rank_cos", F.row_number().over(w_cos)).withColumn(
+        "rank_lex", F.row_number().over(w_lex)
+    )
+    fused = ranked.withColumn(
+        "rrf_nano",
+        F.round(
+            F.lit(1e9) / (F.lit(_RRF_K) + F.col("rank_cos"))
+            + F.lit(1e9) / (F.lit(_RRF_K) + F.col("rank_lex"))
+        ).cast("long"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .where(F.col("fused_rank") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank_cos").cast("int").alias("rank_cos"),
+            F.col("rank_lex").cast("int").alias("rank_lex"),
+            "rrf_nano",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+SQL_SEARCH_HYBRID_RRF = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_RRF_N_QUERIES}),
+spine AS (
+  SELECT q.query_id, v.vec_id AS doc_id,
+         round(list_dot_product(q.qe, v.e) /
+           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6)
+           AS cos
+  FROM q JOIN v ON v.vec_id <> q.query_id),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, i, 3) AS gram
+  FROM norm, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT qg.doc_id AS query_id, g.doc_id, count(*) AS n_inter
+  FROM grams qg
+  JOIN grams g ON g.gram = qg.gram AND g.doc_id <> qg.doc_id
+  WHERE qg.doc_id < {_RRF_N_QUERIES}
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.query_id, i.doc_id,
+         round(i.n_inter / (sq.n + sd.n - i.n_inter), 6) AS jac
+  FROM inter i
+  JOIN sizes sq ON sq.doc_id = i.query_id
+  JOIN sizes sd ON sd.doc_id = i.doc_id),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.cos DESC, s.doc_id ASC) AS rank_cos,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY coalesce(j.jac, 0.0) DESC, s.doc_id ASC) AS rank_lex
+  FROM spine s
+  LEFT JOIN jac j ON j.query_id = s.query_id AND j.doc_id = s.doc_id),
+fused AS (
+  SELECT query_id, doc_id, rank_cos, rank_lex,
+         CAST(round(1e9 / ({_RRF_K} + rank_cos) + 1e9 / ({_RRF_K} + rank_lex)) AS BIGINT)
+           AS rrf_nano
+  FROM ranked)
+SELECT query_id, doc_id,
+       CAST(rank_cos AS INT) AS rank_cos,
+       CAST(rank_lex AS INT) AS rank_lex,
+       rrf_nano,
+       CAST(fused_rank AS INT) AS fused_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_nano DESC, doc_id ASC) AS fused_rank
+      FROM fused)
+WHERE fused_rank <= {_RRF_TOPK}
+ORDER BY query_id, fused_rank
+"""
+
+
+# ------------------------------------------------- UniMax mixture budget
+_UNIMAX_BUDGET_NUM = 9  # budget = 9/10 of corpus tokens (UniMax-1 with
+_UNIMAX_BUDGET_DEN = 10  # a binding budget: both branches live)
+_UNIMAX_EPOCH_CAP = 1
+
+
+def q_corpus_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, 'UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining'): split a token budget across sources as uniformly as
+    possible subject to a per-source epoch cap — the allocation step
+    between raw per-source token counts and a pretraining mixture,
+    fairer than proportional-to-size and bounded-repetition unlike
+    temperature sampling. UniMax-1 here (cap = 1 epoch), budget =
+    9/10 of the corpus so the cap binds for the small sources and the
+    rest share — both branches of the waterfill are live at every sf.
+
+    Exact integer waterfilling in ONE window pass (no iteration):
+    sort sources by capacity ascending; source i (1-based, of L) is
+    CAPPED iff cap_i * (L - i + 1) + prefix_cap_{<i} <= B — since
+    caps ascend, cappedness is a prefix property, so the first
+    uncapped index t yields share = (B - prefix_cap_{<t}) div
+    (L - t + 1), remainder r to the first r uncapped sources in
+    (capacity, source) order. All-integer arithmetic; the 1-row
+    (t, share, remainder) aggregate broadcasts back onto the O(sources)
+    relation. Shape at 100 TB: ONE corpus shuffle builds the
+    per-source token counts (map-side combinable); everything after
+    runs on the O(sources) aggregate."""
+    toks = (
+        load(spark, sf_dir, "documents", spread=True)
+        .select("source", TS.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    caps = toks.withColumn("capacity", F.col("n_tokens") * _UNIMAX_EPOCH_CAP)
+    w = Window.orderBy(F.col("capacity").asc(), F.col("source").asc())
+    idx = caps.withColumn("i", F.row_number().over(w)).withColumn(
+        "prefix_prev", F.coalesce(F.sum("capacity").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    )
+    totals = idx.agg(
+        F.count(F.lit(1)).alias("L"),
+        F.expr(f"sum(n_tokens) * {_UNIMAX_BUDGET_NUM} div {_UNIMAX_BUDGET_DEN}").alias("B"),
+    )
+    j = idx.join(F.broadcast(totals), F.lit(True))
+    j = j.withColumn(
+        "capped", F.col("capacity") * (F.col("L") - F.col("i") + 1) + F.col("prefix_prev") <= F.col("B")
+    )
+    t_row = j.agg(
+        F.min(F.when(~F.col("capped"), F.col("i"))).alias("t"),
+        F.min(F.when(~F.col("capped"), F.col("prefix_prev"))).alias("prefix_t"),
+        F.first("L").alias("_L"),
+        F.first("B").alias("_B"),
+    ).select(
+        "t",
+        F.expr("(_B - prefix_t) div (_L - t + 1)").alias("share"),
+        F.expr("(_B - prefix_t) % (_L - t + 1)").alias("rem"),
+    )
+    alloc = j.join(F.broadcast(t_row), F.lit(True)).select(
+        "source",
+        "n_tokens",
+        "capacity",
+        F.when(F.col("capped"), F.col("capacity"))
+        .otherwise(
+            F.col("share")
+            + F.when(F.col("i") - F.col("t") < F.col("rem"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+    return alloc.withColumn(
+        "epochs_micro", F.expr("alloc_tokens * 1000000 div n_tokens")
+    ).orderBy("source")
+
+
+SQL_CORPUS_UNIMAX_MIXTURE = f"""
+WITH toks AS (
+  SELECT source, CAST(sum(len({_SQL_TOKENS_TRAINPREP})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+caps AS (SELECT source, n_tokens, n_tokens * {_UNIMAX_EPOCH_CAP} AS capacity FROM toks),
+idx AS (
+  SELECT *,
+         row_number() OVER (ORDER BY capacity, source) AS i,
+         coalesce(sum(capacity) OVER (ORDER BY capacity, source
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix_prev
+  FROM caps),
+tot AS (SELECT count(*) AS L,
+               sum(n_tokens) * {_UNIMAX_BUDGET_NUM} // {_UNIMAX_BUDGET_DEN} AS B
+        FROM toks),
+flagged AS (
+  SELECT idx.*, tot.L, tot.B,
+         capacity * (tot.L - i + 1) + prefix_prev <= tot.B AS capped
+  FROM idx, tot),
+trow AS (
+  SELECT min(CASE WHEN NOT capped THEN i END) AS t,
+         (any_value(B) - min(CASE WHEN NOT capped THEN prefix_prev END))
+           // (any_value(L) - min(CASE WHEN NOT capped THEN i END) + 1) AS share,
+         (any_value(B) - min(CASE WHEN NOT capped THEN prefix_prev END))
+           % (any_value(L) - min(CASE WHEN NOT capped THEN i END) + 1) AS rem
+  FROM flagged)
+SELECT f.source, f.n_tokens, f.capacity,
+       CAST(CASE WHEN f.capped THEN f.capacity
+                 ELSE trow.share + CASE WHEN f.i - trow.t < trow.rem THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN f.capped THEN f.capacity
+                 ELSE trow.share + CASE WHEN f.i - trow.t < trow.rem THEN 1 ELSE 0 END
+            END * 1000000 // f.n_tokens AS BIGINT) AS epochs_micro
+FROM flagged f, trow
+ORDER BY f.source
+"""
+
+
 TRAINPREP_QUERIES = {
     "graph_shortest_path": (q_graph_shortest_path, SQL_GRAPH_SHORTEST_PATH),
     "graph_label_propagation": (
@@ -3237,6 +3518,8 @@ TRAINPREP_QUERIES = {
     "events_kmv_distinct": (q_events_kmv_distinct, SQL_EVENTS_KMV_DISTINCT),
     "events_theta_intersect": (q_events_theta_intersect, SQL_EVENTS_THETA_INTERSECT),
     "events_theta_union_diff": (q_events_theta_union_diff, SQL_EVENTS_THETA_UNION_DIFF),
+    "search_hybrid_rrf": (q_search_hybrid_rrf, SQL_SEARCH_HYBRID_RRF),
+    "corpus_unimax_mixture": (q_corpus_unimax_mixture, SQL_CORPUS_UNIMAX_MIXTURE),
     "events_cms_heavy_hitters": (
         q_events_cms_heavy_hitters,
         SQL_EVENTS_CMS_HEAVY_HITTERS,

@@ -127,6 +127,12 @@ def test_no_cartesian_products_anywhere(spark):
         "events_theta_intersect",
         # same bounded theta self-join under type_a < type_b (round 4)
         "events_theta_union_diff",
+        # RRF's cosine leg broadcasts the 3-row query set into a
+        # vec_id <> query_id non-equi join — ann_topk's textbook shape
+        "search_hybrid_rrf",
+        # waterfill broadcasts two ONE-row aggregates (totals and the
+        # (t, share, rem) threshold row) onto the O(sources) relation
+        "corpus_unimax_mixture",
     }
     offenders = []
     for name, fn in entry.queries().items():
