@@ -1650,6 +1650,43 @@ def q_events_range_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_range_join_stream(spark, events, query_name="events_range_join_stream_sink")
 
 
+def q_events_range_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_range_join` as a LEFT-OUTER stream-stream join — the
+    state-expiry emission path: views whose 2-hour attribution window
+    closes unmatched surface as explicit zero rows when the watermark
+    passes, instead of being dropped (the inner variant's semantics).
+    Graded against the batch LEFT JOIN oracle; matched groups equal
+    the inner rollup and unmatched views carry 0/0/-1
+    (streaming/joinstream.py:run_range_join_outer_stream has the
+    two-sentinel watermark-flush construction and scale notes)."""
+    from gepris_spark.streaming.joinstream import run_range_join_outer_stream
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return run_range_join_outer_stream(
+        spark, events, query_name="events_range_join_outer_sink"
+    )
+
+
+SQL_EVENTS_RANGE_JOIN_OUTER = f"""
+SELECT v.event_id AS window_id, v.user_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_attributed,
+       CAST(coalesce(SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)), 0) AS BIGINT)
+         AS attributed_value_micro,
+       coalesce(MAX(e.event_id), -1) AS latest_event_id
+FROM events v
+LEFT JOIN events e
+  ON e.user_id = v.user_id
+ AND e.event_type IN ('click', 'purchase')
+ AND epoch_us(v.ts) <= epoch_us(e.ts)
+ AND epoch_us(e.ts) < epoch_us(v.ts) + {_RANGE_WINDOW_US}
+WHERE v.event_type = 'view'
+GROUP BY v.event_id, v.user_id
+ORDER BY v.event_id
+"""
+
+
 # ------------------------------------------------------- KMV sketch
 _KMV_K = 32
 
@@ -3510,6 +3547,7 @@ TRAINPREP_QUERIES = {
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_range_join_stream": (q_events_range_join_stream, SQL_EVENTS_RANGE_JOIN),
+    "events_range_join_outer_stream": (q_events_range_join_outer_stream, SQL_EVENTS_RANGE_JOIN_OUTER),
     "events_dedup_stream": (q_events_dedup_stream, SQL_EVENTS_DEDUP_STREAM),
     "events_sessionize_dedup_stream": (
         q_events_sessionize_dedup_stream,

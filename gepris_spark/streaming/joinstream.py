@@ -59,24 +59,48 @@ _ARRIVAL_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string,
 _FEED_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 
 
-def write_arrival_files(events, root: str, n_files: int = _N_ARRIVAL_FILES) -> str:
+def write_arrival_files(
+    events, root: str, n_files: int = _N_ARRIVAL_FILES, sentinels: bool = False
+) -> str:
     """Split the event log into event-time-ordered arrival files; both
     join sides read the same feed and filter their event types, exactly
     like two consumers of one log topic. Fully distributed via
     streaming/feedwriter.py; `events` may be a Spark DataFrame
-    (contract path) or a pandas frame (tests)."""
+    (contract path) or a pandas frame (tests).
+
+    `sentinels=True` appends TWO watermark-flush rows to the final
+    file — one 'view' and one 'click', user_id = -1, 30/33 days past
+    the corpus max (3 days apart so they cannot match each other) —
+    required by the LEFT-OUTER join variant: outer null rows are
+    withheld until the JOIN watermark (the min across both sides)
+    passes the view's window, and each side's watermark only advances
+    on rows that survive its own event-type filter. The INNER variant
+    needs no sentinel (pairs emit as matches complete)."""
+    import datetime
+
     from pyspark.sql import SparkSession
 
-    from gepris_spark.streaming import feedwriter as FW
-
     from gepris_spark import cacheutil
+    from gepris_spark.streaming import feedwriter as FW
 
     spark = SparkSession.getActiveSession()
     src = os.path.join(root, "arrivals")
     df = FW.as_events_df(spark, events, _FEED_COLS)
     with cacheutil.scope():
         ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
-        assigned = ranked.withColumn("_file", FW.contiguous_file_expr(n, n_files))
+        assigned = ranked.withColumn(
+            "_file", FW.contiguous_file_expr(n, n_files)
+        ).select("_file", *_FEED_COLS)
+        if sentinels:
+            max_ts = ranked.agg(F.max("ts")).collect()[0][0]
+            sent = spark.createDataFrame(
+                [
+                    (-1, max_ts + datetime.timedelta(days=30), -1, "view", 0.0),
+                    (-2, max_ts + datetime.timedelta(days=33), -1, "click", 0.0),
+                ],
+                _ARRIVAL_SCHEMA,
+            ).withColumn("_file", F.lit(n_files - 1).cast("int"))
+            assigned = assigned.unionByName(sent)
         FW.write_numbered_files(assigned, src, n_files, _FEED_COLS, _ARRIVAL_SCHEMA)
     return src
 
@@ -152,6 +176,92 @@ def run_range_join_stream(
                 "attributed_value_micro"
             ),
             F.max("event_id").alias("latest_event_id"),
+        )
+        .orderBy("window_id")
+    )
+
+
+def run_range_join_outer_stream(
+    spark: SparkSession,
+    events,
+    root: str | None = None,
+    query_name: str = "range_join_outer_stream_sink",
+    n_files: int = _N_ARRIVAL_FILES,
+) -> DataFrame:
+    """The LEFT-OUTER stream-stream interval join — the stateful
+    semantic the inner variant cannot show: a buffered view whose
+    attribution window expires WITHOUT a match is emitted as a
+    null-padded row when the join watermark passes its window end
+    (state-expiry emission), so every view appears in the output
+    exactly once-per-group — attributed or not. The crawl analogue:
+    discovery events that never see a fetch-completion within the
+    scheduling horizon surface as explicit misses instead of silently
+    vanishing (the frontier-starvation signal).
+
+    Same construction as run_range_join_stream plus the two flush
+    sentinels (see write_arrival_files): with availableNow the query
+    stops at end of input, and outer rows whose expiry the watermark
+    never crossed would be withheld — the far-future view+click pair
+    pushes BOTH sides' watermarks past every real window. Graded
+    against the batch LEFT JOIN oracle (SQL_EVENTS_RANGE_JOIN_OUTER):
+    matched groups must equal the inner rollup, unmatched views carry
+    n_attributed = 0 / value 0 / latest_event_id -1; invariant to the
+    arrival cut (tests/test_join_stream.py)."""
+    root = root or tempfile.mkdtemp(prefix="gepris_joinouter_")
+    src = write_arrival_files(events, root, n_files=n_files, sentinels=True)
+
+    def feed() -> DataFrame:
+        return (
+            spark.readStream.schema(_ARRIVAL_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    views = (
+        feed()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", _WATERMARK)
+    )
+    probes = (
+        feed()
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", F.col("ts").alias("e_ts"), "value")
+        .withWatermark("e_ts", _WATERMARK)
+    )
+    joined = views.join(
+        probes,
+        F.expr(f"v_user = user_id AND v_ts <= e_ts AND e_ts < v_ts + {_WINDOW_SQL}"),
+        "leftOuter",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(query_name)
+        .where(F.col("v_user") >= 0)  # drop the sentinel view's own row
+        .groupBy("window_id", F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.col("event_id")).alias("n_attributed"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")), F.lit(0)
+            ).cast("long").alias("attributed_value_micro"),
+            F.coalesce(F.max("event_id"), F.lit(-1)).alias("latest_event_id"),
         )
         .orderBy("window_id")
     )

@@ -36,6 +36,43 @@ def test_stream_equals_batch_any_cut(spark):
         pd.testing.assert_frame_equal(stream, batch)
 
 
+def test_outer_stream_equals_batch_left_join_any_cut(spark, duckdb_events=None):
+    """LEFT-OUTER variant: every view appears exactly once-per-group —
+    matched groups equal the inner rollup, unmatched views surface as
+    0/0/-1 rows via watermark state-expiry emission — for ANY arrival
+    cut."""
+    import duckdb
+
+    from gepris_spark.plans.trainprep import SQL_EVENTS_RANGE_JOIN_OUTER
+    from gepris_spark.streaming.joinstream import run_range_join_outer_stream
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = _canon(con.execute(SQL_EVENTS_RANGE_JOIN_OUTER).fetchdf())
+    inner = _canon(q_events_range_join(spark, SF).toPandas())
+    pdf = _events_pdf(spark)
+    for n_files in (1, 4):
+        got = _canon(
+            run_range_join_outer_stream(
+                spark, pdf, query_name=f"rjo_cut{n_files}", n_files=n_files
+            ).toPandas()
+        )
+        assert list(got["window_id"]) == list(want["window_id"])
+        assert list(got["n_attributed"]) == list(want["n_attributed"])
+        assert list(got["attributed_value_micro"]) == list(want["attributed_value_micro"])
+        assert list(got["latest_event_id"]) == list(want["latest_event_id"])
+        # unmatched views exist (the semantics the inner join cannot
+        # show) and the matched subset equals the inner rollup
+        unmatched = got[got["n_attributed"] == 0]
+        assert len(unmatched) > 0
+        assert (unmatched["latest_event_id"] == -1).all()
+        matched = got[got["n_attributed"] > 0].reset_index(drop=True)
+        assert len(matched) == len(inner)
+        assert list(matched["attributed_value_micro"]) == list(
+            inner["attributed_value_micro"]
+        )
+
+
 def test_rerun_replaces_memory_sink(spark):
     pdf = _events_pdf(spark)
     a = _canon(run_range_join_stream(spark, pdf, query_name="rjs_rerun").toPandas())
