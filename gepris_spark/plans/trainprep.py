@@ -1687,6 +1687,43 @@ ORDER BY v.event_id
 """
 
 
+def q_events_enrich_static_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the third of Spark's streaming join
+    classes, completing the set next to the inner
+    (`events_range_join_stream`) and left-outer
+    (`events_range_join_outer_stream`) stream-stream joins: the event
+    feed is enriched per micro-batch against the STATIC customer
+    dimension (broadcast; stateless — no watermark, no join state)
+    and the drained rows roll up per (market segment, event type).
+    The crawl analogue: tagging the live fetch log with the host
+    dimension (robots policy tier, shard owner) without any state
+    store. Graded against the plain batch join oracle; invariant to
+    the arrival cut because the operator is stateless
+    (streaming/joinstream.py:run_enrich_static_stream)."""
+    from gepris_spark.streaming.joinstream import run_enrich_static_stream
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return run_enrich_static_stream(
+        spark, events, dim, query_name="events_enrich_static_sink"
+    )
+
+
+SQL_EVENTS_ENRICH_STATIC = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------- KMV sketch
 _KMV_K = 32
 
@@ -3548,6 +3585,7 @@ TRAINPREP_QUERIES = {
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_range_join_stream": (q_events_range_join_stream, SQL_EVENTS_RANGE_JOIN),
     "events_range_join_outer_stream": (q_events_range_join_outer_stream, SQL_EVENTS_RANGE_JOIN_OUTER),
+    "events_enrich_static_stream": (q_events_enrich_static_stream, SQL_EVENTS_ENRICH_STATIC),
     "events_dedup_stream": (q_events_dedup_stream, SQL_EVENTS_DEDUP_STREAM),
     "events_sessionize_dedup_stream": (
         q_events_sessionize_dedup_stream,

@@ -265,3 +265,63 @@ def run_range_join_outer_stream(
         )
         .orderBy("window_id")
     )
+
+
+def enriched_static_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """The STREAM-STATIC join itself — Spark's third streaming join
+    class next to the inner and left-outer stream-stream joins above:
+    each micro-batch of the unbounded side hash-joins against the
+    bounded dimension snapshot, stateless (no watermark, no join
+    state, rows emit in their arrival batch). The dimension is
+    broadcast — the standard shape for enriching a fetch/event log
+    with a host/user dimension table. Kept as a function so tests can
+    audit the streaming plan (BroadcastHashJoin against the static
+    relation inside the micro-batch plan)."""
+    return stream.join(F.broadcast(dim), "user_id")
+
+
+def run_enrich_static_stream(
+    spark: SparkSession,
+    events,
+    dim: DataFrame,
+    root: str | None = None,
+    query_name: str = "enrich_static_stream_sink",
+    n_files: int = _N_ARRIVAL_FILES,
+) -> DataFrame:
+    """Drive the stream-static enrichment over arrival files with
+    availableNow and roll the drained rows up per (segment, type) —
+    stateless streaming, so no sentinel and no watermark; output must
+    equal the plain batch join + rollup for ANY arrival cut. `dim`:
+    a (user_id, segment) dimension snapshot."""
+    root = root or tempfile.mkdtemp(prefix="gepris_enrichstream_")
+    src = write_arrival_files(events, root, n_files=n_files)
+    stream = (
+        spark.readStream.schema(_ARRIVAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            enriched_static_stream(stream, dim)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(query_name)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("value_micro"),
+        )
+        .orderBy("segment", "event_type")
+    )

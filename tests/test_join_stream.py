@@ -73,6 +73,56 @@ def test_outer_stream_equals_batch_left_join_any_cut(spark, duckdb_events=None):
         )
 
 
+def test_enrich_static_stream_any_cut_and_broadcast_plan(spark):
+    """STREAM-STATIC join: stateless per-micro-batch enrichment must
+    equal the plain batch join for any arrival cut, and the streaming
+    plan must broadcast the static dimension (BroadcastHashJoin in the
+    pre-start plan — not a shuffle of the unbounded side)."""
+    import io
+    import tempfile
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from gepris_spark.streaming import joinstream
+
+    dim = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    batch = (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("value_micro"),
+        )
+        .orderBy("segment", "event_type")
+        .toPandas()
+    )
+    for n_files in (1, 4):
+        got = joinstream.run_enrich_static_stream(
+            spark, events, dim, query_name=f"ens_cut{n_files}", n_files=n_files
+        ).toPandas()
+        pd.testing.assert_frame_equal(got, batch)
+
+    root = tempfile.mkdtemp(prefix="gepris_ensplan_")
+    src = joinstream.write_arrival_files(_events_pdf(spark), root, n_files=2)
+    stream = (
+        spark.readStream.schema(joinstream._ARRIVAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joinstream.enriched_static_stream(stream, dim).explain()
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
 def test_rerun_replaces_memory_sink(spark):
     pdf = _events_pdf(spark)
     a = _canon(run_range_join_stream(spark, pdf, query_name="rjs_rerun").toPandas())
