@@ -44,13 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # distribution + iterative-graph broadcast fallback) so the driver
 # verifies this round's diffs directly.
 #
-# ROUND-5 ROTATION NOTE: lead with the remaining 33 never-checked
+# ROUND-5 ROTATION NOTE: lead with the remaining 34 never-checked
 # TRAINPREP queries (graph_pagerank/triangles, events_sessionize,
 # asof_enrich, range_join(+_outer_stream), sketches incl. the round-4
 # events_theta_union_diff, bpe_*, text_*, corpus_* incl. the round-4
 # corpus_unimax_mixture, search_hybrid_rrf,
-# events_enrich_static_stream, embedding_hard_negatives, domain_cap)
-# + 17 re-checks of the oldest round-3 rows.
+# events_enrich_static_stream, corpus_chunk_overlap,
+# embedding_hard_negatives, domain_cap) + 16 re-checks of the oldest
+# round-3 rows.
 _R04_FIRST = (
     # TRUTH (19)
     "search_results_parse", "entity_etl_projekte", "entity_etl_personen",

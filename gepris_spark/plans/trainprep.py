@@ -3442,6 +3442,71 @@ ORDER BY query_id, fused_rank
 """
 
 
+# --------------------------------------------- overlapping chunking
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (25% overlap)
+
+
+def q_corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking — the retrieval/RAG prep step
+    between raw documents and an embedding index (and the unit every
+    long-context eval slices on): windows of _CHUNK_W tokens at
+    stride _CHUNK_S (25% overlap so no boundary-spanning phrase is
+    lost), one row per (doc, chunk) with the token span and an md5
+    content fingerprint so the oracle grades the chunk CONTENT, not
+    just the arithmetic. Differs from corpus_pack_sequences (packing
+    concatenates docs to fill a context; chunking splits one doc into
+    overlapping windows).
+
+    Shape at 100 TB: a pure scan-side projection + explode — ZERO
+    shuffles; tokenization binds once per row, the window starts are
+    a generated sequence, each chunk a bounded array slice. The only
+    wide thing downstream is whatever consumes the chunks."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", TS.tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"sequence(0, size(toks) - 1, {_CHUNK_S})")
+        ).alias("chunk_id", "start_tok"),
+        "toks",
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(
+                F.lit(_CHUNK_W), F.size("toks") - F.col("start_tok")
+            ).cast("long").alias("n_tok"),
+            F.md5(
+                F.concat_ws(" ", F.expr(f"slice(toks, start_tok + 1, {_CHUNK_W})"))
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+SQL_CORPUS_CHUNK_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS_TRAINPREP} AS t FROM documents
+  WHERE len({_SQL_TOKENS_TRAINPREP}) > 0),
+starts AS (
+  SELECT doc_id, t, CAST(u.i AS BIGINT) AS start_tok,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.i) - 1 AS BIGINT)
+           AS chunk_id
+  FROM toks, UNNEST(range(0, len(t), {_CHUNK_S})) AS u(i))
+SELECT doc_id, chunk_id, start_tok,
+       CAST(least({_CHUNK_W}, len(t) - start_tok) AS BIGINT) AS n_tok,
+       md5(array_to_string(t[start_tok + 1 : least(start_tok + {_CHUNK_W}, len(t))], ' '))
+         AS chunk_md5
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
 # ------------------------------------------------- UniMax mixture budget
 _UNIMAX_BUDGET_NUM = 9  # budget = 9/10 of corpus tokens (UniMax-1 with
 _UNIMAX_BUDGET_DEN = 10  # a binding budget: both branches live)
@@ -3596,6 +3661,7 @@ TRAINPREP_QUERIES = {
     "events_theta_union_diff": (q_events_theta_union_diff, SQL_EVENTS_THETA_UNION_DIFF),
     "search_hybrid_rrf": (q_search_hybrid_rrf, SQL_SEARCH_HYBRID_RRF),
     "corpus_unimax_mixture": (q_corpus_unimax_mixture, SQL_CORPUS_UNIMAX_MIXTURE),
+    "corpus_chunk_overlap": (q_corpus_chunk_overlap, SQL_CORPUS_CHUNK_OVERLAP),
     "events_cms_heavy_hitters": (
         q_events_cms_heavy_hitters,
         SQL_EVENTS_CMS_HEAVY_HITTERS,
