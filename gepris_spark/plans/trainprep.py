@@ -3345,8 +3345,17 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # query-side sizes: a |queries|-row relation joined on query_id —
+    # broadcast it (a shuffle keyed on 3 distinct values would send
+    # every inter row to <=3 partitions); the per-doc sizes join keys
+    # on doc_id and spreads uniformly
+    qsizes = F.broadcast(
+        sizes.where(F.col("doc_id") < _RRF_N_QUERIES).select(
+            F.col("doc_id").alias("query_id"), F.col("n_grams").alias("nq")
+        )
+    )
     jac = (
-        inter.join(sizes.withColumnRenamed("doc_id", "query_id").withColumnRenamed("n_grams", "nq"), "query_id")
+        inter.join(qsizes, "query_id")
         .join(sizes, "doc_id")
         .select(
             "query_id",
