@@ -44,14 +44,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # distribution + iterative-graph broadcast fallback) so the driver
 # verifies this round's diffs directly.
 #
-# ROUND-5 ROTATION NOTE: lead with the remaining 34 never-checked
-# TRAINPREP queries (graph_pagerank/triangles, events_sessionize,
-# asof_enrich, range_join(+_outer_stream), sketches incl. the round-4
-# events_theta_union_diff, bpe_*, text_*, corpus_* incl. the round-4
-# corpus_unimax_mixture, search_hybrid_rrf,
-# events_enrich_static_stream, corpus_chunk_overlap,
-# embedding_hard_negatives, domain_cap) + 16 re-checks of the oldest
-# round-3 rows.
+# Round 5 executes that note: _R05_FIRST leads with the 34 queries that
+# have never earned a driver row (the TRAINPREP tail) + 16 re-checks —
+# the 14 oldest round-3 rows in their original grading order plus
+# ann_topk_ivf / ann_topk_lsh, which round 5 touches (IVF multi-probe),
+# so the driver verifies this round's diff directly. After this window
+# every one of the 134 contract queries has a driver CORRECTNESS row.
+_R05_FIRST = (
+    # TRAINPREP never-checked (34)
+    "events_daily_fill", "events_hopping_window", "events_json_extract",
+    "events_rollup", "events_pivot", "text_exact_substring",
+    "text_bm25_topk", "graph_pagerank", "embedding_hard_negatives",
+    "text_quality_classifier", "corpus_mixture_downsample",
+    "events_sessionize", "events_asof_enrich", "text_pii_scrub",
+    "text_boilerplate_lines", "bpe_pair_counts", "bpe_train_merges",
+    "bpe_encode_vocab", "corpus_token_profile", "domain_cap",
+    "events_range_join", "events_range_join_outer_stream",
+    "events_enrich_static_stream", "events_kmv_distinct",
+    "events_theta_intersect", "events_theta_union_diff",
+    "search_hybrid_rrf", "corpus_unimax_mixture", "corpus_chunk_overlap",
+    "events_cms_heavy_hitters", "events_quantile_sketch",
+    "corpus_dsir_weights", "events_hll_distinct", "graph_triangles",
+    # Re-checks: oldest round-3 rows (14) + the two ANN queries round 5
+    # touches (IVF multi-probe; LSH shares the tie-grading fixture)
+    "pricing_summary", "latest_wins", "latest_items_coalesce",
+    "explode_refs", "antijoin_discovery", "priority_topk",
+    "merge_change_detection", "vanished_marking", "hierarchy_closure",
+    "latest_stat", "insert_if_changed", "windowed_counts", "dedup_exact",
+    "dedup_minhash_lsh", "ann_topk_ivf", "ann_topk_lsh",
+)
+
 _R04_FIRST = (
     # TRUTH (19)
     "search_results_parse", "entity_etl_projekte", "entity_etl_personen",
@@ -105,7 +127,7 @@ def _oracle_checked() -> dict[str, tuple]:
         **WEBSIGNALS_QUERIES,
         **STORAGEPIPE_QUERIES,
     }
-    rotated = {name: merged.pop(name) for name in _R04_FIRST}
+    rotated = {name: merged.pop(name) for name in _R05_FIRST}
     rotated.update(merged)
     return rotated
 
