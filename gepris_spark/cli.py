@@ -313,11 +313,27 @@ def cmd_cache(args) -> int:
     out = args.out or args.pages
     if args.out:
         kept.write.mode("overwrite").parquet(args.out)
-    else:
+    elif evicted:
+        # Crash-safe in-place swap: validate the staged rewrite (readable
+        # parquet, row count == original - evicted) BEFORE the original
+        # leaves its path, clear any stale backup from a crashed prior run
+        # so the rename cannot hit a non-empty target, and only delete the
+        # backup once the validated staging dir sits at the store path.
         base = args.pages.rstrip("/")
         staging, backup = base + ".evict-staging", base + ".evict-old"
         shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
+        original_rows = pages.count()
         kept.write.mode("overwrite").parquet(staging)
+        staged_rows = spark.read.parquet(staging).count()
+        expected = original_rows - len(evicted)
+        if staged_rows != expected:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise SystemExit(
+                f"cache evict: staged store has {staged_rows} rows, expected "
+                f"{expected} ({original_rows} - {len(evicted)} evicted); "
+                "original left untouched"
+            )
         os.rename(base, backup)
         os.rename(staging, base)
         shutil.rmtree(backup)

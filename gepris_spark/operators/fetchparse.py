@@ -484,8 +484,10 @@ def fetch_pages(
 ) -> DataFrame:
     """S7/S8 — the corpus-backed fetch: left join on (url, language).
 
-    Missing pages surface as status='error' rows (connection failure
-    analogue).
+    Missing pages carry fetch_status NULL (connection-failure analogue);
+    the downstream parse stage routes NULL-status rows to status='error',
+    and read_through_fetch keys its cache-miss fallback on exactly this
+    NULL signal.
 
     Physical plan: while the batch of scheduled urls is small (bounded
     by the per-batch budget) and the page store is the big side, the
@@ -550,7 +552,12 @@ def read_through_fetch(
     network — so evicting one (id, context)'s pages from the store
     (`cli cache evict`, reference cache_control.py:21-37
     delete_detail_cache) forces exactly those pages to refetch in the
-    next batch while every other row still serves from cache."""
+    next batch while every other row still serves from cache.
+
+    Note cached rows whose STORED status is an error still count as
+    cache hits and never fall through to live_fetch — intended parity
+    with Scrapy's DummyPolicy, which serves any cached response
+    regardless of status; only rows absent from the store refetch."""
     cached = fetch_pages(scheduled, pages, broadcast_scheduled=broadcast_scheduled)
     hits = cached.where(F.col("fetch_status").isNotNull())
     misses = cached.where(F.col("fetch_status").isNull()).drop(

@@ -116,6 +116,12 @@ def write_numbered_files(
     staging = src + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
+    # Clear any pre-existing arrival files (a reused root with a smaller
+    # n_files, or the pre-round-4 unpadded arrival_{i}.parquet names) —
+    # FileStreamSource would otherwise ingest the stale files too and
+    # silently duplicate feed rows.
+    for stale in glob.glob(os.path.join(src, "arrival_*.parquet")):
+        os.remove(stale)
     (
         assigned.select("_file", *columns)
         .repartition(n_files, "_file")

@@ -135,3 +135,54 @@ def test_evict_to_out_leaves_source_untouched(spark, tmp_path, small_corpus, cap
     pat = f"/gepris/projekt/{some_id}$"
     assert spark.read.parquet(src).where(F.col("url").rlike(pat)).count() == rec["evicted"]
     assert spark.read.parquet(out).where(F.col("url").rlike(pat)).count() == 0
+
+
+def test_evict_zero_matches_skips_rewrite(spark, tmp_path, small_corpus, capsys):
+    """No matching pages -> no staged swap at all: the store's physical
+    files are untouched (same paths + mtimes), nothing is destroyed on
+    the evicted == 0 path (round-4 advice: crash-safe evict)."""
+    _, pages = small_corpus
+    src = str(tmp_path / "zero_store")
+    spark.createDataFrame(pages).write.parquet(src)
+    import glob as _glob
+    import os as _os
+
+    before = {f: _os.path.getmtime(f) for f in _glob.glob(src + "/*.parquet")}
+    assert main(["cache", "evict", "--pages", src, "--id", "999999999"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["evicted"] == 0
+    after = {f: _os.path.getmtime(f) for f in _glob.glob(src + "/*.parquet")}
+    assert after == before  # identical files — the rewrite never ran
+    assert not _os.path.exists(src + ".evict-staging")
+    assert not _os.path.exists(src + ".evict-old")
+
+
+def test_evict_survives_stale_backup_from_crashed_run(
+    spark, tmp_path, small_corpus, capsys
+):
+    """A leftover non-empty .evict-old dir from a crashed prior run must
+    not make os.rename(base, backup) raise; the evict clears it first
+    (round-4 advice: crash-safe evict)."""
+    seeds, pages = small_corpus
+    src = str(tmp_path / "crashed_store")
+    spark.createDataFrame(pages).write.parquet(src)
+    import os as _os
+
+    stale = src + ".evict-old"
+    _os.makedirs(stale, exist_ok=True)
+    with open(_os.path.join(stale, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    some_id = int(
+        next(
+            r.item_id
+            for r in seeds.dropna(subset=["item_id"]).itertuples(index=False)
+            if r.context == "projekt"
+        )
+    )
+    assert main(["cache", "evict", "--pages", src, "--id", str(some_id)]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["evicted"] >= 1
+    pat = f"/gepris/projekt/{some_id}$"
+    store = spark.read.parquet(src)
+    assert store.where(F.col("url").rlike(pat)).count() == 0
+    assert not _os.path.exists(stale)  # backup deleted after validated swap

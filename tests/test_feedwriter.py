@@ -104,3 +104,29 @@ def test_empty_slot_gets_empty_file_with_schema(spark, tmp_path):
     assert sum(sizes) == 2 and sizes.count(0) == 2
     for f in files:
         assert list(pd.read_parquet(f).columns) == cols
+
+
+def test_reused_root_with_stale_arrival_files_is_cleared(spark, tmp_path):
+    """Reusing a feed root that already holds arrival files — a larger
+    prior n_files AND the pre-round-4 unpadded arrival_{i}.parquet
+    naming — must not leave stale files for FileStreamSource to ingest
+    (round-4 advice: silent feed-row duplication)."""
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    cols = ["event_id", "ts", "user_id", "value"]
+    stale_pdf = _random_events(10, 11)
+    for name in ["arrival_0.parquet", "arrival_00007.parquet", "arrival_00009.parquet"]:
+        stale_pdf.to_parquet(os.path.join(src, name))
+    pdf = _random_events(101, 13)
+    df = FW.as_events_df(spark, pdf, cols)
+    with cacheutil.scope():
+        ranked, n = FW.with_global_rank(df, ["ts", "event_id"])
+        assigned = ranked.withColumn("_file", FW.contiguous_file_expr(n, 3))
+        FW.write_numbered_files(assigned, src, 3, cols, schema)
+    files = sorted(glob.glob(os.path.join(src, "arrival_*.parquet")))
+    assert [os.path.basename(f) for f in files] == [
+        f"arrival_{i:05d}.parquet" for i in range(3)
+    ]
+    readback = pd.concat([pd.read_parquet(f) for f in files])
+    assert sorted(readback["event_id"].tolist()) == sorted(pdf["event_id"].tolist())
