@@ -17,6 +17,8 @@ aggregate over the token array (no explode in the Spark plan).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -712,6 +714,8 @@ _ANN_K = 5
 # difference cannot straddle a rounding boundary in practice, fine
 # enough that genuinely distinct neighbors keep distinct scores
 _COS_RANK_DECIMALS = 9
+# centroid/codebook means rounded -> engine-order-proof (IVF + PQ training)
+_PQ_MEAN_DECIMALS = 12
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,63 +750,130 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_NPROBE = 3
+_IVF_CELLS = 8  # coarse-quantizer cells (k-means K)
+_IVF_ITERS = 2  # Lloyd passes, unrolled identically in the oracle
+
+
+def _ivf_cents_lit(cents: dict[int, list[float]]):
+    """The K x d coarse centroids as ONE parsed literal column —
+    element c+1 is cell c's centroid, so the array index is the cell
+    id. Same bounded-metadata argument (and repr round-trip contract)
+    as _pq_codebook_lit: 8 x 64 doubles ship inside the plan instead
+    of re-entering through a join."""
+
+    def arr(xs):
+        return "array(" + ",".join(xs) + ")"
+
+    assert sorted(cents) == list(range(len(cents)))
+    return F.expr(
+        arr([arr([repr(float(x)) + "D" for x in cv]) for _, cv in sorted(cents.items())])
+    )
+
+
+def _ivf_cell_scores(v, cents_lit):
+    """Per row: (negcos, cell) structs for every cell — negcos =
+    round(-cosine(v, centroid), _COS_RANK_DECIMALS), a JVM-side HOF
+    over the centroid literal (no join). `F.array_min` over the
+    structs = the oracle's row_number ORDER BY nc ASC, cell ASC tie
+    rule; the rounding absorbs the oracle's group-sum ordering (the
+    _pq_d2s ulp contract)."""
+    return F.transform(
+        cents_lit,
+        lambda cv, i: F.struct(
+            F.round(
+                -(_dot(v, cv) / (_norm2(v) * _norm2(cv))), _COS_RANK_DECIMALS
+            ).alias("nc"),
+            i.alias("cell"),
+        ),
+    )
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: the scale path. The `label` column is the coarse
-    quantizer's cluster id (at 100 TB produced by k-means over a
-    sample); per query only the `nprobe` clusters whose CENTROID is
-    most query-similar are scanned — a broadcast of (queries x
-    centroids) prunes the big side down to ~nprobe/K of the corpus
-    before any per-vector work. Exact same output contract as the
-    brute-force baseline restricted to the probed clusters, so recall
-    loss is observable by diffing against ann_topk_cosine.
+    """IVF ANN with a TRAINED coarse quantizer: the scale path. The
+    cells are spherical k-means clusters (_IVF_CELLS centroids,
+    _IVF_ITERS Lloyd passes; deterministic init: the normalized
+    vectors of the _IVF_CELLS smallest non-query vec_ids; empty cells
+    keep their previous centroid). Per query only the _IVF_NPROBE
+    cells whose centroid is most query-similar are scanned — a
+    broadcast of (queries x probed cells) prunes the big side to
+    ~nprobe/K of the corpus before any per-vector work. Exact same
+    output contract as the brute-force baseline restricted to the
+    probed cells, so recall loss stays observable by diffing against
+    ann_topk_cosine.
 
-    Measured recall@5 vs brute at nprobe=3 of 10 clusters: 0.27
-    (sf0.001) / 0.60 (sf0.01) — a DATA property, not a plan one: the
-    synthetic embeddings are near-uniform on the sphere, so the
-    coarse quantizer's cells barely correlate with query cosine and
-    recall ≈ scanned fraction. On real clustered embeddings the same
-    plan's recall follows the cell hit-rate (the standard IVF
-    tradeoff); raising _IVF_NPROBE buys recall linearly in scan cost.
-    The corpus-quality ANN path here is ann_topk_lsh (recall@5
-    0.93/0.87); the IVF query exists to pin the probe-prune PLAN
-    shape. tests/test_ann_lsh.py pins a regression floor."""
+    Round 4 used the fixture's `label` column as the cells; on the
+    near-uniform synthetic embeddings labels are geometry-blind, so
+    recall ≈ scanned fraction (0.27 at 3/10 cells). Training the
+    quantizer on the corpus itself makes the cells directional Voronoi
+    regions: measured recall@5 vs brute is 0.60 (sf0.001 AND sf0.01)
+    at a ~0.38 scan fraction — tests/test_ann_lsh.py pins the 0.5
+    floor (round-4 verdict ask #8). Raising _IVF_NPROBE still buys
+    recall ~linearly in scan cost.
+
+    Plan shape mirrors ann_topk_pq's training loop: each Lloyd pass is
+    ONE distributed job (per-row HOF argmin against the centroid
+    literal -> groupBy(cell, dim) means) whose K*d-value result
+    returns to the driver and re-enters the next pass as a literal —
+    bounded metadata, never an n-row collect. At 100 TB training runs
+    on a sample, the final assignment pass is map-only, and the
+    (vec_id, cell) table is materialized once. Determinism: cell
+    scores and cosines rounded to _COS_RANK_DECIMALS before every
+    argmin/rank (ties -> smallest cell / neighbor_id), centroid means
+    rounded to _PQ_MEAN_DECIMALS — oracle-exact vs DuckDB with the
+    training unrolled in SQL (_sql_ivf_iteration)."""
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings", spread=True).select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    # centroids: element-wise mean per label (posexplode -> avg — one
-    # shuffle of (label, dim) pairs, never a collect)
-    cent = (
-        emb.select("label", F.posexplode("v").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("_s"))
-        .select("label", F.transform("_s", lambda s: s["cx"]).alias("cv"))
+    # normalized elements feed the centroid means (else long vectors
+    # dominate the cell direction); assignment cosines use raw v (the
+    # cosine is scale-invariant, one fewer divergence surface)
+    vn = F.transform(F.col("v"), lambda x: x / _norm2(F.col("v")))
+    # init: normalized vectors of the _IVF_CELLS smallest non-query ids
+    seed_rows = (
+        emb.where(F.col("vec_id") >= 3).orderBy("vec_id").limit(_IVF_CELLS).collect()
+    )
+    cents: dict[int, list[float]] = {}
+    for i, r in enumerate(seed_rows):
+        nv = math.sqrt(sum(x * x for x in r["v"]))
+        cents[i] = [x / nv for x in r["v"]]
+    for _ in range(_IVF_ITERS):
+        means = (
+            emb.withColumn(
+                "cell", F.array_min(_ivf_cell_scores(F.col("v"), _ivf_cents_lit(cents))).getField("cell")
+            )
+            .select("cell", F.posexplode(vn).alias("dim", "xn"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("xn"), _PQ_MEAN_DECIMALS).alias("cx"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in means:
+            new.setdefault(r["cell"], {})[r["dim"]] = r["cx"]
+        # empty cells keep their previous centroid (oracle: LEFT JOIN +
+        # coalesce), non-empty ones are fully re-estimated
+        cents = {
+            c: [new[c][j] for j in range(len(cv))] if c in new else cv
+            for c, cv in cents.items()
+        }
+    cents_lit = _ivf_cents_lit(cents)
+    assigned = emb.withColumn(
+        "cell", F.array_min(_ivf_cell_scores(F.col("v"), cents_lit)).getField("cell")
     )
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    qc = (
-        F.broadcast(queries)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qv",
-            "label",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm2(F.col("qv")) * _norm2(F.col("cv")))).alias("_ccos"),
-        )
-    )
-    probe_win = Window.partitionBy("query_id").orderBy(F.col("_ccos").desc(), F.col("label").asc())
+    qs = queries.select(
+        "query_id", "qv", F.explode(_ivf_cell_scores(F.col("qv"), cents_lit)).alias("s")
+    ).select("query_id", "qv", F.col("s.nc").alias("_nc"), F.col("s.cell").alias("cell"))
+    probe_win = Window.partitionBy("query_id").orderBy(F.col("_nc").asc(), F.col("cell").asc())
     probed = (
-        qc.withColumn("_pr", F.row_number().over(probe_win))
+        qs.withColumn("_pr", F.row_number().over(probe_win))
         .where(F.col("_pr") <= _IVF_NPROBE)
-        .select("query_id", "qv", "label")
+        .select("query_id", "qv", "cell")
     )
-    scored = F.broadcast(probed).join(emb, "label").where(
+    scored = F.broadcast(probed).join(assigned, "cell").where(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
@@ -818,31 +889,78 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ivf_assign(i: int, out: str) -> str:
+    """Assignment CTEs vs centroid set c{i}: per (vec_id, cell) the
+    rounded neg-cosine of the RAW vector against the centroid, argmin
+    by (nc ASC, cell ASC) — the F.array_min struct rule."""
+    return f"""
+s{out} AS (
+  SELECT vn.vec_id, c.cell,
+         round(-(sum(vn.x * c.cx) /
+                 (any_value(vn.nv) * sqrt(sum(c.cx * c.cx)))),
+               {_COS_RANK_DECIMALS}) AS nc
+  FROM vn JOIN c{i} c USING (dim)
+  GROUP BY vn.vec_id, c.cell),
+a{out} AS (
+  SELECT vec_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY nc ASC, cell ASC) AS rn FROM s{out})
+  WHERE rn = 1)"""
+
+
+def _sql_ivf_iteration(i: int) -> str:
+    """One unrolled spherical-Lloyd pass: assignment vs c{i-1}, per-dim
+    means of the assigned NORMALIZED elements, empty cells keep
+    c{i-1}'s centroid."""
+    return f"""{_sql_ivf_assign(i - 1, str(i))},
+m{i} AS (
+  SELECT a.cell, vn.dim, round(avg(vn.xn), {_PQ_MEAN_DECIMALS}) AS cx
+  FROM a{i} a JOIN vn ON vn.vec_id = a.vec_id
+  GROUP BY a.cell, vn.dim),
+c{i} AS (
+  SELECT c.cell, c.dim, coalesce(n.cx, c.cx) AS cx
+  FROM c{i - 1} c LEFT JOIN m{i} n ON n.cell = c.cell AND n.dim = c.dim)"""
+
+
 SQL_ANN_TOPK_IVF = f"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (
-  SELECT label, list(cx ORDER BY dim) AS cv
-  FROM (SELECT label, dim, avg(x) AS cx
-        FROM (SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS dim FROM v)
-        GROUP BY label, dim)
-  GROUP BY label),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vn AS (
+  SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS x,
+         unnest(e) / sqrt(list_dot_product(e, e)) AS xn,
+         sqrt(list_dot_product(e, e)) AS nv
+  FROM v),
+init AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        FROM v WHERE vec_id >= 3)
+  WHERE cell < {_IVF_CELLS}),
+c0 AS (SELECT i.cell, vn.dim, vn.xn AS cx FROM init i JOIN vn ON vn.vec_id = i.vec_id),
+{",".join(_sql_ivf_iteration(i) for i in range(1, _IVF_ITERS + 1))},
+{_sql_ivf_assign(_IVF_ITERS, "fin")},
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
-qc AS (
-  SELECT q.query_id, q.qe, c.label,
-         list_dot_product(q.qe, c.cv) /
-           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
-  FROM q CROSS JOIN cent c),
+qs AS (
+  SELECT vn.vec_id AS query_id, c.cell,
+         round(-(sum(vn.x * c.cx) /
+                 (any_value(vn.nv) * sqrt(sum(c.cx * c.cx)))),
+               {_COS_RANK_DECIMALS}) AS nc
+  FROM vn JOIN c{_IVF_ITERS} c USING (dim)
+  WHERE vn.vec_id < 3
+  GROUP BY vn.vec_id, c.cell),
 probed AS (
-  SELECT query_id, qe, label
+  SELECT query_id, cell
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY ccos DESC, label ASC) AS pr FROM qc)
+                                     ORDER BY nc ASC, cell ASC) AS pr FROM qs)
   WHERE pr <= {_IVF_NPROBE}),
 scored AS (
-  SELECT p.query_id, v.vec_id AS neighbor_id,
-         round(list_dot_product(p.qe, v.e) /
-           (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(v.e, v.e))),
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, v.e) /
+           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))),
            {_COS_RANK_DECIMALS}) AS cos
-  FROM probed p JOIN v ON v.label = p.label AND v.vec_id <> p.query_id)
+  FROM probed p
+  JOIN afin a ON a.cell = p.cell
+  JOIN v ON v.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -854,7 +972,6 @@ ORDER BY query_id, rank
 _PQ_M = 16  # subspaces (64-dim embeddings -> 4 dims each)
 _PQ_K = 32  # codewords per subspace
 _PQ_ITERS = 2  # Lloyd iterations, unrolled identically in the oracle
-_PQ_MEAN_DECIMALS = 12  # codebook means rounded -> engine-order-proof
 
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:

@@ -42,13 +42,13 @@ def test_lsh_deterministic(spark):
 
 
 def test_ivf_recall_floor(spark):
-    """IVF on these near-uniform synthetic vectors is recall-limited
-    by the DATA (cells ~ uncorrelated with query cosine — see the
-    q_ann_topk_ivf docstring), so the pin here is a regression floor
-    well above random (5/500 = 1%), not a quality target: nprobe=3 of
-    10 cells measured 0.27 at this sf."""
+    """Round-4 verdict ask #8: the label-as-cell quantizer was
+    geometry-blind on these near-uniform vectors (recall ≈ scanned
+    fraction, 0.27 at 3/10 cells). The trained spherical-k-means
+    quantizer (K=8, 2 Lloyd passes, nprobe=3, ~0.38 scan fraction)
+    measured 0.60 at sf0.001 AND sf0.01 — pin 0.5."""
     exact = _topk(datapipe.q_ann_topk(spark, SF_DIR))
     ivf = _topk(datapipe.q_ann_topk_ivf(spark, SF_DIR))
     hits = sum(len(set(exact[q]) & set(ivf.get(q, []))) for q in exact)
     recall = hits / (datapipe._ANN_K * len(exact))
-    assert recall >= 0.2, f"IVF recall@{datapipe._ANN_K} = {recall:.2f}"
+    assert recall >= 0.5, f"IVF recall@{datapipe._ANN_K} = {recall:.2f}"
