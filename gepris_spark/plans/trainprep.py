@@ -690,14 +690,34 @@ def q_events_late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     progress log's per-batch `watermark` shows the k-1 value while the
     dropped rows bound the effective cutoff at k-2; run the
     reconstruction in tests/test_late_stream.py to re-verify on a
-    Spark upgrade)."""
-    from gepris_spark.streaming.latestream import run_late_stream
+    Spark upgrade).
+
+    LAG-INSENSITIVE GRADING (round-4 verdict ask #6): windows whose
+    membership differs between the k-1 and k-2 filter assumptions are
+    anti-joined out of the graded output on BOTH sides
+    (latestream.lag_ambiguous_windows / the oracle's `amb` CTE), so
+    the oracle stays green under either lag — a Spark upgrade that
+    tightens the filter by one batch changes only ungraded rows, and
+    tests/test_late_stream.py (full sink, per-row reconstruction)
+    remains the sensor that reports which lag is actually in force.
+    tests/test_late_stream.py::test_graded_result_invariant_to_filter_lag
+    proves the graded result is literally identical under both lag
+    replays."""
+    from gepris_spark.streaming.latestream import lag_ambiguous_windows, run_late_stream
 
     events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    return run_late_stream(spark, events, query_name="events_late_data_sink")
+    out = run_late_stream(spark, events, query_name="events_late_data_sink")
+    amb = lag_ambiguous_windows(spark, events)
+    return out.join(amb, "window_start", "left_anti").orderBy("window_start")
 
 
-SQL_EVENTS_LATE_DATA = """
+def _sql_events_late_data(grade_lag: int) -> str:
+    """The oracle, grading admits with the k-`grade_lag` watermark.
+    The shipped contract SQL uses grade_lag=2 (Spark's measured
+    behavior); tests replay grade_lag=1 to prove the graded rows are
+    identical either way (the `amb` carve-out makes them so)."""
+    assert grade_lag in (1, 2)
+    return f"""
 WITH ord AS (
   SELECT event_id, ts, value,
          row_number() OVER (ORDER BY ts, event_id) - 1 AS r,
@@ -711,21 +731,38 @@ assign AS (
   FROM ord),
 fmax AS (SELECT f, max(ts) AS fm FROM assign GROUP BY f),
 wm AS (SELECT d.f,
-              -- one-batch lag: the filter in batch k uses the watermark
-              -- computed from batches <= k-2 (see q docstring)
+              -- effective filter lag: batch k consults batches <= k-2;
+              -- wm1 is the k-1 (progress-log) variant, used only to
+              -- carve out lag-AMBIGUOUS windows (see q docstring)
               (SELECT max(fm) FROM fmax WHERE fmax.f <= d.f - 2)
-                - INTERVAL 30 MINUTE AS wm
+                - INTERVAL 30 MINUTE AS wm2,
+              (SELECT max(fm) FROM fmax WHERE fmax.f <= d.f - 1)
+                - INTERVAL 30 MINUTE AS wm1
        FROM (SELECT DISTINCT f FROM assign) d),
+amb AS (
+  -- windows containing any row admitted under wm2 but dropped under
+  -- wm1 (wm1 >= wm2, so no other flip direction exists): ungraded
+  SELECT DISTINCT date_trunc('hour', a.ts) AS ws
+  FROM assign a JOIN wm ON wm.f = a.f
+  WHERE wm.wm1 IS NOT NULL
+    AND date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= wm.wm1
+    AND (wm.wm2 IS NULL
+         OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR > wm.wm2)),
 acc AS (
   SELECT a.*, date_trunc('hour', a.ts) AS ws
   FROM assign a JOIN wm ON wm.f = a.f
-  WHERE wm.wm IS NULL
-     OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR > wm.wm)
+  WHERE wm.wm{grade_lag} IS NULL
+     OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR > wm.wm{grade_lag})
 SELECT ws AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS total_value
-FROM acc GROUP BY ws ORDER BY ws
+FROM acc
+WHERE ws NOT IN (SELECT ws FROM amb)
+GROUP BY ws ORDER BY ws
 """
+
+
+SQL_EVENTS_LATE_DATA = _sql_events_late_data(2)
 
 
 # ----------------------------------------------------------- domain cap

@@ -110,6 +110,60 @@ def write_late_arrival_files(events, root: str, n_files: int = _N_FILES) -> str:
     return src
 
 
+def lag_ambiguous_windows(spark: SparkSession, events) -> DataFrame:
+    """Windows whose membership depends on WHICH batch's watermark the
+    late filter consults — `k-1` (the progress-log value) vs `k-2`
+    (the empirically effective one; see the module docstring). A row
+    flips iff it is admitted under the k-2 watermark but dropped under
+    the k-1 one (the k-1 watermark is always >= the k-2 one, so the
+    reverse flip cannot happen). The contract query anti-joins these
+    windows out of the graded output, making the oracle green under
+    EITHER lag — a Spark minor upgrade that tightens the filter by one
+    batch changes only rows the grade never sees (round-4 verdict ask
+    #6). Pure function of the data: both engines derive the same set.
+
+    Distributed shape: feedwriter global rank (no global sort), one
+    4-row fmax collect (bounded metadata), a <= _N_FILES-branch CASE —
+    nothing O(rows) on the driver."""
+    import datetime
+
+    from gepris_spark import cacheutil
+    from gepris_spark.streaming import feedwriter as FW
+
+    events_df = FW.as_events_df(spark, events, _FEED_COLS)
+    with cacheutil.scope():
+        ranked, n = FW.with_global_rank(events_df, ["ts", "event_id"])
+        slot = FW.contiguous_file_expr(n, _N_FILES)
+        assigned = ranked.withColumn(
+            "_f",
+            F.when(
+                _late_expr(), F.least(slot + _LATE_SHIFT, F.lit(_N_FILES - 1))
+            ).otherwise(slot).cast("int"),
+        ).select("ts", "_f")
+        fm = {
+            r["_f"]: r["fm"]
+            for r in assigned.groupBy("_f").agg(F.max("ts").alias("fm")).collect()
+        }
+        delay = datetime.timedelta(minutes=30)
+        we = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+        flip = F.lit(False)
+        for k in sorted(fm):
+            prior1 = [fm[f] for f in fm if f <= k - 1]
+            prior2 = [fm[f] for f in fm if f <= k - 2]
+            if not prior1:
+                continue  # no k-1 watermark yet -> admitted under both
+            wm1 = max(prior1) - delay
+            cond = (we <= F.lit(wm1)) & (
+                F.lit(True) if not prior2 else (we > F.lit(max(prior2) - delay))
+            )
+            flip = flip | ((F.col("_f") == k) & cond)
+        return (
+            assigned.where(flip)
+            .select(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+            .distinct()
+        )
+
+
 def late_window_stream(stream: DataFrame) -> DataFrame:
     return (
         stream.withWatermark("ts", _DELAY)
