@@ -70,8 +70,12 @@ _R05_FIRST = (
     "pricing_summary", "latest_wins", "latest_items_coalesce",
     "explode_refs", "antijoin_discovery", "priority_topk",
     "merge_change_detection", "vanished_marking", "hierarchy_closure",
-    "latest_stat", "insert_if_changed", "windowed_counts", "dedup_exact",
+    "latest_stat", "insert_if_changed", "dedup_exact",
     "dedup_minhash_lsh", "ann_topk_ivf", "ann_topk_lsh",
+    # round-5 addition (variable-length ExactSubstr) — driver-checked
+    # the round it lands; windowed_counts cedes its re-check slot
+    # (still committed-sweep + pytest covered)
+    "text_exact_substring_spans",
 )
 
 _R04_FIRST = (
