@@ -124,7 +124,15 @@ def lag_ambiguous_windows(spark: SparkSession, events) -> DataFrame:
 
     Distributed shape: feedwriter global rank (no global sort), one
     4-row fmax collect (bounded metadata), a <= _N_FILES-branch CASE —
-    nothing O(rows) on the driver."""
+    nothing O(rows) on the driver. The flip relation is REDUCED TO
+    DISTINCT HOUR WINDOWS and collected INSIDE the cacheutil scope
+    (bounded by the corpus's hour span, not its rows): the global rank
+    is only valid while with_global_rank's range-partitioned persist
+    is held — a plan evaluated after the scope releases it resamples
+    the range boundaries against the already-collected offsets and
+    derives WRONG ranks (observed: amb flips with defaultParallelism
+    and between evaluations; tests/test_late_stream.py::
+    test_ambiguous_windows_stable_across_evaluations pins this)."""
     import datetime
 
     from gepris_spark import cacheutil
@@ -157,11 +165,15 @@ def lag_ambiguous_windows(spark: SparkSession, events) -> DataFrame:
                 F.lit(True) if not prior2 else (we > F.lit(max(prior2) - delay))
             )
             flip = flip | ((F.col("_f") == k) & cond)
-        return (
+        amb_rows = (
             assigned.where(flip)
             .select(F.date_trunc("hour", F.col("ts")).alias("window_start"))
             .distinct()
+            .collect()
         )
+    return spark.createDataFrame(
+        [(r["window_start"],) for r in amb_rows], "window_start timestamp"
+    )
 
 
 def late_window_stream(stream: DataFrame) -> DataFrame:

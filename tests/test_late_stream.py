@@ -134,3 +134,16 @@ def test_graded_result_invariant_to_filter_lag(spark, events):
         for r in lag_ambiguous_windows(spark, events).collect()
     )
     assert spark_amb == oracle_amb
+
+
+def test_ambiguous_windows_stable_across_evaluations(spark, events):
+    """Regression for the round-5 bug the full sweep caught: the amb
+    plan evaluated AFTER the cacheutil scope released the global-rank
+    persist resampled range boundaries against stale offsets and
+    produced a parallelism-dependent window set. The helper now
+    materializes inside the scope; two calls must agree exactly."""
+    from gepris_spark.streaming.latestream import lag_ambiguous_windows
+
+    a = sorted(r["window_start"] for r in lag_ambiguous_windows(spark, events).collect())
+    b = sorted(r["window_start"] for r in lag_ambiguous_windows(spark, events).collect())
+    assert a == b and len(a) > 0
