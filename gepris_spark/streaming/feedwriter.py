@@ -70,7 +70,15 @@ def with_global_rank(df: DataFrame, order_cols: list[str]) -> tuple[DataFrame, i
     and registered with cacheutil — callers wrap the rank+write span
     in `cacheutil.scope()` so the blocks release on completion (the
     round-4 bench `cache_leaks` probe proved a bare unpersist of the
-    DERIVED frame silently leaked the underlying persist)."""
+    DERIVED frame silently leaked the underlying persist).
+
+    CONTRACT: every ACTION on the returned frame (or anything derived
+    from it) must run before that scope exits. Once the persist is
+    released, re-execution resamples the range boundaries while the
+    offsets map stays frozen at the first layout — the recomputed
+    ranks are silently wrong (round-5 sweep caught exactly this in
+    latestream.lag_ambiguous_windows; the fix is to materialize
+    in-scope, see its docstring)."""
     from gepris_spark import cacheutil
 
     spark = df.sparkSession
