@@ -95,17 +95,27 @@ def test_query_matches_oracle(spark, duck, contract, name):
         )
 
 
-def test_r04_rotation_window():
-    """The driver grades the first 50 queries() entries. Round 4 rotates
-    the window to the 50 queries that never earned a CORRECTNESS row in
-    rounds 1-3 (see _R04_FIRST) — assert the dict order actually leads
-    with them and that every one is oracle-paired (full check, not
-    rows-only)."""
+def test_r05_rotation_window():
+    """The driver grades the first 50 queries() entries. Round 5 rotates
+    the window to the 34 queries that never earned a CORRECTNESS row in
+    rounds 1-4 plus 16 re-checks (see _R05_FIRST) — assert the dict
+    order actually leads with them, that every one is oracle-paired
+    (full check, not rows-only), and that after this window EVERY
+    contract query has a driver row from some round."""
     names = list(entrymod.queries().keys())
-    assert names[:50] == list(entrymod._R04_FIRST)
+    assert names[:50] == list(entrymod._R05_FIRST)
     sqls = entrymod.oracle_sql()
     unpaired = [n for n in names[:50] if n not in sqls]
     assert not unpaired, f"rotation window has rows-only queries: {unpaired}"
+    import glob
+    import json
+    from pathlib import Path
+
+    checked = set(names[:50])
+    for f in glob.glob(str(Path(__file__).resolve().parent.parent / "CORRECTNESS_r0*.json")):
+        checked |= set(json.load(open(f)))
+    never = set(sqls) - checked
+    assert not never, f"queries with no driver row even after r05: {never}"
 
 
 def test_entry_smoke(spark):
