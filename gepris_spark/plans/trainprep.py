@@ -703,11 +703,17 @@ def q_events_late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_late_stream.py::test_graded_result_invariant_to_filter_lag
     proves the graded result is literally identical under both lag
     replays."""
+    import os
+    import tempfile
+
     from gepris_spark.streaming.latestream import lag_ambiguous_windows, run_late_stream
 
     events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    out = run_late_stream(spark, events, query_name="events_late_data_sink")
-    amb = lag_ambiguous_windows(spark, events)
+    root = tempfile.mkdtemp(prefix="gepris_latestream_")
+    out = run_late_stream(spark, events, root=root, query_name="events_late_data_sink")
+    # ambiguity is derived from the SAME materialized arrival files the
+    # stream just consumed — no second rank pass (see helper docstring)
+    amb = lag_ambiguous_windows(spark, os.path.join(root, "arrivals"))
     return out.join(amb, "window_start", "left_anti").orderBy("window_start")
 
 

@@ -110,7 +110,7 @@ def write_late_arrival_files(events, root: str, n_files: int = _N_FILES) -> str:
     return src
 
 
-def lag_ambiguous_windows(spark: SparkSession, events) -> DataFrame:
+def lag_ambiguous_windows(spark: SparkSession, src: str) -> DataFrame:
     """Windows whose membership depends on WHICH batch's watermark the
     late filter consults — `k-1` (the progress-log value) vs `k-2`
     (the empirically effective one; see the module docstring). A row
@@ -122,57 +122,55 @@ def lag_ambiguous_windows(spark: SparkSession, events) -> DataFrame:
     batch changes only rows the grade never sees (round-4 verdict ask
     #6). Pure function of the data: both engines derive the same set.
 
-    Distributed shape: feedwriter global rank (no global sort), one
-    4-row fmax collect (bounded metadata), a <= _N_FILES-branch CASE —
-    nothing O(rows) on the driver. The flip relation is REDUCED TO
-    DISTINCT HOUR WINDOWS and collected INSIDE the cacheutil scope
-    (bounded by the corpus's hour span, not its rows): the global rank
-    is only valid while with_global_rank's range-partitioned persist
-    is held — a plan evaluated after the scope releases it resamples
-    the range boundaries against the already-collected offsets and
-    derives WRONG ranks (observed: amb flips with defaultParallelism
-    and between evaluations; tests/test_late_stream.py::
-    test_ambiguous_windows_stable_across_evaluations pins this)."""
+    `src` is the ALREADY-MATERIALIZED arrival-file dir the stream
+    consumed (write_late_arrival_files output): the batch id is read
+    back from each row's file name, so there is NO second global-rank
+    pass and the set is deterministic by construction — a first cut
+    recomputed the rank assignment here and produced a
+    parallelism-dependent window set when its plan was evaluated after
+    the global-rank persist scope closed (the round-5 sweep caught
+    it; tests/test_late_stream.py::
+    test_ambiguous_windows_stable_across_evaluations +
+    test_graded_result_invariant_to_filter_lag pin the fix). The flush
+    sentinel (user_id = -1) is excluded exactly as the oracle's
+    `assign` CTE never contains it. Only the 4-row per-file max and
+    the <= _N_FILES-branch CASE touch the driver."""
     import datetime
 
-    from gepris_spark import cacheutil
-    from gepris_spark.streaming import feedwriter as FW
-
-    events_df = FW.as_events_df(spark, events, _FEED_COLS)
-    with cacheutil.scope():
-        ranked, n = FW.with_global_rank(events_df, ["ts", "event_id"])
-        slot = FW.contiguous_file_expr(n, _N_FILES)
-        assigned = ranked.withColumn(
+    # directory read (the dir holds only arrival_*.parquet) — a glob
+    # path here makes FileStreamSink.hasMetadata log a spurious
+    # FileNotFoundException probing <glob>/_spark_metadata
+    feed = (
+        spark.read.schema(_ARRIVAL_SCHEMA)
+        .parquet(src)
+        .withColumn(
             "_f",
-            F.when(
-                _late_expr(), F.least(slot + _LATE_SHIFT, F.lit(_N_FILES - 1))
-            ).otherwise(slot).cast("int"),
-        ).select("ts", "_f")
-        fm = {
-            r["_f"]: r["fm"]
-            for r in assigned.groupBy("_f").agg(F.max("ts").alias("fm")).collect()
-        }
-        delay = datetime.timedelta(minutes=30)
-        we = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
-        flip = F.lit(False)
-        for k in sorted(fm):
-            prior1 = [fm[f] for f in fm if f <= k - 1]
-            prior2 = [fm[f] for f in fm if f <= k - 2]
-            if not prior1:
-                continue  # no k-1 watermark yet -> admitted under both
-            wm1 = max(prior1) - delay
-            cond = (we <= F.lit(wm1)) & (
-                F.lit(True) if not prior2 else (we > F.lit(max(prior2) - delay))
-            )
-            flip = flip | ((F.col("_f") == k) & cond)
-        amb_rows = (
-            assigned.where(flip)
-            .select(F.date_trunc("hour", F.col("ts")).alias("window_start"))
-            .distinct()
-            .collect()
+            F.regexp_extract(F.input_file_name(), r"arrival_(\d+)\.parquet", 1).cast("int"),
         )
-    return spark.createDataFrame(
-        [(r["window_start"],) for r in amb_rows], "window_start timestamp"
+        .where(F.col("user_id") != -1)
+        .select("ts", "_f")
+    )
+    fm = {
+        r["_f"]: r["fm"]
+        for r in feed.groupBy("_f").agg(F.max("ts").alias("fm")).collect()
+    }
+    delay = datetime.timedelta(minutes=30)
+    we = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    flip = F.lit(False)
+    for k in sorted(fm):
+        prior1 = [fm[f] for f in fm if f <= k - 1]
+        prior2 = [fm[f] for f in fm if f <= k - 2]
+        if not prior1:
+            continue  # no k-1 watermark yet -> admitted under both
+        wm1 = max(prior1) - delay
+        cond = (we <= F.lit(wm1)) & (
+            F.lit(True) if not prior2 else (we > F.lit(max(prior2) - delay))
+        )
+        flip = flip | ((F.col("_f") == k) & cond)
+    return (
+        feed.where(flip)
+        .select(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .distinct()
     )
 
 

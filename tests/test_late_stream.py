@@ -127,23 +127,39 @@ def test_graded_result_invariant_to_filter_lag(spark, events):
     oracle_amb = sorted(
         con.execute(amb_sql + "\nSELECT ws FROM amb ORDER BY ws").df()["ws"]
     )
-    from gepris_spark.streaming.latestream import lag_ambiguous_windows
+    import tempfile
 
+    from gepris_spark.streaming.latestream import (
+        lag_ambiguous_windows,
+        write_late_arrival_files,
+    )
+
+    src = write_late_arrival_files(events, tempfile.mkdtemp(prefix="amb_feed_"))
     spark_amb = sorted(
         r["window_start"]
-        for r in lag_ambiguous_windows(spark, events).collect()
+        for r in lag_ambiguous_windows(spark, src).collect()
     )
     assert spark_amb == oracle_amb
 
 
 def test_ambiguous_windows_stable_across_evaluations(spark, events):
-    """Regression for the round-5 bug the full sweep caught: the amb
-    plan evaluated AFTER the cacheutil scope released the global-rank
-    persist resampled range boundaries against stale offsets and
-    produced a parallelism-dependent window set. The helper now
-    materializes inside the scope; two calls must agree exactly."""
-    from gepris_spark.streaming.latestream import lag_ambiguous_windows
+    """Regression for the round-5 bug the full sweep caught: a first
+    cut recomputed the rank-based file assignment and its plan,
+    evaluated after the cacheutil scope released the global-rank
+    persist, resampled range boundaries against stale offsets —
+    parallelism-dependent window sets. The helper now reads the batch
+    id back from the materialized arrival files; repeated evaluations
+    and re-written feeds must agree exactly."""
+    import tempfile
 
-    a = sorted(r["window_start"] for r in lag_ambiguous_windows(spark, events).collect())
-    b = sorted(r["window_start"] for r in lag_ambiguous_windows(spark, events).collect())
-    assert a == b and len(a) > 0
+    from gepris_spark.streaming.latestream import (
+        lag_ambiguous_windows,
+        write_late_arrival_files,
+    )
+
+    src1 = write_late_arrival_files(events, tempfile.mkdtemp(prefix="amb_s1_"))
+    src2 = write_late_arrival_files(events, tempfile.mkdtemp(prefix="amb_s2_"))
+    a = sorted(r["window_start"] for r in lag_ambiguous_windows(spark, src1).collect())
+    b = sorted(r["window_start"] for r in lag_ambiguous_windows(spark, src1).collect())
+    c = sorted(r["window_start"] for r in lag_ambiguous_windows(spark, src2).collect())
+    assert a == b == c and len(a) > 0
