@@ -702,3 +702,45 @@ def test_shortest_path_rounds_equi_join_partial_min(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_exact_substring_spans_island_window_per_doc(spark):
+    """Round-5 variable-length ExactSubstr: the gaps-and-islands window
+    pass must partition by doc_id (per-document sort, never a global
+    one) and the scan must prune to (doc_id, text)."""
+    from gepris_spark.plans.trainprep import q_text_exact_substring_spans
+
+    plan = _plan(q_text_exact_substring_spans(spark, SF))
+    assert "hashpartitioning(doc_id" in plan
+    assert "Exchange SinglePartition" not in plan or "Window" not in plan
+    read_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "documents" not in ln
+    ]
+    assert any("text" in ln for ln in read_schemas)
+    assert not any("lang" in ln for ln in read_schemas)
+
+
+def test_ann_ivf_probe_join_is_broadcast_with_partial_training_aggs(spark):
+    """Round-5 trained-quantizer IVF: the probed (query x cell) relation
+    must broadcast against the assigned corpus (an equi-join on cell —
+    the probe prune), and the final rank window partitions by
+    query_id. The k-means training passes run eagerly inside the
+    builder (bounded K x d collects), so the returned plan is the
+    query-time path only."""
+    from gepris_spark.plans.datapipe import q_ann_topk_ivf
+
+    plan = _plan(q_ann_topk_ivf(spark, SF))
+    assert "BroadcastHashJoin" in plan and "cell" in plan
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_hybrid_rrf_ann_legs_broadcast(spark):
+    """Round-5 RRF-over-ANN: the lexical inverted-index probe and the
+    candidate cosine ranks must both enter as broadcasts; ranking
+    windows partition by query_id; no cartesian product anywhere."""
+    from gepris_spark.plans.trainprep import q_search_hybrid_rrf_ann
+
+    plan = _plan(q_search_hybrid_rrf_ann(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "hashpartitioning(query_id" in plan
+    assert "CartesianProduct" not in plan
