@@ -70,12 +70,13 @@ _R05_FIRST = (
     "pricing_summary", "latest_wins", "latest_items_coalesce",
     "explode_refs", "antijoin_discovery", "priority_topk",
     "merge_change_detection", "vanished_marking", "hierarchy_closure",
-    "latest_stat", "insert_if_changed", "dedup_exact",
+    "insert_if_changed", "dedup_exact",
     "dedup_minhash_lsh", "ann_topk_ivf", "ann_topk_lsh",
-    # round-5 addition (variable-length ExactSubstr) — driver-checked
-    # the round it lands; windowed_counts cedes its re-check slot
-    # (still committed-sweep + pytest covered)
-    "text_exact_substring_spans",
+    # round-5 additions (variable-length ExactSubstr, IVF-PQ ANN) —
+    # driver-checked the round they land; windowed_counts and
+    # latest_stat cede their re-check slots (both still
+    # committed-sweep + pytest covered, ⊕r03 rows on record)
+    "text_exact_substring_spans", "ann_topk_ivfpq",
 )
 
 _R04_FIRST = (

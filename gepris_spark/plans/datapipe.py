@@ -788,6 +788,46 @@ def _ivf_cell_scores(v, cents_lit):
     )
 
 
+def _ivf_train(emb: DataFrame) -> dict[int, list[float]]:
+    """Spherical-k-means coarse-quantizer training (_IVF_CELLS
+    centroids, _IVF_ITERS Lloyd passes), extracted so q_ann_topk_ivfpq
+    composes the IDENTICAL cells. Init: the normalized vectors of the
+    _IVF_CELLS smallest non-query vec_ids; per pass ONE distributed
+    job whose K x d rounded means return to the driver (bounded
+    metadata) and re-enter as a literal; empty cells keep their
+    previous centroid. Normalized elements feed the means (else long
+    vectors dominate the cell direction); assignment cosines use raw v
+    (scale-invariant, one fewer divergence surface)."""
+    vn = F.transform(F.col("v"), lambda x: x / _norm2(F.col("v")))
+    seed_rows = (
+        emb.where(F.col("vec_id") >= 3).orderBy("vec_id").limit(_IVF_CELLS).collect()
+    )
+    cents: dict[int, list[float]] = {}
+    for i, r in enumerate(seed_rows):
+        nv = math.sqrt(sum(x * x for x in r["v"]))
+        cents[i] = [x / nv for x in r["v"]]
+    for _ in range(_IVF_ITERS):
+        means = (
+            emb.withColumn(
+                "cell", F.array_min(_ivf_cell_scores(F.col("v"), _ivf_cents_lit(cents))).getField("cell")
+            )
+            .select("cell", F.posexplode(vn).alias("dim", "xn"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("xn"), _PQ_MEAN_DECIMALS).alias("cx"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in means:
+            new.setdefault(r["cell"], {})[r["dim"]] = r["cx"]
+        # empty cells keep their previous centroid (oracle: LEFT JOIN +
+        # coalesce), non-empty ones are fully re-estimated
+        cents = {
+            c: [new[c][j] for j in range(len(cv))] if c in new else cv
+            for c, cv in cents.items()
+        }
+    return cents
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: the scale path. The
     cells are spherical k-means clusters (_IVF_CELLS centroids,
@@ -826,38 +866,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    # normalized elements feed the centroid means (else long vectors
-    # dominate the cell direction); assignment cosines use raw v (the
-    # cosine is scale-invariant, one fewer divergence surface)
-    vn = F.transform(F.col("v"), lambda x: x / _norm2(F.col("v")))
-    # init: normalized vectors of the _IVF_CELLS smallest non-query ids
-    seed_rows = (
-        emb.where(F.col("vec_id") >= 3).orderBy("vec_id").limit(_IVF_CELLS).collect()
-    )
-    cents: dict[int, list[float]] = {}
-    for i, r in enumerate(seed_rows):
-        nv = math.sqrt(sum(x * x for x in r["v"]))
-        cents[i] = [x / nv for x in r["v"]]
-    for _ in range(_IVF_ITERS):
-        means = (
-            emb.withColumn(
-                "cell", F.array_min(_ivf_cell_scores(F.col("v"), _ivf_cents_lit(cents))).getField("cell")
-            )
-            .select("cell", F.posexplode(vn).alias("dim", "xn"))
-            .groupBy("cell", "dim")
-            .agg(F.round(F.avg("xn"), _PQ_MEAN_DECIMALS).alias("cx"))
-            .collect()
-        )
-        new: dict[int, dict[int, float]] = {}
-        for r in means:
-            new.setdefault(r["cell"], {})[r["dim"]] = r["cx"]
-        # empty cells keep their previous centroid (oracle: LEFT JOIN +
-        # coalesce), non-empty ones are fully re-estimated
-        cents = {
-            c: [new[c][j] for j in range(len(cv))] if c in new else cv
-            for c, cv in cents.items()
-        }
-    cents_lit = _ivf_cents_lit(cents)
+    cents_lit = _ivf_cents_lit(_ivf_train(emb))
     assigned = emb.withColumn(
         "cell", F.array_min(_ivf_cell_scores(F.col("v"), cents_lit)).getField("cell")
     )
@@ -1040,6 +1049,44 @@ def _pq_d2s(cb_lit):
     )
 
 
+def _pq_train(svs: DataFrame, emb: DataFrame) -> dict[int, dict[int, list[float]]]:
+    """The _PQ_ITERS-pass Lloyd codebook training, extracted so
+    q_ann_topk_ivfpq composes the IDENTICAL codebooks. Init:
+    subvectors of the _PQ_K smallest vec_ids (orderBy+limit is a
+    per-partition top-K merge), cw = rank among them; per pass ONE
+    distributed job whose M*K*(d/M) rounded means return to the driver
+    and re-enter as a literal; empty clusters keep their previous
+    codeword."""
+    smallest = [
+        r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(_PQ_K).collect()
+    ]
+    rank = {v: i for i, v in enumerate(smallest)}
+    cb: dict[int, dict[int, list[float]]] = {m: {} for m in range(_PQ_M)}
+    for r in svs.where(F.col("vec_id").isin(smallest)).collect():
+        cb[r["m"]][rank[r["vec_id"]]] = list(r["sv"])
+    for _ in range(_PQ_ITERS):
+        means = (
+            svs.withColumn("cw", F.array_min(_pq_d2s(_pq_codebook_lit(cb))).getField("cw"))
+            .select("m", "cw", F.posexplode("sv").alias("j", "x"))
+            .groupBy("m", "cw", "j")
+            .agg(F.round(F.avg("x"), _PQ_MEAN_DECIMALS).alias("cx"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            new.setdefault((r["m"], r["cw"]), {})[r["j"]] = r["cx"]
+        # empty clusters keep their previous codeword (oracle: LEFT JOIN
+        # + coalesce); non-empty ones are fully re-estimated
+        cb = {
+            m: {
+                cw: [new[(m, cw)][j] for j in range(len(cv))] if (m, cw) in new else cv
+                for cw, cv in cb[m].items()
+            }
+            for m in range(_PQ_M)
+        }
+    return cb
+
+
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN: the memory-scale path. Per subspace, a
     _PQ_K-codeword codebook is trained by _PQ_ITERS Lloyd iterations
@@ -1074,36 +1121,7 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     svs = _pq_subvectors(emb)
-    # init: subvectors of the _PQ_K smallest vec_ids (orderBy+limit is
-    # a per-partition top-K merge), cw = rank among them
-    smallest = [
-        r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(_PQ_K).collect()
-    ]
-    rank = {v: i for i, v in enumerate(smallest)}
-    cb: dict[int, dict[int, list[float]]] = {m: {} for m in range(_PQ_M)}
-    for r in svs.where(F.col("vec_id").isin(smallest)).collect():
-        cb[r["m"]][rank[r["vec_id"]]] = list(r["sv"])
-    for _ in range(_PQ_ITERS):
-        means = (
-            svs.withColumn("cw", F.array_min(_pq_d2s(_pq_codebook_lit(cb))).getField("cw"))
-            .select("m", "cw", F.posexplode("sv").alias("j", "x"))
-            .groupBy("m", "cw", "j")
-            .agg(F.round(F.avg("x"), _PQ_MEAN_DECIMALS).alias("cx"))
-            .collect()
-        )
-        new: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            new.setdefault((r["m"], r["cw"]), {})[r["j"]] = r["cx"]
-        # empty clusters keep their previous codeword (oracle: LEFT JOIN
-        # + coalesce); non-empty ones are fully re-estimated
-        cb = {
-            m: {
-                cw: [new[(m, cw)][j] for j in range(len(cv))] if (m, cw) in new else cv
-                for cw, cv in cb[m].items()
-            }
-            for m in range(_PQ_M)
-        }
-    with_d2 = svs.withColumn("_d2s", _pq_d2s(_pq_codebook_lit(cb)))
+    with_d2 = svs.withColumn("_d2s", _pq_d2s(_pq_codebook_lit(_pq_train(svs, emb))))
     codes = with_d2.select(
         "vec_id", "m", F.array_min("_d2s").getField("cw").alias("cw")
     )
@@ -1131,26 +1149,30 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pq_iteration(i: int) -> str:
+def _sql_pq_iteration(i: int, p: str = "") -> str:
     """One unrolled Lloyd iteration: assignment vs cb{i-1}, per-dim
-    means over the assigned subvectors, empty clusters keep cb{i-1}."""
+    means over the assigned subvectors, empty clusters keep cb{i-1}.
+    `p` prefixes the iteration-local CTE names (d/a/m) so the composed
+    IVF-PQ oracle can host both training loops without collisions; the
+    shipped SQL_ANN_TOPK_PQ uses p='' and is byte-identical to its
+    round-3 form."""
     return f"""
-d{i} AS (
+{p}d{i} AS (
   SELECT s.vec_id, s.m, c.cw, round(sum((s.x - c.cx) * (s.x - c.cx)), {_COS_RANK_DECIMALS}) AS d2
   FROM sv s JOIN cb{i - 1} c ON c.m = s.m AND c.dim = s.dim
   GROUP BY s.vec_id, s.m, c.cw),
-a{i} AS (
+{p}a{i} AS (
   SELECT vec_id, m, cw
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cw ASC) AS rn
-        FROM d{i})
+        FROM {p}d{i})
   WHERE rn = 1),
-m{i} AS (
+{p}m{i} AS (
   SELECT a.m, a.cw, s.dim, round(avg(s.x), {_PQ_MEAN_DECIMALS}) AS cx
-  FROM a{i} a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m
+  FROM {p}a{i} a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m
   GROUP BY a.m, a.cw, s.dim),
 cb{i} AS (
   SELECT c.m, c.cw, c.dim, coalesce(n.cx, c.cx) AS cx
-  FROM cb{i - 1} c LEFT JOIN m{i} n ON n.m = c.m AND n.cw = c.cw AND n.dim = c.dim)"""
+  FROM cb{i - 1} c LEFT JOIN {p}m{i} n ON n.m = c.m AND n.cw = c.cw AND n.dim = c.dim)"""
 
 
 SQL_ANN_TOPK_PQ = f"""
@@ -1185,6 +1207,154 @@ WHERE rank <= {_ANN_K}
 ORDER BY query_id, rank
 """
 
+
+
+# ------------------------------------------------------------ IVF-PQ ANN
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the FAISS IVFADC composition (Jégou et al. 2011)
+    and the memory-AND-compute scale path: the trained spherical-
+    k-means cells (_ivf_train — identical to the graded ann_topk_ivf)
+    prune each query to its _IVF_NPROBE most-similar cells, and the
+    surviving candidates are scored by PQ asymmetric distance
+    (_pq_train — identical codebooks to the graded ann_topk_pq): a
+    broadcast LUT of query-subvector -> codeword distances joined to
+    the code table and summed. Query time touches NO raw vectors —
+    only small codes for ~nprobe/K of the corpus — which is how a
+    10^10-row index fits: the corpus holds M int8-scale codes + one
+    cell id per vector, both built in map-only passes after
+    sample-trained quantizers.
+
+    Both training loops, both assignment rules, and the asymmetric
+    scoring reuse the exact helpers of the two graded parents, so the
+    composed oracle is the two proven CTE blocks concatenated
+    (PQ iteration CTEs prefixed to avoid name collisions). Recall
+    compounds both pruning losses and is observable by diffing
+    ann_topk_cosine (tests/test_ann_ivfpq.py pins the floor and the
+    agreement identity: within probed candidates the ranking must
+    EQUAL ann_topk_pq's restricted to the same candidate set)."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents_lit = _ivf_cents_lit(_ivf_train(emb))
+    assigned = emb.withColumn(
+        "cell", F.array_min(_ivf_cell_scores(F.col("v"), cents_lit)).getField("cell")
+    ).select("vec_id", "cell")
+    svs = _pq_subvectors(emb)
+    with_d2 = svs.withColumn("_d2s", _pq_d2s(_pq_codebook_lit(_pq_train(svs, emb))))
+    codes = with_d2.select(
+        "vec_id", "m", F.array_min("_d2s").getField("cw").alias("cw")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qs = queries.select(
+        "query_id", F.explode(_ivf_cell_scores(F.col("qv"), cents_lit)).alias("s")
+    ).select("query_id", F.col("s.nc").alias("_nc"), F.col("s.cell").alias("cell"))
+    probe_win = Window.partitionBy("query_id").orderBy(F.col("_nc").asc(), F.col("cell").asc())
+    probed = (
+        qs.withColumn("_pr", F.row_number().over(probe_win))
+        .where(F.col("_pr") <= _IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    cand = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    lut = (
+        with_d2.where(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("_lq"),
+            F.col("m").alias("lm"),
+            F.explode("_d2s").alias("e"),
+        )
+        .select("_lq", "lm", F.col("e.cw").alias("lcw"), F.col("e.d2").alias("qsq"))
+    )
+    scored = (
+        codes.join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("_lq"))
+            & (F.col("m") == F.col("lm"))
+            & (F.col("cw") == F.col("lcw")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qsq"), _COS_RANK_DECIMALS).alias("_ad"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("_ad").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _ANN_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_ANN_TOPK_IVFPQ = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vn AS (
+  SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS x,
+         unnest(e) / sqrt(list_dot_product(e, e)) AS xn,
+         sqrt(list_dot_product(e, e)) AS nv
+  FROM v),
+init AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        FROM v WHERE vec_id >= 3)
+  WHERE cell < {_IVF_CELLS}),
+c0 AS (SELECT i.cell, vn.dim, vn.xn AS cx FROM init i JOIN vn ON vn.vec_id = i.vec_id),
+{",".join(_sql_ivf_iteration(i) for i in range(1, _IVF_ITERS + 1))},
+{_sql_ivf_assign(_IVF_ITERS, "fin")},
+vx AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS dim, len(e) AS d FROM v),
+sv AS (SELECT vec_id, CAST(floor((dim - 1) * {_PQ_M} / d) AS INT) AS m, dim, x FROM vx),
+pqinit AS (
+  SELECT vec_id, cw FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cw FROM v)
+  WHERE cw < {_PQ_K}),
+cb0 AS (SELECT s.m, i.cw, s.dim, s.x AS cx FROM sv s JOIN pqinit i USING (vec_id)),
+{",".join(_sql_pq_iteration(i, p="p") for i in range(1, _PQ_ITERS + 1))},
+dfin AS (
+  SELECT s.vec_id, s.m, c.cw, round(sum((s.x - c.cx) * (s.x - c.cx)), {_COS_RANK_DECIMALS}) AS d2
+  FROM sv s JOIN cb{_PQ_ITERS} c ON c.m = s.m AND c.dim = s.dim
+  GROUP BY s.vec_id, s.m, c.cw),
+codes AS (
+  SELECT vec_id, m, cw
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cw ASC) AS rn
+        FROM dfin)
+  WHERE rn = 1),
+qs AS (
+  SELECT vn.vec_id AS query_id, c.cell,
+         round(-(sum(vn.x * c.cx) /
+                 (any_value(vn.nv) * sqrt(sum(c.cx * c.cx)))),
+               {_COS_RANK_DECIMALS}) AS nc
+  FROM vn JOIN c{_IVF_ITERS} c USING (dim)
+  WHERE vn.vec_id < 3
+  GROUP BY vn.vec_id, c.cell),
+probed AS (
+  SELECT query_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY nc ASC, cell ASC) AS pr FROM qs)
+  WHERE pr <= {_IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probed p JOIN afin a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+lut AS (SELECT vec_id AS query_id, m, cw, d2 AS qsq FROM dfin WHERE vec_id < 3),
+scored AS (
+  SELECT cd.query_id, co.vec_id AS neighbor_id, round(sum(l.qsq), {_COS_RANK_DECIMALS}) AS ad
+  FROM codes co
+  JOIN cand cd ON cd.vec_id = co.vec_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.m = co.m AND l.cw = co.cw
+  GROUP BY cd.query_id, co.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ad ASC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {_ANN_K}
+ORDER BY query_id, rank
+"""
 
 
 # ------------------------------------------------- LSH (random hyperplane) ANN
@@ -2426,6 +2596,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "ann_topk_cosine": (q_ann_topk, SQL_ANN_TOPK),
     "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
     "ann_topk_pq": (q_ann_topk_pq, SQL_ANN_TOPK_PQ),
+    "ann_topk_ivfpq": (q_ann_topk_ivfpq, SQL_ANN_TOPK_IVFPQ),
     "ann_topk_lsh": (q_ann_topk_lsh, SQL_ANN_TOPK_LSH),
     "text_langid": (q_langid, SQL_LANGID),
     "text_quality": (q_quality, SQL_QUALITY),
